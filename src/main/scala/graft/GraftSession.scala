@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Engine-standard session configuration.
+  *
+  * One place for the settings every entry point needs so driver-run mains
+  * (Verify/Bench) and user sessions agree:
+  *  - UTC session timezone — oracle parity (SURVEY §7.5/2); the
+  *    reference's +7 h WIB shift is always an explicit interval op.
+  *  - AQE on — runtime coalescing of shuffle partitions, skew-join
+  *    splitting, and dynamic broadcast decisions; this is the scale story
+  *    for 100 TB plans whose optimal partitioning is data-dependent.
+  *  - nanosAsLong — the `events` table stores TIMESTAMP(NANOS), illegal
+  *    for Spark 4's reader; read as exact epoch-nanos longs instead
+  *    (see [[Tables.events]]).
+  */
+object GraftSession {
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.aggregatePushdown", "true")
+    .config("spark.ui.enabled", "false")
+
+  /** Local session for tests/tools: `local[cores]`, shuffle partitions
+    * sized to cores (not the 200 default — wrong for local mode).
+    */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = configure(SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

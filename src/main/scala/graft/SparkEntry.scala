@@ -1,13 +1,63 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ops.{Relational, Scalars}
+import graft.queries._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` / `oracleSql` are assembled from per-area modules under
+  * [[graft.queries]]; every operator in SURVEY.md §2 has one entry here,
+  * and every entry that is SQL-expressible carries a DuckDB oracle.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query: the reference's daily enrichment + pivot pipeline
+    * (`Processing Data.py:154-237`) re-expressed on the TPC-H-ish star —
+    * multi-way dimension join (C1), regex/substring derivations (D1-D4),
+    * two-valued pivot via full-outer join USING (C2), +7 h WIB shift and
+    * date parts (D4/D6/D9), wide final projection (B1), ds stamp (D12).
+    * Driver smoke-checks rows > 0 on sf0.001.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+
+    // Dimension enrichment (PROC's a/b/c dims -> customer/nation/region).
+    val enriched = Relational.enrichJoin(
+      t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey")),
+      Seq(
+        (t.customer, col("o_custkey") === col("c_custkey")),
+        (t.nation, col("c_nationkey") === col("n_nationkey")),
+        (t.region, col("n_regionkey") === col("r_regionkey"))))
+      .withColumn("priority_class", regexp_extract(col("o_orderpriority"), "^([0-9]+)-(.*)$", 2))
+      .withColumn("direction", when(col("l_returnflag") === "R", lit("out")).otherwise(lit("in")))
+
+    // Pivot in/out (PROC:190-207) — single row per (orderkey, nation).
+    val pivoted = Relational.pivotFullJoin(
+      enriched.select(col("o_orderkey"), col("n_name"), col("direction"),
+        Scalars.dec(col("l_quantity")).as("qty")),
+      Seq("o_orderkey", "n_name"), "direction", "in", "out", "qty", "qty_in", "qty_out")
+
+    // Derived metrics + WIB timestamp columns (PROC:209-215).
+    val stamped = pivoted
+      .join(t.orders.select(col("o_orderkey"), col("o_orderdate")), Seq("o_orderkey"))
+      .withColumn("qty_total", coalesce(col("qty_in"), lit(0)) + coalesce(col("qty_out"), lit(0)))
+      .withColumn("waktu", date_format(Scalars.shiftToWib(col("o_orderdate")), "dd-MM-yyyy HH:mm:ss"))
+      .withColumn("ds", Scalars.dsOf(col("o_orderdate")))
+    val withParts = Scalars.datePartsOfDmy(col("waktu"))
+      .foldLeft(stamped) { case (df, (name, c)) => df.withColumn(name, c) }
+
+    withParts.select("o_orderkey", "n_name", "qty_in", "qty_out", "qty_total",
+      "waktu", "waktu_string", "tahun", "bulan", "tanggal", "jam", "menit", "ds")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QRelational.queries ++ QAggregates.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    QRelational.oracles ++ QAggregates.oracles
 }

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation + window surface — SURVEY.md §2.E / §2.F. The reference
+  * contains zero aggregations (verified, SURVEY §2.E); these are the
+  * north-star extensions, built on Spark's hash aggregate (partial +
+  * final, map-side combine for free) and WindowExec.
+  */
+object Aggregates {
+
+  /** E1 — multi-measure hash aggregate (TPC-H Q1 shape). Partial
+    * aggregation halves shuffle volume automatically; measures that feed
+    * the oracle must be decimal-cast first (see [[Scalars.dec]]).
+    */
+  def summarize(df: DataFrame, keys: Seq[String], measures: Seq[Column]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(measures.head, measures.tail: _*)
+
+  /** E4 — deterministic dedup: keep exactly one row per key, chosen by an
+    * explicit tie-break ordering (`row_number`), not `dropDuplicates`
+    * (whose survivor is partition-order-dependent — fine operationally,
+    * wrong for a hash-checked oracle).
+    */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** F4 — top-k rows per group. One shuffle on the group key; the
+    * `row_number <= k` filter runs inside the window stage, so only k
+    * rows per group survive into downstream stages.
+    */
+  def topKPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** F2 — per-key delta of a (possibly cumulative) measure via `lag`.
+    * This is the natural next step of the reference's domain: Zabbix
+    * `net.if.*` counters are cumulative; throughput is the windowed
+    * delta (cf. `Processing Data.py` which stores raw counters).
+    */
+  def lagDelta(df: DataFrame, key: String, order: Seq[Column], value: String, alias: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(order: _*)
+    df.withColumn(alias, col(value) - lag(col(value), 1).over(w))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational operators: projections, filters, joins, sorts, limits, set
+  * ops — SURVEY.md §2.B / §2.C / §2.G.
+  *
+  * Everything here is a thin, documented composition of the declarative
+  * DataFrame API so Catalyst keeps full visibility (pushdown, pruning,
+  * join strategy, AQE). No RDDs, no collect loops.
+  */
+object Relational {
+
+  /** B1 — projection by name (reference `Ingestion Data (XML).py:133-139`,
+    * `Processing Data.py:218-237`). Column pruning reaches the parquet
+    * scan because the select sits directly over the source.
+    */
+  def project(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*)
+
+  /** B3 — half-open range predicate on a time column (reference
+    * `Ingestion Data (MySQL).py:158`: `clock >= a AND clock < b`, pushed
+    * to the source). On parquet this lands in PushedFilters and prunes
+    * row groups via min/max stats.
+    */
+  def rangeScan(df: DataFrame, c: String, lo: Column, hi: Column): DataFrame =
+    df.filter(col(c) >= lo && col(c) < hi)
+
+  /** B6/C4 — allowlist semi-join (reference `Ingestion Data (XML).py:128`
+    * does this driver-side in pandas with `.isin`). Distributed form: a
+    * left-semi join, broadcast when the allowlist is small — at 100 TB the
+    * fact side never moves.
+    */
+  def semiJoinAllowlist(df: DataFrame, allow: DataFrame, key: String, allowKey: String): DataFrame =
+    df.join(broadcast(allow), df(key) === allow(allowKey), "left_semi")
+
+  /** C1 — multi-way inner equi-join with residual theta predicates
+    * (reference `Processing Data.py:173-182`: 4-table dimension
+    * enrichment). Dimensions are broadcast (explicitly hinted when small)
+    * so the fact table never shuffles for the join.
+    */
+  def enrichJoin(fact: DataFrame, dims: Seq[(DataFrame, Column)]): DataFrame =
+    dims.foldLeft(fact) { case (acc, (dim, cond)) => acc.join(broadcast(dim), cond, "inner") }
+
+  /** C2 — the reference's in/out pivot (`Processing Data.py:190-207`):
+    * split one metric stream by a two-valued `direction` column and
+    * produce one row per key carrying both directions' values, via a
+    * full-outer join USING the key columns (null-safe coalesced keys).
+    *
+    * `Seq`-based join form is essential: a `===` condition would keep two
+    * nullable key columns and drop unmatched sides' keys (SURVEY §7.5/3).
+    */
+  def pivotFullJoin(
+      df: DataFrame,
+      keys: Seq[String],
+      directionCol: String,
+      inValue: String,
+      outValue: String,
+      valueCol: String,
+      inAlias: String,
+      outAlias: String): DataFrame = {
+    val in = df.filter(col(directionCol) === inValue)
+      .groupBy(keys.map(col): _*).agg(sum(col(valueCol)).as(inAlias))
+    val out = df.filter(col(directionCol) === outValue)
+      .groupBy(keys.map(col): _*).agg(sum(col(valueCol)).as(outAlias))
+    in.join(out, keys, "full_outer")
+  }
+
+  /** C2 idiomatic single-pass alternative: groupBy + pivot avoids the
+    * self-join entirely — one shuffle instead of two plus a join. The
+    * reference re-executes its whole 4-table join per direction branch
+    * (`Processing Data.py:188-207`, see SURVEY §3.3); this form cannot.
+    */
+  def pivotSinglePass(
+      df: DataFrame,
+      keys: Seq[String],
+      directionCol: String,
+      directions: Seq[String],
+      valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .pivot(directionCol, directions)
+      .agg(sum(col(valueCol)))
+
+  /** C5 — anti join: rows of `df` with no match in `other`. */
+  def antiJoin(df: DataFrame, other: DataFrame, cond: Column): DataFrame =
+    df.join(other, cond, "left_anti")
+
+  /** G1/G2 — global top-k: Catalyst plans `TakeOrderedAndProject`, which
+    * takes k rows per partition then merges on the driver — no global
+    * sort shuffle. The reference's shape: `sort(desc).collect()[0]`
+    * (`Ingestion Data (MySQL).py:26-29`).
+    */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** G3 — set operations. */
+  def unionAll(a: DataFrame, b: DataFrame): DataFrame  = a.unionByName(b)
+  def intersect(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
+  def except(a: DataFrame, b: DataFrame): DataFrame    = a.except(b)
+}

@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Aggregates, Scalars}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Demo queries + DuckDB oracles for SURVEY.md §2.E (aggregates) and
+  * §2.F (window functions) — all north-star extensions; the reference
+  * has zero aggregations (SURVEY §2.E).
+  */
+object QAggregates {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // E1 — TPC-H Q1-shaped multi-measure hash aggregate. Decimal-exact
+    // sums (deterministic at any parallelism) cast back to double.
+    "q_agg_pricing_summary" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      Aggregates.summarize(li, Seq("l_returnflag", "l_linestatus"), Seq(
+        sum(Scalars.dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(Scalars.dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(Scalars.dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 18, 6))
+          .cast("double").as("sum_disc_price"),
+        sum(Scalars.dec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 18, 6))
+          .cast("double").as("sum_charge"),
+        (sum(Scalars.dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order")))
+    }),
+
+    // E2 — exact distinct count (HLL approx variant is bench-only: its
+    // result is impl-defined, so no oracle; see q_agg_distinct_approx).
+    "q_agg_distinct" -> ((s, dir) => {
+      Tables(s, dir).lineitem.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+    }),
+
+    // E3 — rollup with grouping-set id so null group keys are
+    // distinguishable from genuine nulls on both sides.
+    "q_agg_rollup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.join(t.nation, col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(Scalars.dec(col("c_acctbal"))).cast("double").as("total_acctbal"))
+    }),
+
+    // E4 — deterministic dedup: survivor fixed by explicit tie-break,
+    // not partition order (contrast dropDuplicates).
+    "q_dedup" -> ((s, dir) => {
+      // Tie-break must be a TOTAL order: the synthetic lineitem has
+      // duplicate (l_orderkey, l_linenumber) pairs, so linenumber alone
+      // leaves the survivor partition-order-dependent.
+      Aggregates.dedupKeepFirst(Tables(s, dir).lineitem,
+        Seq("l_orderkey"),
+        Seq(col("l_linenumber").asc, col("l_partkey").asc, col("l_suppkey").asc, col("l_quantity").asc))
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+    }),
+
+    // F1 — ranking trio over a per-nation account-balance order.
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables(s, dir).customer
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          row_number().over(w).cast("bigint").as("rn"),
+          rank().over(w).cast("bigint").as("rk"),
+          dense_rank().over(w).cast("bigint").as("drk"))
+    }),
+
+    // F2 — lag delta per user over event time (counter-delta shape: the
+    // Zabbix counters of the reference's domain are cumulative).
+    "q_window_lag_delta" -> ((s, dir) => {
+      Aggregates.lagDelta(Tables(s, dir).events.select("user_id", "event_id", "ts", "value"),
+        "user_id", Seq(col("ts").asc, col("event_id").asc), "value", "delta")
+        .select("user_id", "event_id", "value", "delta")
+    }),
+
+    // F3 — moving frame aggregate; decimal-exact inside the frame so
+    // Spark's recompute-per-frame and DuckDB's segment tree agree.
+    "q_window_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc).rowsBetween(-2, 0)
+      Tables(s, dir).events
+        .select(col("user_id"), col("event_id"),
+          sum(Scalars.dec(col("value"))).over(w).cast("double").as("moving_sum"),
+          count(lit(1)).over(w).as("n_in_frame"))
+    }),
+
+    // F4 — top-k per group via row_number filter.
+    "q_topk_per_group" -> ((s, dir) => {
+      Aggregates.topKPerGroup(Tables(s, dir).orders, Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn").cast("bigint").as("rn"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+                count(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_agg_rollup" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n_customers,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY ROLLUP (n_name, c_mktsegment)""",
+    "q_dedup" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM
+           (SELECT l_orderkey, l_linenumber, l_partkey,
+                   row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS rn
+            FROM lineitem)
+         WHERE rn = 1""",
+    "q_window_rank" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+                row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
+         FROM customer
+         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)""",
+    "q_window_lag_delta" ->
+      """SELECT user_id, event_id, value,
+                value - lag(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS delta
+         FROM events""",
+    "q_window_moving_avg" ->
+      """SELECT user_id, event_id,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS moving_sum,
+                count(*) OVER w AS n_in_frame
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM
+           (SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders)
+         WHERE rn <= 3"""
+  )
+}

@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Relational, Scalars}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Demo queries + DuckDB oracles for SURVEY.md §2.B (filters/projections),
+  * §2.C (joins), §2.G (sort/limit/set ops).
+  *
+  * Oracle-parity rules (SURVEY §7.3): aggregated doubles go through exact
+  * decimal sums then cast back to double; output columns are aliased
+  * identically on both sides; every top-k has a total tie-break order.
+  */
+object QRelational {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // B1 — projection by name; pruning reaches the parquet scan.
+    "q_project" -> ((s, dir) => {
+      Relational.project(Tables(s, dir).orders, Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+    }),
+
+    // B3/A1 — half-open time-range scan (the JDBC pushdown-subquery
+    // semantics of `Ingestion Data (MySQL).py:156-169`, on parquet:
+    // PushedFilters + row-group pruning).
+    "q_incremental_range_scan" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+      Relational.rangeScan(li, "l_shipdate", lit("1995-01-01").cast("timestamp_ntz"), lit("1995-04-01").cast("timestamp_ntz"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+    }),
+
+    // B4 — LIKE / NOT LIKE / IN / <> pattern predicates
+    // (`Processing Data.py:175-180`).
+    "q_filter_like_in" -> ((s, dir) => {
+      Tables(s, dir).part
+        .filter(col("p_type").like("S%") && !col("p_name").like("blue%")
+          && col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+          && col("p_type") =!= "STANDARD")
+        .select("p_partkey", "p_name", "p_brand", "p_type")
+    }),
+
+    // B6/C4 — allowlist semi-join (`Ingestion Data (XML).py:128`),
+    // broadcast so the fact side never shuffles.
+    "q_semi_join_allowlist" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val allow = t.part.filter(col("p_size") < 5).select("p_partkey")
+      Relational.semiJoinAllowlist(t.lineitem, allow, "l_partkey", "p_partkey")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    }),
+
+    // B8 — count action as a one-row frame.
+    "q_count" -> ((s, dir) => {
+      Tables(s, dir).lineitem.agg(count(lit(1)).as("n_rows"))
+    }),
+
+    // B9/G1/G2 — global top-k (TakeOrderedAndProject: no global sort
+    // shuffle; k rows per partition merged on the driver).
+    "q_sort_limit" -> ((s, dir) => {
+      Relational.topK(Tables(s, dir).orders, 10, col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_totalprice")
+    }),
+
+    // A9 — high-watermark / max-partition discovery
+    // (`Ingestion Data (MySQL).py:23-31`) as an aggregate, not
+    // SHOW PARTITIONS + collect.
+    "q_max_partition" -> ((s, dir) => {
+      Tables(s, dir).orders.agg(max(Scalars.dsOf(col("o_orderdate"))).as("max_ds"))
+    }),
+
+    // C1 — multi-way inner equi-join with residual predicates
+    // (`Processing Data.py:173-182`). Dims broadcast; fact unshuffled.
+    "q_join_inner_multi" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val enriched = Relational.enrichJoin(
+        t.orders,
+        Seq(
+          (t.customer, col("o_custkey") === col("c_custkey")),
+          (t.nation, col("c_nationkey") === col("n_nationkey")),
+          (t.region, col("n_regionkey") === col("r_regionkey"))))
+      enriched
+        .filter(col("r_name").isin("ASIA", "EUROPE") && col("o_orderstatus") =!= "F"
+          && col("c_mktsegment").like("B%"))
+        .select("o_orderkey", "c_custkey", "n_name", "r_name", "o_totalprice")
+    }),
+
+    // C2 — the reference's in/out pivot via full-outer join USING
+    // (`Processing Data.py:190-207`), returnflag A/R standing in for
+    // net.if in/out.
+    "q_pivot_full_join" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_partkey"), col("l_returnflag"), Scalars.dec(col("l_quantity")).as("qty"))
+      Relational.pivotFullJoin(li, Seq("l_partkey"), "l_returnflag", "A", "R", "qty", "qty_a", "qty_r")
+        .select(col("l_partkey"),
+          col("qty_a").cast("double").as("qty_a"),
+          col("qty_r").cast("double").as("qty_r"),
+          (coalesce(col("qty_a"), lit(0)) + coalesce(col("qty_r"), lit(0))).cast("double").as("qty_total"))
+    }),
+
+    // C3 — explicit cross join (`crossJoin.enabled` in every reference
+    // session, e.g. `Ingestion Data (XML).py:20`).
+    "q_cross_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.region.select("r_name").crossJoin(t.nation.select("n_name"))
+    }),
+
+    // C5 — left outer join + null-aware aggregate.
+    "q_outer_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          sum(Scalars.dec(col("o_totalprice"))).cast("double").as("total_spent"))
+    }),
+
+    // C5 — anti join: customers with no orders.
+    "q_anti_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Relational.antiJoin(t.customer, t.orders, col("c_custkey") === col("o_custkey"))
+        .select("c_custkey", "c_name")
+    }),
+
+    // G3 — UNION / INTERSECT / EXCEPT, tagged into one result.
+    "q_set_ops" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val cn = t.customer.select(col("c_nationkey").as("nationkey"))
+      val sn = t.supplier.select(col("s_nationkey").as("nationkey"))
+      Relational.unionAll(cn, sn).distinct().withColumn("op", lit("union"))
+        .unionByName(Relational.intersect(cn, sn).withColumn("op", lit("intersect")))
+        .unionByName(Relational.except(cn, sn).withColumn("op", lit("except")))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_project" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders",
+    "q_incremental_range_scan" ->
+      """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01'""",
+    "q_filter_like_in" ->
+      """SELECT p_partkey, p_name, p_brand, p_type FROM part
+         WHERE p_type LIKE 'S%' AND p_name NOT LIKE 'blue%'
+           AND p_brand IN ('Brand#1','Brand#2','Brand#3') AND p_type <> 'STANDARD'""",
+    "q_semi_join_allowlist" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+         WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 5)""",
+    "q_count" ->
+      "SELECT count(*) AS n_rows FROM lineitem",
+    "q_sort_limit" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q_max_partition" ->
+      "SELECT max(strftime(o_orderdate, '%Y%m%d')) AS max_ds FROM orders",
+    "q_join_inner_multi" ->
+      """SELECT o_orderkey, c_custkey, n_name, r_name, o_totalprice
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name IN ('ASIA','EUROPE') AND o_orderstatus <> 'F' AND c_mktsegment LIKE 'B%'""",
+    "q_pivot_full_join" ->
+      """SELECT COALESCE(a.l_partkey, r.l_partkey) AS l_partkey,
+                CAST(a.qty AS DOUBLE) AS qty_a,
+                CAST(r.qty AS DOUBLE) AS qty_r,
+                CAST(COALESCE(a.qty, 0) + COALESCE(r.qty, 0) AS DOUBLE) AS qty_total
+         FROM (SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+               FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_partkey) a
+         FULL OUTER JOIN
+              (SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+               FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey) r
+         ON a.l_partkey = r.l_partkey""",
+    "q_cross_join" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "q_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q_set_ops" ->
+      """SELECT nationkey, 'union' AS op FROM
+           (SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier)
+         UNION ALL
+         SELECT nationkey, 'intersect' AS op FROM
+           (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+         UNION ALL
+         SELECT nationkey, 'except' AS op FROM
+           (SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier)"""
+  )
+}
