@@ -21,6 +21,10 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // ds partition values are strings by data-model contract (SURVEY
+    // §1.1); without this, reading a ds=19950101 directory turns the
+    // column into an int.
+    .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.ui.enabled", "false")
 

@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.Tables
+import graft.io.{PartitionedWriter, Sources}
+import graft.ops.Scalars
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Demo queries + oracles for SURVEY.md §2.A sources/sinks. These
+  * queries exercise real round-trips (CSV out/in, partitioned parquet
+  * out/in) under `target/tmp`, then produce a deterministic result the
+  * DuckDB oracle can state directly over the source tables.
+  */
+object QIo {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Scratch dir per (query, sf) so Verify/Bench runs don't collide. */
+  private def scratch(name: String, dir: String): String =
+    s"target/tmp/${name}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+
+  val queries: Map[String, Q] = Map(
+    // A2/A3/A4 — CSV ingest with explicit schema: a deterministic
+    // orders slice goes out as CSV (the XML API's response format,
+    // `Ingestion Data (XML).py:121-127`) and comes back through
+    // Sources.csvWithSchema — no inference anywhere.
+    "q_csv_ingest" -> ((s, dir) => {
+      val path = scratch("q_csv_ingest", dir)
+      Tables(s, dir).orders
+        .filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("order_ts"))
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(path)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+        StructField("order_ts", StringType)))
+      Sources.csvWithSchema(s, path, schema)
+    }),
+
+    // A6/A8/A10 — ds-partitioned parquet sink with dynamic partition
+    // overwrite + size-adaptive compaction, then read back and
+    // summarize per partition. Proves write->read row conservation and
+    // that ds survives as the physical partition key.
+    "q_sink_partitioned_write" -> ((s, dir) => {
+      val path = scratch("q_sink_partitioned_write", dir)
+      val stamped = Tables(s, dir).orders
+        .withColumn("ds", Scalars.dsOf(col("o_orderdate")))
+      PartitionedWriter.writePartitioned(stamped, path)
+      s.read.parquet(path)
+        .groupBy(col("ds"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(Scalars.dec(col("o_totalprice"))).cast("double").as("total"))
+    }),
+
+    // A9 — watermark over the partitioned dataset written above (falls
+    // back to writing it if Verify ordering ever changes).
+    "q_max_partition_path" -> ((s, dir) => {
+      val path = scratch("q_sink_partitioned_write", dir)
+      if (!new java.io.File(path).exists()) {
+        val stamped = Tables(s, dir).orders.withColumn("ds", Scalars.dsOf(col("o_orderdate")))
+        PartitionedWriter.writePartitioned(stamped, path)
+      }
+      val maxDs = PartitionedWriter.maxPartition(s, path).orNull
+      import s.implicits._
+      Seq(maxDs).toDF("max_ds")
+    }),
+
+    // A10 — compaction sizing visible as an output contract: row count
+    // is conserved and file count is positive; file count itself is a
+    // physical detail, so no oracle (rows-only check).
+    "q_repartition_compact" -> ((s, dir) => {
+      val path = scratch("q_repartition_compact", dir)
+      PartitionedWriter.sizeAdaptive(Tables(s, dir).lineitem)
+        .write.mode("overwrite").parquet(path)
+      val files = new java.io.File(path).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      val rows = s.read.parquet(path).count()
+      import s.implicits._
+      Seq((rows, files.toLong)).toDF("n_rows", "n_files")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_csv_ingest" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts
+         FROM orders WHERE o_orderkey < 500""",
+    "q_sink_partitioned_write" ->
+      """SELECT strftime(o_orderdate, '%Y%m%d') AS ds, count(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY 1""",
+    "q_max_partition_path" ->
+      "SELECT max(strftime(o_orderdate, '%Y%m%d')) AS max_ds FROM orders"
+    // q_repartition_compact: physical-layout op -> rows-only check (SURVEY §7.3)
+  )
+}

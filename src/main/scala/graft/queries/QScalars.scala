@@ -1,0 +1,260 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Scalars
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Demo queries + DuckDB oracles for SURVEY.md §2.D (scalar functions)
+  * and §2.H/H3 (generator/tokenize).
+  *
+  * Date/number hygiene: Java patterns on the Spark side map to strftime
+  * on the DuckDB side; `round` is only applied to computed irrationals
+  * (sqrt/pow results) where a decimal-boundary tie cannot occur —
+  * rounding a 2-decimal price at .5 boundaries differs between Spark
+  * (string-based HALF_UP) and DuckDB (binary) and is avoided.
+  */
+object QScalars {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // D1 — regexp_extract, both group positions, plus the reference's
+    // parenthesized-description shape (`Processing Data.py:156`) built
+    // over part columns.
+    "q_regexp_extract" -> ((s, dir) => {
+      Tables(s, dir).orders
+        .select(col("o_orderkey"),
+          regexp_extract(col("o_orderpriority"), "^([0-9]+)-(.*)$", 1).as("prio_num"),
+          regexp_extract(col("o_orderpriority"), "^([0-9]+)-(.*)$", 2).as("prio_name"))
+    }),
+    "q_regexp_paren" -> ((s, dir) => {
+      Tables(s, dir).part
+        .select(col("p_partkey"),
+          Scalars.extractParenthesized(concat(col("p_name"), lit(" ("), col("p_brand"), lit(")")))
+            .as("description"))
+    }),
+
+    // D2 — substring_index / split_part.
+    "q_substring_index" -> ((s, dir) => {
+      Tables(s, dir).part
+        .select(col("p_partkey"),
+          Scalars.beforeFirst(col("p_name"), " ").as("first_word"),
+          substring_index(col("p_name"), " ", -1).as("last_word"))
+    }),
+
+    // D3 — concat with literal separators (`Processing Data.py:160`).
+    "q_concat" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.nation.join(t.region, col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"),
+          Scalars.dashConcat(col("r_name"), col("n_name")).as("display_key"),
+          concat(col("n_name"), lit("/"), col("r_name")).as("slash_key"))
+    }),
+
+    // D4 — fixed-position date parts of dd-MM-yyyy HH:mm:ss
+    // (`Ingestion Data (XML).py:143-148`).
+    "q_substring_parts" -> ((s, dir) => {
+      val base = Tables(s, dir).orders
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "dd-MM-yyyy HH:mm:ss").as("waktu"))
+      Scalars.datePartsOfDmy(col("waktu"))
+        .foldLeft(base) { case (df, (name, c)) => df.withColumn(name, c) }
+    }),
+
+    // D5 — epoch seconds roundtrip (`Ingestion Data (XML).py:142`,
+    // `Processing Data.py:171`): ts -> epoch -> formatted string.
+    "q_epoch_roundtrip" -> ((s, dir) => {
+      Tables(s, dir).events
+        .select(col("event_id"),
+          expr("ts_ns DIV 1000000000").as("epoch_sec"),
+          from_unixtime(expr("ts_ns DIV 1000000000"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+    }),
+
+    // D6/D8 — date_format dialects + to_date truncation.
+    "q_date_format" -> ((s, dir) => {
+      Tables(s, dir).orders
+        .select(col("o_orderkey"),
+          Scalars.dsOf(col("o_orderdate")).as("ds"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"))
+    }),
+
+    // D7 — to_timestamp parse of an ISO string (exotic ctime patterns
+    // stay in unit tests per SURVEY §7.5/1).
+    "q_to_timestamp" -> ((s, dir) => {
+      Tables(s, dir).orders
+        .select(col("o_orderkey"),
+          date_format(
+            to_timestamp(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd HH:mm:ss"),
+            "yyyy-MM-dd HH:mm:ss").as("roundtrip"))
+    }),
+
+    // D9 — the +7h UTC->WIB shift (`Processing Data.py:209`).
+    "q_interval_shift" -> ((s, dir) => {
+      Tables(s, dir).orders
+        .select(col("o_orderkey"),
+          date_format(Scalars.shiftToWib(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("waktu_wib"))
+    }),
+
+    // D10 — Decimal(20,0) uint64-safe cast (`Ingestion Data
+    // (MySQL).py:171`); output as bigint for stable cross-engine compare.
+    "q_cast_decimal" -> ((s, dir) => {
+      Tables(s, dir).orders
+        .select(col("o_orderkey"),
+          Scalars.asCounter(col("o_totalprice") * 100).cast("bigint").as("price_cents"))
+    }),
+
+    // D11 — column arithmetic incl. the reference's epoch+25200
+    // (`Ingestion Data (MySQL).py:173`).
+    "q_arith" -> ((s, dir) => {
+      Tables(s, dir).events
+        .select(col("event_id"),
+          (expr("ts_ns DIV 1000000000") + lit(25200L)).as("epoch_wib"),
+          (col("value") * lit(2) - lit(1)).as("scaled"))
+    }),
+
+    // D13 — math functions; round only on irrational results where
+    // decimal-tie boundaries cannot occur.
+    "q_math_funcs" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          abs(col("l_quantity") - lit(25)).as("abs_dev"),
+          ceil(col("l_extendedprice")).cast("double").as("price_ceil"),
+          floor(col("l_extendedprice")).cast("double").as("price_floor"),
+          round(sqrt(col("l_quantity")), 4).as("qty_sqrt"),
+          round(pow(col("l_discount") + lit(1), 2), 6).as("disc_pow"))
+    }),
+
+    // D13 — string functions.
+    "q_string_funcs" -> ((s, dir) => {
+      Tables(s, dir).part
+        .select(col("p_partkey"),
+          lower(col("p_type")).as("type_lower"),
+          upper(col("p_name")).as("name_upper"),
+          trim(lit("  padded  ")).as("trimmed"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"),
+          length(col("p_name")).cast("bigint").as("name_len"),
+          regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+          size(split(col("p_name"), " ")).cast("bigint").as("n_words"))
+    }),
+
+    // D14 — JSON access on events.props (north-star text analysis).
+    "q_json_extract" -> ((s, dir) => {
+      Tables(s, dir).events
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k_value"))
+    }),
+
+    // D15 — array/higher-order functions over embeddings.embedding.
+    // Floats widen to double (exact) before any arithmetic; the sum is
+    // an exact decimal fold so partition order cannot matter.
+    "q_array_funcs" -> ((s, dir) => {
+      Tables(s, dir).embeddings
+        .select(col("vec_id"),
+          size(col("embedding")).cast("bigint").as("dims"),
+          element_at(col("embedding"), 1).cast("double").as("first_elem"),
+          // Sequential double fold in array order: bit-identical to
+          // DuckDB's list_sum (also a sequential fold — verified), and
+          // deterministic because array order is fixed. Decimal-exact
+          // summing is only needed when partition order varies (groupBy).
+          aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double")).as("elem_sum"))
+    }),
+
+    // H3 — tokenize via generator (explode(split)): the engine's only
+    // "UDTF" need, satisfied by a built-in Generator.
+    "q_tokenize_explode" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_regexp_extract" ->
+      """SELECT o_orderkey,
+                regexp_extract(o_orderpriority, '^([0-9]+)-(.*)$', 1) AS prio_num,
+                regexp_extract(o_orderpriority, '^([0-9]+)-(.*)$', 2) AS prio_name
+         FROM orders""",
+    "q_regexp_paren" ->
+      """SELECT p_partkey,
+                regexp_extract(p_name || ' (' || p_brand || ')', '^[^(]*\(([^)]*)\).*$', 1) AS description
+         FROM part""",
+    "q_substring_index" ->
+      """SELECT p_partkey, split_part(p_name, ' ', 1) AS first_word,
+                split_part(p_name, ' ', -1) AS last_word
+         FROM part""",
+    "q_concat" ->
+      """SELECT n_nationkey, concat_ws(' - ', r_name, n_name) AS display_key,
+                n_name || '/' || r_name AS slash_key
+         FROM nation JOIN region ON n_regionkey = r_regionkey""",
+    "q_substring_parts" ->
+      """SELECT o_orderkey, waktu,
+                substring(waktu, 1, 10) AS waktu_string,
+                substring(waktu, 7, 4) AS tahun,
+                substring(waktu, 4, 2) AS bulan,
+                substring(waktu, 1, 2) AS tanggal,
+                substring(waktu, 12, 2) AS jam,
+                substring(waktu, 15, 2) AS menit
+         FROM (SELECT o_orderkey, strftime(o_orderdate, '%d-%m-%Y %H:%M:%S') AS waktu FROM orders)""",
+    "q_epoch_roundtrip" ->
+      """SELECT event_id,
+                CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec,
+                strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS ts_str
+         FROM events""",
+    "q_date_format" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y%m%d') AS ds,
+                strftime(o_orderdate, '%Y-%m') AS order_month,
+                strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+         FROM orders""",
+    "q_to_timestamp" ->
+      """SELECT o_orderkey,
+                strftime(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S'),
+                         '%Y-%m-%d %H:%M:%S') AS roundtrip
+         FROM orders""",
+    "q_interval_shift" ->
+      """SELECT o_orderkey,
+                strftime(o_orderdate + INTERVAL 7 HOUR, '%Y-%m-%d %H:%M:%S') AS waktu_wib
+         FROM orders""",
+    "q_cast_decimal" ->
+      """SELECT o_orderkey,
+                CAST(CAST(o_totalprice * 100 AS DECIMAL(20,0)) AS BIGINT) AS price_cents
+         FROM orders""",
+    "q_arith" ->
+      """SELECT event_id,
+                CAST(floor(epoch(ts)) AS BIGINT) + 25200 AS epoch_wib,
+                value * 2 - 1 AS scaled
+         FROM events""",
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+                abs(l_quantity - 25) AS abs_dev,
+                CAST(ceil(l_extendedprice) AS DOUBLE) AS price_ceil,
+                CAST(floor(l_extendedprice) AS DOUBLE) AS price_floor,
+                round(sqrt(l_quantity), 4) AS qty_sqrt,
+                round(pow(l_discount + 1, 2), 6) AS disc_pow
+         FROM lineitem""",
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+                lower(p_type) AS type_lower,
+                upper(p_name) AS name_upper,
+                trim('  padded  ') AS trimmed,
+                lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+                length(p_name) AS name_len,
+                replace(p_name, ' ', '_') AS name_snake,
+                CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words
+         FROM part""",
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+         FROM events""",
+    "q_array_funcs" ->
+      """SELECT vec_id,
+                CAST(len(embedding) AS BIGINT) AS dims,
+                CAST(embedding[1] AS DOUBLE) AS first_elem,
+                list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS elem_sum
+         FROM embeddings""",
+    "q_tokenize_explode" ->
+      """SELECT token, count(*) AS n FROM
+           (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         GROUP BY token"""
+  )
+}

@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Scalars, Timeseries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Demo queries + DuckDB oracles for SURVEY.md §2.I — batch-equivalent
+  * forms of the streaming windows so the oracle applies; streaming twins
+  * over the same plans live in [[graft.streaming]].
+  *
+  * Window starts are emitted as formatted strings; Spark's epoch-aligned
+  * window origin and DuckDB's time_bucket origin (2000-01-01, itself a
+  * 300 s multiple) produce identical 5-minute boundaries.
+  */
+object QTimeseries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  val queries: Map[String, Q] = Map(
+    // I1 — tumbling 5-minute counts + exact sums per event_type.
+    "q_window_tumbling" -> ((s, dir) => {
+      Timeseries.tumbling(Tables(s, dir).events, col("ts"), "5 minutes",
+        Seq(col("event_type")),
+        Seq(count(lit(1)).as("n"), sum(Scalars.dec(col("value"))).cast("double").as("total")))
+        .select(date_format(col("window.start"), fmt).as("window_start"), col("event_type"), col("n"), col("total"))
+    }),
+
+    // I2 — sliding 10-minute window every 5 minutes.
+    "q_window_sliding" -> ((s, dir) => {
+      Timeseries.sliding(Tables(s, dir).events, col("ts"), "10 minutes", "5 minutes",
+        Seq(col("event_type")),
+        Seq(count(lit(1)).as("n")))
+        .select(date_format(col("window.start"), fmt).as("window_start"), col("event_type"), col("n"))
+    }),
+
+    // I3 — 30-minute-gap session windows per user.
+    "q_window_session" -> ((s, dir) => {
+      Timeseries.sessionized(Tables(s, dir).events, col("ts"), "30 minutes",
+        Seq(col("user_id")),
+        Seq(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event")))
+        .select(col("user_id"), date_format(col("session_window.start"), fmt).as("session_start"),
+          col("n_events"), col("first_event"))
+    }),
+
+    // I4 — watermark as a batch filter: rows within 1 h of max(ts).
+    // Exact nanosecond arithmetic (no double epoch maths).
+    "q_watermark_filter" -> ((s, dir) => {
+      Timeseries.watermarkFilter(Tables(s, dir).events, col("ts_ns"), 3600L * 1000000000L)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_window_tumbling" ->
+      """SELECT strftime(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+                event_type, count(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM events GROUP BY 1, 2""",
+    "q_window_sliding" ->
+      """WITH buckets AS (
+           SELECT event_type, time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS b FROM events
+           UNION ALL
+           SELECT event_type, time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL 5 MINUTE FROM events)
+         SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, count(*) AS n
+         FROM buckets GROUP BY 1, 2""",
+    "q_window_session" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts,
+                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            >= INTERVAL 30 MINUTE OR
+                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events),
+         sessions AS (
+           SELECT user_id, event_id, ts,
+                  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM flagged)
+         SELECT user_id,
+                strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS session_start,
+                count(*) AS n_events, min(event_id) AS first_event
+         FROM sessions GROUP BY user_id, session_id""",
+    "q_watermark_filter" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR"""
+  )
+}
