@@ -55,11 +55,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QRelational.queries ++ QAggregates.queries ++ QScalars.queries ++
-      QTimeseries.queries ++ QIo.queries
+      QTimeseries.queries ++ QIo.queries ++ QText.queries ++
+      QSimilarity.queries ++ QMultimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     QRelational.oracles ++ QAggregates.oracles ++ QScalars.oracles ++
-      QTimeseries.oracles ++ QIo.oracles
+      QTimeseries.oracles ++ QIo.oracles ++ QText.oracles ++
+      QSimilarity.oracles ++ QMultimodal.oracles
 }

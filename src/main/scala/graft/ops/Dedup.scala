@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines — SURVEY.md §2.J:
+  * exact (content hash), MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design:
+  *  - Exact dedup is one hash-shuffle on the 32-hex digest — the text
+  *    itself never shuffles.
+  *  - MinHash/LSH turns all-pairs similarity (quadratic) into a
+  *    band-bucket equi-join: only documents sharing a band signature
+  *    ever meet, so the join key distribution — not the corpus size —
+  *    bounds the work. This is the 100 TB path.
+  *  - SimHash reduces each document to one 32-bit fingerprint; near-dup
+  *    candidates come from fingerprint-band buckets, hamming-checked.
+  *  - n-gram Jaccard is exact but restricted to candidate pairs that
+  *    share at least one shingle (inverted-index join), never a cross
+  *    product.
+  *
+  * All hashing is md5-based so the DuckDB oracle reproduces results.
+  */
+object Dedup {
+
+  /** J1 — exact dedup by content digest: one survivor (min of `idCol`)
+    * per distinct text, with the duplicate count.
+    */
+  def exactByHash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct word n-gram shingles per document: (id, shingle) pairs.
+    * `sequence(1, size-n+1)` + `slice` builds the shingle list inside
+    * one codegen'd expression; explode is the only row expansion.
+    */
+  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val words = split(col(textCol), " ")
+    df.select(col(idCol),
+      explode(array_distinct(
+        transform(sequence(lit(1), greatest(size(words) - (n - 1), lit(1))),
+          i => concat_ws(" ", slice(words, i, lit(n)))))).as("shingle"))
+  }
+
+  /** MinHash signature: for each of `seeds` hash families, the minimum
+    * md5 of (seed || '|' || shingle). Output: one row per id with
+    * columns mh0..mh{k-1}. Lexicographic min over hex strings is a
+    * valid uniform min-hash (md5 is uniform over hex strings).
+    */
+  def minhashSignature(shingled: DataFrame, idCol: String, seeds: Int): DataFrame = {
+    val perSeed = (0 until seeds).map(sd =>
+      min(md5(concat(lit(sd.toString), lit("|"), col("shingle")))).as(s"mh$sd"))
+    shingled.groupBy(col(idCol)).agg(perSeed.head, perSeed.tail: _*)
+  }
+
+  /** MinHash+LSH candidate pairs: signatures banded `bands` × `rowsPerBand`;
+    * documents sharing any band bucket pair up (id_a < id_b). The
+    * band-bucket join is an equi-join on the band digest — shuffle on
+    * digest, never all-pairs.
+    */
+  def minhashCandidates(sig: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
+      sig.select(col(idCol),
+        lit(b).as("band"),
+        md5(concat_ws("|", cols: _*)).as("bucket"))
+    }.reduce(_ unionAll _)
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** SimHash fingerprint over `bits` bits (each bit j: sign of the sum
+    * of ±1 votes from every token whose md5-int has bit j set). One
+    * aggregate fold per document — no explode, no shuffle.
+    */
+  def simhash(text: Column, bits: Int): Column = {
+    val toks = Text.tokens(text)
+    (0 until bits).map { j =>
+      val vote = aggregate(toks, lit(0L),
+        (acc, w) => acc + when(shiftright(Text.md5Int(w), j) % 2 === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L) * (1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("bigint")
+
+  /** n-gram Jaccard similarity over candidate pairs sharing >= 1
+    * shingle (inverted-index self-join). `jaccard = |A∩B| / (|A|+|B|-|A∩B|)`
+    * computed from exact integer counts. The threshold filter uses an
+    * integer cross-multiplication so no float boundary is involved.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
+      thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    val sh = shingles(df, textCol, idCol, n).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("n_sh", "n_a"), col("id_a") === sizes(idCol)).drop(idCol)
+      .join(sizes.withColumnRenamed("n_sh", "n_b"), col("id_b") === sizes(idCol)).drop(idCol)
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .filter(col("n_inter") * thresholdDen >= col("n_union") * thresholdNum)
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") / col("n_union").cast("double")).as("jaccard"))
+  }
+}

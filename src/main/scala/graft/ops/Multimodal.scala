@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing — SURVEY.md north star J4.
+  *
+  * Design: image/audio/video travel as opaque `binary` columns with
+  * typed metadata alongside. The Spark-side machinery (schemas,
+  * batched partition processing, metadata extraction expressions) is
+  * real and tested; the actual codec calls are STUBBED (this container
+  * has no image/audio libraries) behind [[DecoderStub]] — a
+  * deterministic fake keyed on content hash, so tests have stable
+  * expectations. Swap [[DecoderStub.decode]] for a real codec (e.g.
+  * JNI/ffmpeg) without touching any plumbing.
+  *
+  * Scale notes: binary payloads make rows wide — partition sizing must
+  * come from `spark.sql.files.maxPartitionBytes`, not row counts, and
+  * the batched `mapPartitions` path amortizes per-batch codec setup
+  * exactly the way a Python `mapInPandas` batch would.
+  */
+object Multimodal {
+
+  /** Typed record for a media row: payload + extracted metadata. */
+  final case class MediaRecord(media_id: Long, bytes: Array[Byte])
+  final case class DecodedMeta(media_id: Long, byte_len: Long, width: Int, height: Int, ok: Boolean)
+
+  /** Columnar (codegen'd) metadata extraction — no UDF: byte length and
+    * a deterministic content-hash-derived fake width/height standing in
+    * for a real header parse.
+    */
+  def byteLen(bytes: Column): Column = octet_length(bytes).cast("bigint")
+  def fakeWidth(bytes: Column): Column = (Text.md5Int(bytes) % 1920 + 1).cast("int")
+  def fakeHeight(bytes: Column): Column = (Text.md5Int(reverse(bytes)) % 1080 + 1).cast("int")
+
+  /** "Resize"/frame-sample stub at the column level: a prefix slice of
+    * the payload — the real operation would be a codec call; the
+    * dataflow (binary in, smaller binary out) is identical.
+    */
+  def thumbnail(bytes: Column, nBytes: Int): Column = substring(bytes, 1, nBytes)
+
+  /** The codec seam. Deterministic fake: "decodes" dimensions from the
+    * payload hash. A real implementation would parse/decompress here.
+    */
+  object DecoderStub {
+    def decode(payload: Array[Byte]): (Int, Int) = {
+      // ??? real codec goes here; deterministic fake for the harness:
+      val h = java.util.Arrays.hashCode(payload)
+      (math.floorMod(h, 1920) + 1, math.floorMod(h >> 8, 1080) + 1)
+    }
+  }
+
+  /** Batched partition-level decode — the Scala analogue of a Python
+    * `mapInPandas` batch loop: iterate a partition in fixed-size
+    * batches, pay codec setup once per batch, emit typed metadata.
+    */
+  def decodePartitions(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[DecodedMeta] = {
+    implicit val enc: Encoder[DecodedMeta] = Encoders.product[DecodedMeta]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch codec init would happen here
+        batch.iterator.map { r =>
+          val (w, h) = DecoderStub.decode(r.bytes)
+          DecodedMeta(r.media_id, r.bytes.length.toLong, w, h, ok = true)
+        }
+      }
+    }
+  }
+}

@@ -78,4 +78,14 @@ object Scalars {
     */
   def dec(c: Column, precision: Int = 18, scale: Int = 2): Column =
     c.cast(DecimalType(precision, scale))
+
+  /** Fixed-point exact summation of float-derived doubles: scale by
+    * 2^53 (exact for any |x| ≳ 1e-16 double arithmetic — a power-of-two
+    * multiply never rounds) and truncate to long. Unlike a
+    * double→decimal cast, this is bit-identical across engines (no
+    * round-at-scale boundary), so checked aggregates over embedding
+    * elements sum `fxLong` and divide back by [[fxScale]] at the end.
+    */
+  val fxScale: Double = 9007199254740992.0 // 2^53
+  def fxLong(c: Column): Column = (c.cast("double") * fxScale).cast("bigint")
 }

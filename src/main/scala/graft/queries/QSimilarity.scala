@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Scalars, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Demo queries + DuckDB oracles for similarity search over embeddings
+  * (SURVEY.md §2.J J2, E5): brute-force cosine top-k, IVF cluster
+  * assignment, and the element-wise centroid aggregate.
+  *
+  * Determinism: all vector arithmetic is double-widened sequential
+  * folds in array order (bit-identical to DuckDB's list_sum of the
+  * transformed list); cross-row centroid sums use fixed-point 2^53
+  * longs ([[Scalars.fxLong]]) so partition order cannot matter.
+  */
+object QSimilarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** DuckDB-side double dot product of two list columns, sequential. */
+  private def dDot(a: String, b: String) =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  val queries: Map[String, Q] = Map(
+    // J2 — brute-force cosine top-k against the vec_id=0 query vector
+    // (collected once on the driver — a scalar input, broadcast with
+    // the plan; the scan side never shuffles, top-k is TakeOrdered).
+    "q_cosine_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head()
+        .getSeq[Float](0)
+      Similarity.cosineTopK(emb, "embedding", "vec_id", typedlit(q), 10)
+    }),
+
+    // IVF assignment: nearest of 8 seed centroids (vec_id < 8) by
+    // squared L2; broadcast centroids, per-row argmin.
+    "q_ivf_assign" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.ivfAssign(emb.select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", centroids, "cvec", "cid")
+    }),
+
+    // E5 — per-label centroid, exploded to (label, dim, value) rows;
+    // fixed-point longs make the cross-row sum exact.
+    "q_vector_centroid" -> ((s, dir) => {
+      Tables(s, dir).embeddings
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim").cast("bigint").as("dim"))
+        .agg((sum(Scalars.fxLong(col("v"))).cast("double") / lit(Scalars.fxScale) / count(lit(1)))
+          .as("centroid"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+          SELECT vec_id,
+                 ${dDot("embedding", "qe")} /
+                 (sqrt(${dDot("embedding", "embedding")}) * sqrt(${dDot("qe", "qe")})) AS cos_sim
+          FROM embeddings, q
+          ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
+    "q_ivf_assign" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+          dists AS (
+            SELECT e.vec_id, c.cid,
+                   list_sum(list_transform(range(1, len(e.embedding) + 1),
+                     i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                        * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))) AS dist2
+            FROM embeddings e CROSS JOIN c),
+          ranked AS (
+            SELECT vec_id, cid, dist2,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+            FROM dists)
+          SELECT vec_id, cid AS cluster_id, dist2 FROM ranked WHERE rn = 1""",
+    "q_vector_centroid" ->
+      """SELECT label, CAST(u['dim'] AS BIGINT) AS dim,
+                CAST(CAST(sum(CAST(CAST(u['v'] AS DOUBLE) * 9007199254740992 AS BIGINT)) AS DOUBLE)
+                  / 9007199254740992 / count(*) AS DOUBLE) AS centroid
+         FROM (SELECT label,
+                      unnest(list_transform(range(1, len(embedding) + 1),
+                             i -> struct_pack(dim := i - 1, v := embedding[i]))) AS u
+               FROM embeddings)
+         GROUP BY label, dim"""
+  )
+}

@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Dedup, Scalars, Text}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Demo queries + DuckDB oracles for the text-analysis and dedup family
+  * (SURVEY.md §2.J + north-star extras): exact hash dedup, MinHash+LSH,
+  * SimHash, n-gram Jaccard, language-ID, quality scoring, token
+  * counting, document fingerprinting.
+  *
+  * Hash parity: md5 hex is identical in Spark and DuckDB; 32-bit word
+  * hashes are md5-prefix parses (`conv(...,16,10)` vs `CAST('0x…')`).
+  */
+object QText {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val mdInt = "CAST('0x' || substring(md5(%s), 1, 8) AS BIGINT)"
+
+  val queries: Map[String, Q] = Map(
+    // J1 — exact dedup on content digest.
+    "q_dedup_text" -> ((s, dir) => {
+      Dedup.exactByHash(Tables(s, dir).documents, "text", "doc_id")
+    }),
+
+    // J3 — corpus stats per language.
+    "q_text_stats" -> ((s, dir) => {
+      Tables(s, dir).documents.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(size(Text.tokens(col("text"))).cast("bigint")).as("total_words"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+    }),
+
+    // Language-ID heuristic: function-word ratio (n-gram-profile
+    // scoring, the classic fastText-free approach).
+    "q_lang_id" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"),
+          Text.stopwordRatio(col("text")).as("en_score"))
+        .withColumn("predicted",
+          when(col("en_score") >= 0.05, lit("en_like")).otherwise(lit("other")))
+    }),
+
+    // Quality scoring: length/punct/stopword features in one scan.
+    "q_quality_score" -> ((s, dir) => {
+      Text.qualityFeatures(col("text"))
+        .foldLeft(Tables(s, dir).documents.select(col("doc_id"), col("text"))) {
+          case (df, (name, c)) => df.withColumn(name, c)
+        }.drop("text")
+    }),
+
+    // Token counting: whitespace + BPE-ish regex tokens.
+    "q_token_count" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          size(Text.tokens(col("text"))).cast("bigint").as("ws_tokens"),
+          Text.bpeishCount(col("text")).as("bpeish_tokens"),
+          (length(col("text")).cast("double") / Text.bpeishCount(col("text"))).as("chars_per_token"))
+    }),
+
+    // Rolling-hash document fingerprint.
+    "q_doc_fingerprint" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))
+    }),
+
+    // MinHash+LSH near-dup candidates: 8 hash families, 8 bands of 1
+    // (candidate = any shared minhash) — the scale path where only
+    // band-bucket collisions ever join.
+    "q_minhash_dedup" -> ((s, dir) => {
+      val sh = Dedup.shingles(Tables(s, dir).documents, "text", "doc_id", 3)
+      val sig = Dedup.minhashSignature(sh, "doc_id", 8)
+      Dedup.minhashCandidates(sig, "doc_id", bands = 8, rowsPerBand = 1)
+    }),
+
+    // SimHash 16-bit fingerprints (near-dup bucketing key).
+    "q_simhash" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash"))
+    }),
+
+    // Exact n-gram Jaccard over inverted-index candidate pairs,
+    // threshold 1/5 as an integer cross-multiplication.
+    "q_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables(s, dir).documents, "text", "doc_id", 3, 1, 5)
+    })
+  )
+
+  private val shingleCte =
+    """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh AS (SELECT DISTINCT doc_id, shingle FROM (
+         SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                                      i -> array_to_string(w[i:i+2], ' '))) AS shingle
+         FROM words))"""
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_text" ->
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY 1""",
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+                CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+         FROM documents GROUP BY lang""",
+    "q_lang_id" ->
+      """SELECT doc_id, lang, en_score,
+                CASE WHEN en_score >= 0.05 THEN 'en_like' ELSE 'other' END AS predicted
+         FROM (SELECT doc_id, lang,
+                      CAST(len(list_filter(string_split(text, ' '),
+                               t -> list_contains(['the','a','of','and','to','in','is','for'], t))) AS DOUBLE)
+                      / len(string_split(text, ' ')) AS en_score
+               FROM documents)""",
+    "q_quality_score" ->
+      """SELECT doc_id,
+                length(text) AS n_chars,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS avg_word_len,
+                CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                  / length(text) AS punct_ratio,
+                CAST(len(list_filter(string_split(text, ' '),
+                         t -> list_contains(['the','a','of','and','to','in','is','for'], t))) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS stopword_ratio
+         FROM documents""",
+    "q_token_count" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+                CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens,
+                CAST(length(text) AS DOUBLE)
+                  / len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9\s]')) AS chars_per_token
+         FROM documents""",
+    "q_doc_fingerprint" ->
+      s"""SELECT doc_id,
+                 list_reduce([CAST(0 AS BIGINT)] ||
+                   list_transform(string_split(text, ' '),
+                                  w -> ${mdInt.format("w")}),
+                   (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+          FROM documents""",
+    "q_minhash_dedup" ->
+      s"""WITH $shingleCte,
+          mh AS (SELECT doc_id,
+                        ${(0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")}
+                 FROM sh GROUP BY doc_id),
+          bands AS (${(0 until 8).map(i =>
+            s"SELECT doc_id, $i AS band, md5(mh$i) AS bucket FROM mh").mkString(" UNION ALL ")})
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
+    "q_simhash" ->
+      s"""SELECT doc_id,
+                 ${(0 until 16).map(j =>
+                   s"(CASE WHEN list_sum(list_transform(string_split(text,' '), " +
+                   s"t -> CASE WHEN (${mdInt.format("t")} >> $j) % 2 = 1 THEN 1 ELSE -1 END)) > 0 " +
+                   s"THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS simhash
+          FROM documents""",
+    "q_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+          sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+          inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT id_a, id_b,
+                 CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE n_inter * 5 >= (sa.n_sh + sb.n_sh - n_inter) * 1"""
+  )
+}
