@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{AsOf, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** As-of join + embedding near-dup demos (SURVEY.md §2.C C5 extension,
+  * §2.J J2 scale path).
+  */
+object QAsOf {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dDot(a: String, b: String) =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  val queries: Map[String, Q] = Map(
+    // As-of backward join: each click matched to the user's most recent
+    // purchase at-or-before it. Union-merge plan: one shuffle of L+R.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts_ns"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_event_id"),
+          col("value").as("p_value"), col("ts_ns"))
+      AsOf.asofBackward(clicks, purchases, "user_id", "ts_ns", "ts_ns",
+        Map("p_event_id" -> "purchase_event_id", "p_value" -> "purchase_value"))
+        .select("user_id", "event_id", "purchase_event_id", "purchase_value")
+    }),
+
+    // Embedding near-dup pairs, IVF-bucketed: pairs only form inside a
+    // cluster (the 100 TB path — candidate generation is an equi-join
+    // on cluster_id, never all-pairs), then exact cosine filters.
+    "q_embed_neardup" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val assigned = Similarity.ivfAssign(emb.select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", centroids, "cvec", "cid")
+        .select(col("vec_id"), col("cluster_id"))
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      val a = assigned.select(col("cluster_id"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val b = assigned.select(col("cluster_id"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+      a.join(b, Seq("cluster_id"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos_sim", Similarity.cosine(col("ea"), col("eb")))
+        .filter(col("cos_sim") >= 0.3)
+        .select("cluster_id", "id_a", "id_b", "cos_sim")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """SELECT c.user_id, c.event_id,
+                p.event_id AS purchase_event_id, p.value AS purchase_value
+         FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN (SELECT user_id, event_id, value, ts FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id AND p.ts <= c.ts""",
+    "q_embed_neardup" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+          dists AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   list_sum(list_transform(range(1, len(e.embedding) + 1),
+                     i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                        * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))) AS dist2
+            FROM embeddings e CROSS JOIN c),
+          assigned AS (
+            SELECT vec_id, embedding, cid AS cluster_id FROM (
+              SELECT vec_id, embedding, cid, dist2,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+              FROM dists) WHERE rn = 1),
+          pairs AS (
+            SELECT a.cluster_id, a.vec_id AS id_a, b.vec_id AS id_b,
+                   ${dDot("a.embedding", "b.embedding")} /
+                   (sqrt(${dDot("a.embedding", "a.embedding")}) *
+                    sqrt(${dDot("b.embedding", "b.embedding")})) AS cos_sim
+            FROM assigned a JOIN assigned b
+              ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
+          SELECT cluster_id, id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3"""
+  )
+}
