@@ -25,10 +25,22 @@ object PartitionedWriter {
     * near 128 MiB, estimated from the optimized plan's stats (parquet
     * row-count + size, filter selectivity applied by Catalyst).
     */
+  /** Upper bound on compaction fan-out; 2^20 files of 128 MiB = 128 TiB,
+    * beyond which a single write should be split anyway.
+    */
+  val maxOutputFiles: Int = 1 << 20
+
   def sizeAdaptive(df: DataFrame): DataFrame = {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val n = math.max(1, (bytes / BigInt(targetFileBytes)).toInt + (if (bytes % targetFileBytes > 0) 1 else 0))
-    df.repartition(n)
+    // Sources without stats (e.g. in-memory datasets) report Catalyst's
+    // "unknown" sentinel (defaultSizeInBytes = Long.MaxValue): naively
+    // dividing it asks for billions of partitions. Leave such frames
+    // as-is — AQE coalescing still right-sizes the shuffle side.
+    if (bytes >= BigInt(Long.MaxValue) / 2) df
+    else {
+      val n = ((bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      df.repartition(math.min(math.max(1, n), maxOutputFiles))
+    }
   }
 
   /** A6/A7/A8 — partitioned parquet write. `overwritePartitions=true`

@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.{Dedup, Text}
+import org.apache.spark.sql.functions._
+
+/** Crafted near-duplicate corpora for the dedup family: the synthetic
+  * testdata has no true near-dups, so these tests plant them.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+  private val nearDup = base.replace("today", "tonight") // one token differs
+  private val unrelated = "completely different words about spark query engines and column pruning"
+
+  private def corpus = Seq((1L, base), (2L, nearDup), (3L, unrelated), (4L, base))
+    .toDF("doc_id", "text")
+
+  test("J1: exact dedup keeps min id and counts duplicates") {
+    val got = Dedup.exactByHash(corpus, "text", "doc_id")
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (2L, 1L), (3L, 1L))) // docs 1+4 identical
+  }
+
+  test("minhash+LSH: near-dups collide, unrelated docs do not") {
+    val sh = Dedup.shingles(corpus, "text", "doc_id", 3)
+    val sig = Dedup.minhashSignature(sh, "doc_id", 8)
+    val pairs = Dedup.minhashCandidates(sig, "doc_id", bands = 8, rowsPerBand = 1)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical: all bands collide
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup: some band collides
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("ngram jaccard: identical=1.0, near-dup high, unrelated filtered out") {
+    val got = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 1, 5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    assert(got((1L, 4L)) == 1.0)
+    assert(got((1L, 2L)) > 0.5 && got((1L, 2L)) < 1.0)
+    assert(!got.contains((1L, 3L)))
+  }
+
+  test("simhash: near-dups within small hamming distance, unrelated far") {
+    val fp = corpus.select($"doc_id", Dedup.simhash($"text", 16).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(4L)) // identical text, identical fingerprint
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(2L)) <= 4)
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) >
+      java.lang.Long.bitCount(fp(1L) ^ fp(2L)))
+  }
+
+  test("fingerprint: order-sensitive, whitespace-normal") {
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
+    val fp = df.select($"doc_id", Text.fingerprint($"text").as("f"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(3L))
+    assert(fp(1L) != fp(2L)) // reordering changes a rolling hash
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Unit tests for the scalar/relational operator kit over tiny crafted
+  * frames — the reference-domain shapes from FIXTURES.md §2.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("D1: parenthesized description extraction (PROC:156 semantics)") {
+    val df = Seq("eth0: uplink (WAN Link) active", "no parens here", "(x)").toDF("name")
+    val got = df.select(Scalars.extractParenthesized($"name")).as[String].collect()
+    assert(got.toSeq == Seq("WAN Link", "", "x"))
+  }
+
+  test("D1: net.if direction extraction (PROC:157 semantics)") {
+    val df = Seq("net.if.in[eth0]", "net.if.out[Tunnel1]", "system.cpu.load").toDF("key_")
+    val got = df.select(Scalars.extractDirection($"key_")).as[String].collect()
+    assert(got.toSeq == Seq("in", "out", ""))
+  }
+
+  test("D2/D3: substring_index + dash concat (PROC:158,160)") {
+    val df = Seq(("GigabitEthernet0/1: WAN", "fiber", "10.0.0.1", "SiteA")).toDF("name", "tipe", "ip", "remote")
+    val row = df.select(
+      Scalars.beforeFirst($"name", ":").as("iface"),
+      Scalars.dashConcat($"tipe", $"ip", $"remote").as("dk")).head()
+    assert(row.getString(0) == "GigabitEthernet0/1")
+    assert(row.getString(1) == "fiber - 10.0.0.1 - SiteA")
+  }
+
+  test("D4: fixed-position date parts of dd-MM-yyyy HH:mm:ss (XML:143-148)") {
+    val df = Seq("28-02-2024 13:45:59").toDF("waktu")
+    val parts = Scalars.datePartsOfDmy($"waktu")
+    val row = df.select(parts.map { case (n, c) => c.as(n) }: _*).head()
+    assert(row.toSeq == Seq("28-02-2024", "2024", "02", "28", "13", "45"))
+  }
+
+  test("D7: ctime-like pattern parse (XML:141) under legacy parser") {
+    spark.conf.set("spark.sql.legacy.timeParserPolicy", "LEGACY")
+    try {
+      val df = Seq("Wed Feb 28 13:45:59 UTC 2024").toDF("s")
+      val got = df.select(date_format(
+        to_timestamp($"s", "EEE MMM dd HH:mm:ss zzz yyyy"), "yyyy-MM-dd HH:mm:ss"))
+        .as[String].head()
+      assert(got == "2024-02-28 13:45:59")
+    } finally spark.conf.set("spark.sql.legacy.timeParserPolicy", "CORRECTED")
+  }
+
+  test("D9: WIB shift is exactly +7h and invertible") {
+    val df = Seq(java.sql.Timestamp.valueOf("2024-01-01 20:00:00")).toDF("ts")
+    val got = df.select(date_format(Scalars.shiftToWib($"ts"), "yyyy-MM-dd HH:mm:ss")).as[String].head()
+    assert(got == "2024-01-02 03:00:00") // crosses midnight: ds would roll
+  }
+
+  test("D10: Decimal(20,0) holds uint64 counters beyond Long range") {
+    val big = BigDecimal("18446744073709551615") // uint64 max
+    val df = Seq(big).toDF("v")
+    val got = df.select(Scalars.asCounter($"v" + 0)).head().getDecimal(0)
+    assert(got.toBigInteger.toString == "18446744073709551615")
+    assert(df.schema.fields.head.dataType.isInstanceOf[DecimalType])
+  }
+
+  test("C2: pivotFullJoin and single-pass pivot agree") {
+    val df = Seq(
+      ("h1", "in", 10.0), ("h1", "out", 20.0), ("h2", "in", 5.0), ("h3", "out", 7.0)
+    ).toDF("host", "direction", "v")
+    val fj = Relational.pivotFullJoin(df, Seq("host"), "direction", "in", "out", "v", "v_in", "v_out")
+      .orderBy("host").collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2))))
+    val sp = Relational.pivotSinglePass(df, Seq("host"), "direction", Seq("in", "out"), "v")
+      .orderBy("host").collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2))))
+    assert(fj.toSeq == sp.toSeq)
+    assert(fj.length == 3) // h2 and h3 survive with one side null
+  }
+
+  test("C5: anti join returns non-matching rows (crafted non-empty case)") {
+    val l = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "x")
+    val r = Seq(2).toDF("id")
+    val got = Relational.antiJoin(l, r, l("id") === r("id")).as[(Int, String)].collect()
+    assert(got.toSet == Set((1, "a"), (3, "c")))
+  }
+
+  test("asof backward join: latest right <= left time, equal-ts matches, null when none") {
+    val clicks = Seq((1L, 100L, 1000L), (1L, 101L, 2000L), (2L, 102L, 500L))
+      .toDF("user_id", "event_id", "ts_ns")
+    val purchases = Seq((1L, 900L, 9.0, 1000L), (1L, 901L, 11.0, 1500L))
+      .toDF("user_id", "p_event_id", "p_value", "ts_ns")
+    val got = AsOf.asofBackward(clicks, purchases, "user_id", "ts_ns", "ts_ns",
+      Map("p_event_id" -> "pe", "p_value" -> "pv"))
+      .select("event_id", "pe").as[(Long, Option[Long])].collect().toMap
+    assert(got(100L).contains(900L)) // equal timestamp matches
+    assert(got(101L).contains(901L)) // latest of the two
+    assert(got(102L).isEmpty)        // user 2 has no purchase
+  }
+
+  test("similarity: cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b", "c")
+    val row = df.select(Similarity.cosine($"a", $"b"), Similarity.cosine($"a", $"c")).head()
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(row.getDouble(1)) < 1e-12)
+  }
+
+  test("E5: CentroidAggregator merges partitions to exact element means") {
+    import org.apache.spark.sql.functions.udaf
+    val vecs: Seq[Seq[Float]] = Seq(Seq(1f, 2f), Seq(3f, 6f), Seq(5f, 10f))
+    val ds = spark.createDataset(vecs).repartition(3) // force multi-partition merge
+    val agg = udaf(new Similarity.CentroidAggregator(2))
+    val got = ds.toDF("v").agg(agg($"v")).head().getSeq[Double](0)
+    assert(got == Seq(3.0, 6.0))
+  }
+
+  test("multimodal: batched partition decode is deterministic and complete") {
+    import Multimodal._
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1L, "abc".getBytes), MediaRecord(2L, "defg".getBytes)))
+    val got = decodePartitions(ds, batchSize = 1).collect().sortBy(_.media_id)
+    assert(got.map(_.byte_len).toSeq == Seq(3L, 4L))
+    assert(got.forall(m => m.width >= 1 && m.width <= 1920 && m.height >= 1 && m.height <= 1080))
+    val again = decodePartitions(ds, batchSize = 64).collect().sortBy(_.media_id)
+    assert(got.toSeq == again.toSeq) // batch size cannot change results
+  }
+}

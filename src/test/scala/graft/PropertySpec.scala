@@ -1,0 +1,93 @@
+package graft
+
+import graft.ops.{Aggregates, Relational, Scalars, Text}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY §5.3): algebraic laws the operators must hold
+  * regardless of data. Raw ScalaCheck generators sampled deterministically
+  * (scalatestplus bridge isn't in the offline cache).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic forAll: N samples from fixed seeds. */
+  private def forAll[A](gen: Gen[A], n: Int = 10)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      gen.apply(Gen.Parameters.default.withSize(30), Seed(42L + i))
+        .foreach(body)
+    }
+
+  private val rowsGen = Gen.nonEmptyListOf(for {
+    k <- Gen.choose(1, 5)
+    o <- Gen.choose(1, 20)
+    v <- Gen.choose(-1000, 1000)
+  } yield (k, o, v))
+
+  test("E4: dedupKeepFirst is idempotent and keeps one row per key") {
+    forAll(rowsGen) { rows =>
+      val df = rows.toDF("k", "o", "v")
+      val once = Aggregates.dedupKeepFirst(df, Seq("k"), Seq($"o".asc, $"v".asc))
+      val twice = Aggregates.dedupKeepFirst(once, Seq("k"), Seq($"o".asc, $"v".asc))
+      assert(once.count() == rows.map(_._1).distinct.size)
+      assert(once.collect().toSet == twice.collect().toSet)
+    }
+  }
+
+  test("C2: pivot preserves the per-key value sums (round-trip)") {
+    forAll(rowsGen) { rows =>
+      val df = rows.map { case (k, o, v) => (k, if (o % 2 == 0) "in" else "out", v.toDouble) }
+        .toDF("k", "dir", "v")
+      val piv = Relational.pivotFullJoin(df, Seq("k"), "dir", "in", "out", "v", "vin", "vout")
+      val unpivoted = piv.select($"k",
+        (coalesce($"vin", lit(0.0)) + coalesce($"vout", lit(0.0))).as("total"))
+        .as[(Int, Double)].collect().toMap
+      val direct = df.groupBy($"k").agg(sum($"v")).as[(Int, Double)].collect().toMap
+      assert(unpivoted == direct)
+    }
+  }
+
+  test("D9: WIB shift is inverted by the negative interval") {
+    forAll(Gen.choose(0L, 4102444800L)) { epoch =>
+      val df = Seq(epoch).toDF("e")
+      val back = df.select((Scalars.shiftToWib($"e".cast("timestamp")) -
+        expr("INTERVAL 7 HOURS")).cast("long")).as[Long].head()
+      assert(back == epoch)
+    }
+  }
+
+  test("D4 vs D6: substring date parts agree with real date functions") {
+    forAll(Gen.choose(0L, 4102444800L)) { epoch =>
+      val df = Seq(epoch).toDF("e").select($"e".cast("timestamp").as("ts"))
+        .withColumn("waktu", date_format($"ts", "dd-MM-yyyy HH:mm:ss"))
+      val row = df.select(
+        substring($"waktu", 7, 4), date_format($"ts", "yyyy"),
+        substring($"waktu", 4, 2), date_format($"ts", "MM"),
+        substring($"waktu", 12, 2), date_format($"ts", "HH")).head()
+      assert(row.getString(0) == row.getString(1))
+      assert(row.getString(2) == row.getString(3))
+      assert(row.getString(4) == row.getString(5))
+    }
+  }
+
+  test("A6: partitioned write conserves row counts per partition") {
+    forAll(rowsGen) { rows =>
+      val df = rows.toDF("k", "o", "v")
+        .withColumn("ds", concat(lit("2024010"), ($"k" % 3 + 1).cast("string")))
+      val out = tmpDir(s"prop_write_${math.abs(rows.hashCode)}")
+      graft.io.PartitionedWriter.writePartitioned(df, out, compact = false)
+      val back = spark.read.parquet(out).groupBy("ds").count().as[(String, Long)].collect().toMap
+      val expected = df.groupBy("ds").count().as[(String, Long)].collect().toMap
+      assert(back == expected)
+    }
+  }
+
+  test("J1 invariant: identical texts always share a fingerprint; dedup total") {
+    forAll(Gen.nonEmptyListOf(Gen.oneOf("a b c", "x y", "a b c d"))) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val fps = df.select(Text.fingerprint($"text").as("f"), $"text").distinct().collect()
+      assert(fps.map(_.getLong(0)).distinct.length == texts.distinct.length)
+    }
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming twins driven by MemoryStream: the same plans as the
+  * batch-checked QTimeseries queries, under OutputMode + watermark.
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def evs = Seq(
+    Ev(1, Timestamp.valueOf("2024-01-01 00:01:00"), 1, "click", 1.0),
+    Ev(2, Timestamp.valueOf("2024-01-01 00:02:00"), 1, "click", 2.0),
+    Ev(3, Timestamp.valueOf("2024-01-01 00:06:00"), 2, "view", 3.0),
+    Ev(2, Timestamp.valueOf("2024-01-01 00:02:00"), 1, "click", 2.0), // exact duplicate
+    Ev(4, Timestamp.valueOf("2024-01-01 01:00:00"), 2, "view", 4.0)   // advances watermark
+  )
+
+  test("I1 streaming: tumbling agg over MemoryStream matches batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.tumblingAgg(mem.toDF()).writeStream
+      .format("memory").queryName("tumbling_out").outputMode("complete").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out")
+        .select($"window_start".cast("string"), $"event_type", $"n", $"total")
+        .as[(String, String, Long, Double)].collect().toSet
+      val batch = Streams.tumblingAgg(evs.toDF())
+        .select($"window_start".cast("string"), $"event_type", $"n", $"total")
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.contains(("2024-01-01 00:00:00", "click", 3L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("I5 streaming: dropDuplicatesWithinWatermark removes the replayed event") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.dedupWithinWatermark(mem.toDF()).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select($"event_id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L, 4L)) // duplicate event_id=2 dropped
+    } finally q.stop()
+  }
+
+  test("I3 streaming: session windows close once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.sessionAgg(mem.toDF()).writeStream
+      .format("memory").queryName("session_out").outputMode("append").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      mem.addData(Ev(9, Timestamp.valueOf("2024-01-01 03:00:00"), 9, "click", 0.0))
+      q.processAllAvailable() // push watermark far past all sessions
+      val got = spark.table("session_out")
+        .select($"user_id", $"n_events").as[(Long, Long)].collect().toSet
+      assert(got.contains((1L, 3L))) // user 1: three events within one 30-min gap session
+    } finally q.stop()
+  }
+}
