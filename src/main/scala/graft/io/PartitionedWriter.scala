@@ -53,7 +53,21 @@ object PartitionedWriter {
       partitionCol: String = "ds",
       overwritePartitions: Boolean = true,
       compact: Boolean = true): Unit = {
-    val out = if (compact) sizeAdaptive(df) else df
+    // Repartition BY the partition column: each task owns a disjoint
+    // set of ds values, so (a) writers parallelize across tasks instead
+    // of one task fanning out every directory, and (b) each ds ends up
+    // with one file per owning task, not one per task — the two
+    // failure modes of naive partitioned writes at scale. Task count is
+    // the max of the 128 MiB size target and the cluster's parallelism.
+    val out = if (compact) {
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val sizeN =
+        if (bytes >= BigInt(Long.MaxValue) / 2) 1
+        else ((bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val n = math.min(math.max(sizeN, df.sparkSession.sparkContext.defaultParallelism),
+        maxOutputFiles)
+      df.repartition(n, col(partitionCol))
+    } else df
     val mode = if (overwritePartitions) SaveMode.Overwrite else SaveMode.Append
     out.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out.write.mode(mode).partitionBy(partitionCol).parquet(path)
@@ -61,12 +75,21 @@ object PartitionedWriter {
 
   /** A9 — high-watermark: max partition value of an existing dataset.
     * The reference's `SHOW PARTITIONS` + sort + collect
-    * (`Ingestion Data (MySQL).py:23-31`) becomes a metadata-only
-    * aggregate: on a partitioned path the partition column is read
-    * from directory names, no data scan.
+    * (`Ingestion Data (MySQL).py:23-31`) becomes a directory listing —
+    * genuinely metadata-only: no parquet footer is opened, no job runs.
+    * (A `read.parquet().agg(max(ds))` "metadata" query still lists and
+    * schema-merges every file — 10+ s on a 2400-partition path.)
     */
-  def maxPartition(spark: SparkSession, path: String, partitionCol: String = "ds"): Option[String] =
-    spark.read.parquet(path)
-      .agg(max(col(partitionCol)).cast("string"))
-      .head().getString(0) match { case null => None; case v => Some(v) }
+  def maxPartition(spark: SparkSession, path: String, partitionCol: String = "ds"): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val prefix = s"$partitionCol="
+      val vals = fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+        .map(s => s.getPath.getName.stripPrefix(prefix))
+      if (vals.isEmpty) None else Some(vals.max)
+    }
+  }
 }

@@ -33,6 +33,19 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Adds a unit-normalized double copy of `vecCol`. Pair-similarity
+    * jobs normalize ONCE per vector so each candidate pair costs a
+    * single dot fold instead of dot + two norms — HOF folds run
+    * interpreted per element, so at millions of pairs this is the
+    * difference between seconds and minutes. The norm lands in its own
+    * column first so the transform lambda doesn't re-fold it per
+    * element.
+    */
+  def withNormalized(df: DataFrame, vecCol: String, outCol: String): DataFrame =
+    df.withColumn("__norm", norm(col(vecCol)))
+      .withColumn(outCol, transform(col(vecCol), x => x.cast("double") / col("__norm")))
+      .drop("__norm")
+
   /** Brute-force cosine top-k of `df.vecCol` against one query vector
     * (as a literal array column, e.g. from a collected row — small,
     * broadcast with the plan). Catalyst plans TakeOrderedAndProject:

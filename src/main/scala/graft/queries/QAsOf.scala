@@ -40,11 +40,14 @@ object QAsOf {
         "embedding", "vec_id", centroids, "cvec", "cid")
         .select(col("vec_id"), col("cluster_id"))
         .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      val a = assigned.select(col("cluster_id"), col("vec_id").as("id_a"), col("embedding").as("ea"))
-      val b = assigned.select(col("cluster_id"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+      // normalize once per vector; each pair then costs one dot fold
+      val normed = Similarity.withNormalized(assigned, "embedding", "ne")
+        .select(col("cluster_id"), col("vec_id"), col("ne"))
+      val a = normed.select(col("cluster_id"), col("vec_id").as("id_a"), col("ne").as("na"))
+      val b = normed.select(col("cluster_id"), col("vec_id").as("id_b"), col("ne").as("nb"))
       a.join(b, Seq("cluster_id"))
         .filter(col("id_a") < col("id_b"))
-        .withColumn("cos_sim", Similarity.cosine(col("ea"), col("eb")))
+        .withColumn("cos_sim", Similarity.dot(col("na"), col("nb")))
         .filter(col("cos_sim") >= 0.3)
         .select("cluster_id", "id_a", "id_b", "cos_sim")
     })
@@ -70,12 +73,15 @@ object QAsOf {
               SELECT vec_id, embedding, cid, dist2,
                      row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
               FROM dists) WHERE rn = 1),
+          normed AS (
+            SELECT cluster_id, vec_id,
+                   list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) / sqrt(${dDot("embedding", "embedding")})) AS ne
+            FROM assigned),
           pairs AS (
             SELECT a.cluster_id, a.vec_id AS id_a, b.vec_id AS id_b,
-                   ${dDot("a.embedding", "b.embedding")} /
-                   (sqrt(${dDot("a.embedding", "a.embedding")}) *
-                    sqrt(${dDot("b.embedding", "b.embedding")})) AS cos_sim
-            FROM assigned a JOIN assigned b
+                   ${dDot("a.ne", "b.ne")} AS cos_sim
+            FROM normed a JOIN normed b
               ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
           SELECT cluster_id, id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3"""
   )

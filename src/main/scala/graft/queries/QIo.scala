@@ -43,11 +43,15 @@ object QIo {
     // A6/A8/A10 — ds-partitioned parquet sink with dynamic partition
     // overwrite + size-adaptive compaction, then read back and
     // summarize per partition. Proves write->read row conservation and
-    // that ds survives as the physical partition key.
+    // that ds survives as the physical partition key. Monthly stamps
+    // here: the demo data's 6.5 years of daily partitions are a few
+    // hundred rows each at this SF — a partition key must match data
+    // volume (at 100 TB, daily IS the right grain; here it is 2400
+    // near-empty directories and the write is pure filesystem churn).
     "q_sink_partitioned_write" -> ((s, dir) => {
       val path = scratch("q_sink_partitioned_write", dir)
       val stamped = Tables(s, dir).orders
-        .withColumn("ds", Scalars.dsOf(col("o_orderdate")))
+        .withColumn("ds", date_format(col("o_orderdate"), "yyyyMM"))
       PartitionedWriter.writePartitioned(stamped, path)
       s.read.parquet(path)
         .groupBy(col("ds"))
@@ -60,7 +64,8 @@ object QIo {
     "q_max_partition_path" -> ((s, dir) => {
       val path = scratch("q_sink_partitioned_write", dir)
       if (!new java.io.File(path).exists()) {
-        val stamped = Tables(s, dir).orders.withColumn("ds", Scalars.dsOf(col("o_orderdate")))
+        val stamped = Tables(s, dir).orders
+          .withColumn("ds", date_format(col("o_orderdate"), "yyyyMM"))
         PartitionedWriter.writePartitioned(stamped, path)
       }
       val maxDs = PartitionedWriter.maxPartition(s, path).orNull
@@ -89,11 +94,11 @@ object QIo {
                 strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts
          FROM orders WHERE o_orderkey < 500""",
     "q_sink_partitioned_write" ->
-      """SELECT strftime(o_orderdate, '%Y%m%d') AS ds, count(*) AS n_orders,
+      """SELECT strftime(o_orderdate, '%Y%m') AS ds, count(*) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders GROUP BY 1""",
     "q_max_partition_path" ->
-      "SELECT max(strftime(o_orderdate, '%Y%m%d')) AS max_ds FROM orders"
+      "SELECT max(strftime(o_orderdate, '%Y%m')) AS max_ds FROM orders"
     // q_repartition_compact: physical-layout op -> rows-only check (SURVEY §7.3)
   )
 }

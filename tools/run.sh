@@ -1,0 +1,18 @@
+#!/bin/bash
+# Direct JVM launcher for graft mains (bypasses sbt forking; dev tool).
+# Usage: tools/run.sh <mainClass> [args...]   (env: SPARK_GRAFT_* as usual)
+set -e
+cd "$(dirname "$0")/.."
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+MAIN=$1; shift
+exec java $OPENS -Xmx"${SPARK_DRIVER_MEM:-64g}" \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "target/scala-2.13/classes:src/main/resources:/opt/spark/jars/*" \
+  "$MAIN" "$@"
