@@ -1,0 +1,112 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for the embedding dot product —
+  * SURVEY.md §4 "custom pieces confined to extensions" / H1.
+  *
+  * Why a custom Expression instead of the `zip_with`+`aggregate`
+  * composition: higher-order functions evaluate their lambda
+  * INTERPRETED once per element (a per-element virtual call + boxing),
+  * which is the hot inner loop of every similarity query — at millions
+  * of candidate pairs × 64 dims that is the whole query cost. This
+  * expression stays inside whole-stage codegen as one primitive
+  * `double` loop.
+  *
+  * Semantics are identical to the HOF form on equal-length arrays:
+  * left-to-right fold of `double(a_i) * double(b_i)` — bit-identical to
+  * DuckDB's sequential list_sum, so oracle parity is preserved.
+  * Mismatched lengths use the shorter prefix; null arrays yield null.
+  */
+case class FloatVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  private def okType(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && okType(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = isFloat(left); val rf = isFloat(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val getL = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getR = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ($getL) * ($getR);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  val dotName = "graft_dot"
+
+  private val dotBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"$dotName expects 2 arguments")
+    FloatVectorDot(exprs.head, exprs(1))
+  }
+
+  /** Imperative per-session registration (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(dotName, dotBuilder, "built-in")
+
+  /** Column-API access; requires [[register]] (or the extensions) first. */
+  def dot(a: Column, b: Column): Column = call_function(dotName, a, b)
+}
+
+/** `SparkSessionExtensions` hook: injects the native functions at
+  * session build time — `SparkSession.builder.withExtensions(new
+  * GraftExtensions)` or `spark.sql.extensions=graft.expressions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier(VectorExpressions.dotName),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, VectorExpressions.dotName),
+      { exprs: Seq[Expression] => FloatVectorDot(exprs.head, exprs(1)) }))
+  }
+}

@@ -33,6 +33,7 @@ object QAsOf {
     // cluster (the 100 TB path — candidate generation is an equi-join
     // on cluster_id, never all-pairs), then exact cosine filters.
     "q_embed_neardup" -> ((s, dir) => {
+      graft.expressions.VectorExpressions.register(s)
       val emb = Tables(s, dir).embeddings
       val centroids = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
@@ -47,7 +48,7 @@ object QAsOf {
       val b = normed.select(col("cluster_id"), col("vec_id").as("id_b"), col("ne").as("nb"))
       a.join(b, Seq("cluster_id"))
         .filter(col("id_a") < col("id_b"))
-        .withColumn("cos_sim", Similarity.dot(col("na"), col("nb")))
+        .withColumn("cos_sim", graft.expressions.VectorExpressions.dot(col("na"), col("nb")))
         .filter(col("cos_sim") >= 0.3)
         .select("cluster_id", "id_a", "id_b", "cos_sim")
     })

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.expressions.VectorExpressions
 import graft.ops.{Scalars, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -26,10 +27,19 @@ object QSimilarity {
     // (collected once on the driver — a scalar input, broadcast with
     // the plan; the scan side never shuffles, top-k is TakeOrdered).
     "q_cosine_topk" -> ((s, dir) => {
+      VectorExpressions.register(s)
       val emb = Tables(s, dir).embeddings
       val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head()
         .getSeq[Float](0)
-      Similarity.cosineTopK(emb, "embedding", "vec_id", typedlit(q), 10)
+      val qv = typedlit(q)
+      // native codegen'd dot (bit-identical to the HOF fold) — the HOF
+      // form evaluates its lambda interpreted per element
+      val d = VectorExpressions.dot _
+      emb.select(col("vec_id"),
+        (d(col("embedding"), qv) / (sqrt(d(col("embedding"), col("embedding"))) * sqrt(d(qv, qv))))
+          .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
     }),
 
     // IVF assignment: nearest of 8 seed centroids (vec_id < 8) by
