@@ -38,6 +38,15 @@ object QAggregates {
           countDistinct(col("l_suppkey")).as("n_supps"))
     }),
 
+    // E2 — HLL approximate distinct (the 100 TB path for cardinality:
+    // fixed-size sketch, no shuffle of distinct values). Result is
+    // impl-defined -> no oracle (rows-only check); the exact twin
+    // q_agg_distinct is the correctness anchor.
+    "q_agg_distinct_approx" -> ((s, dir) => {
+      Tables(s, dir).lineitem.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+    }),
+
     // E3 — rollup with grouping-set id so null group keys are
     // distinguishable from genuine nulls on both sides.
     "q_agg_rollup" -> ((s, dir) => {

@@ -121,6 +121,14 @@ object QRelational {
         .select("c_custkey", "c_name")
     }),
 
+    // B7 — seeded Bernoulli sample, the reference's size-estimation
+    // sample (`Ingestion Data (MySQL).py:35`). No oracle: RNG streams
+    // differ across engines by design (rows-only check).
+    "q_sample" -> ((s, dir) => {
+      Tables(s, dir).lineitem.sample(withReplacement = false, 0.1, seed = 42)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    }),
+
     // G3 — UNION / INTERSECT / EXCEPT, tagged into one result.
     "q_set_ops" -> ((s, dir) => {
       val t = Tables(s, dir)

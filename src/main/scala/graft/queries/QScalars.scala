@@ -34,6 +34,18 @@ object QScalars {
             .as("description"))
     }),
 
+    // B2/D12 — derived-column chain (`Ingestion Data (XML).py:141-148`,
+    // `Ingestion Data (MySQL).py:171-173` shape): withColumn stack of a
+    // partition stamp, a literal, a substring code, and integer maths.
+    "q_derive_columns" -> ((s, dir) => {
+      Tables(s, dir).orders
+        .withColumn("ds", Scalars.dsOf(col("o_orderdate")))
+        .withColumn("source", lit("orders"))
+        .withColumn("priority_code", substring(col("o_orderpriority"), 1, 1))
+        .withColumn("total_cents", Scalars.asCounter(col("o_totalprice") * 100).cast("bigint"))
+        .select("o_orderkey", "ds", "source", "priority_code", "total_cents")
+    }),
+
     // D2 — substring_index / split_part.
     "q_substring_index" -> ((s, dir) => {
       Tables(s, dir).part
@@ -180,6 +192,12 @@ object QScalars {
       """SELECT p_partkey,
                 regexp_extract(p_name || ' (' || p_brand || ')', '^[^(]*\(([^)]*)\).*$', 1) AS description
          FROM part""",
+    "q_derive_columns" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y%m%d') AS ds,
+                'orders' AS source,
+                substring(o_orderpriority, 1, 1) AS priority_code,
+                CAST(CAST(o_totalprice * 100 AS DECIMAL(20,0)) AS BIGINT) AS total_cents
+         FROM orders""",
     "q_substring_index" ->
       """SELECT p_partkey, split_part(p_name, ' ', 1) AS first_word,
                 split_part(p_name, ' ', -1) AS last_word
