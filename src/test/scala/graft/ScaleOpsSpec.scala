@@ -1,0 +1,63 @@
+package graft
+
+import graft.io.Bucketing
+import graft.ops.Skew
+import graft.streaming.{Streams, UserEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Scale-path operators: salted skew join (result-identical to plain),
+  * bucketed co-located join (no Exchange in the plan), custom keyed
+  * streaming state.
+  */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join's rows under heavy skew") {
+    // 10k rows of one hot key + a tail
+    val skewed = (Seq.fill(10000)(1) ++ (2 to 50)).toDF("k")
+    val small = (1 to 50).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = skewed.join(small, Seq("k"))
+    val salted = Skew.saltedJoin(skewed, small, "k", buckets = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.groupBy("k").count().collect().toSet ==
+      plain.groupBy("k").count().collect().toSet)
+    assert(salted.columns.toSeq == plain.columns.toSeq) // salt never leaks
+  }
+
+  test("bucketed join plans without any Exchange (co-located scan)") {
+    val a = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, s"x$i")).toDF("k", "vb")
+    Bucketing.writeBucketed(a, "bkt_a", "k", 4)
+    Bucketing.writeBucketed(b, "bkt_b", "k", 4)
+    // force the non-broadcast path: co-location only matters for joins
+    // too big to broadcast, which is what bucketing exists for
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.bucketedJoin(spark, "bkt_a", "bkt_b", "k")
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free co-located join, got:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketed scan not engaged:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("flatMapGroupsWithState keeps running per-user counts across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = Streams.runningCounts(mem.toDS()).writeStream
+      .format("memory").queryName("counts_out").outputMode("append").start()
+    try {
+      mem.addData(UserEvent(1, 10, 1.0), UserEvent(2, 10, 2.0), UserEvent(3, 20, 3.0))
+      q.processAllAvailable()
+      mem.addData(UserEvent(4, 10, 4.0))
+      q.processAllAvailable() // state must carry: user 10 reaches 3
+      val latest = spark.table("counts_out")
+        .groupBy($"user_id").agg(max($"n").as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(latest(10L) == 3L && latest(20L) == 1L)
+    } finally q.stop()
+  }
+}
