@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Scalars
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Function-surface completion queries (SURVEY §2.D13/E3/F extensions):
+  * cube, exact percentiles, ordered listagg, first/last/nth window
+  * values, ntile/percent_rank/cume_dist, FILTER-style conditional
+  * aggregates, date arithmetic, null-handling functions, array ops.
+  */
+object QExtras {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // E3 — full cube (rollup's big sibling).
+    "q_agg_cube" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.join(t.nation, col("c_nationkey") === col("n_nationkey"))
+        .cube(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(Scalars.dec(col("c_acctbal"))).cast("double").as("total_acctbal"))
+    }),
+
+    // Exact interpolated percentiles (sort-based, deterministic).
+    "q_percentile" -> ((s, dir) => {
+      Tables(s, dir).lineitem.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+    }),
+
+    // Ordered string aggregation (deterministic via WITHIN GROUP order).
+    "q_listagg" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.nation.join(t.region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"))
+    }),
+
+    // F — first/last/nth window values over a full frame.
+    "q_window_firstlast" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir).customer
+        .select(col("c_custkey"), col("c_nationkey"),
+          first(col("c_custkey")).over(w).as("richest"),
+          last(col("c_custkey")).over(w).as("poorest"),
+          nth_value(col("c_custkey"), 2).over(w).as("runner_up"))
+    }),
+
+    // F — distribution ranks: ntile / percent_rank / cume_dist.
+    "q_window_ntile" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables(s, dir).orders
+        .select(col("o_orderkey"),
+          ntile(4).over(w).cast("bigint").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"))
+    }),
+
+    // E — FILTER-style conditional aggregation.
+    "q_agg_conditional" -> ((s, dir) => {
+      Tables(s, dir).orders.groupBy(col("o_orderpriority"))
+        .agg(count_if(col("o_orderstatus") === "F").as("n_f"),
+          count_if(col("o_totalprice") > 200000).as("n_big"),
+          sum(when(col("o_orderstatus") === "O", Scalars.dec(col("o_totalprice")))
+            .otherwise(lit(0))).cast("double").as("open_total"))
+    }),
+
+    // D — date arithmetic: diffs and shifts.
+    "q_date_arith" -> ((s, dir) => {
+      Tables(s, dir).orders
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp_ntz")).cast("bigint").as("days_since"),
+          date_format(col("o_orderdate") + expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").as("due_date"),
+          dayofweek(col("o_orderdate")).cast("bigint").as("dow"),
+          quarter(col("o_orderdate")).cast("bigint").as("qtr"))
+    }),
+
+    // D — null-handling: nullif / coalesce / greatest / least.
+    "q_null_funcs" -> ((s, dir) => {
+      Tables(s, dir).orders
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("F")).as("status_or_null"),
+          coalesce(nullif(col("o_orderstatus"), lit("F")), lit("CLOSED")).as("status_display"),
+          greatest(col("o_totalprice"), lit(100000.0)).as("floored_price"),
+          least(col("o_totalprice"), lit(100000.0)).as("capped_price"))
+    }),
+
+    // D15 — array ops over tokenized text (joined to strings for a
+    // stable cross-engine compare).
+    "q_array_ops" -> ((s, dir) => {
+      val toks = array_distinct(split(col("text"), " "))
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          size(toks).cast("bigint").as("n_distinct"),
+          array_contains(toks, "the").as("has_the"),
+          concat_ws(",", slice(sort_array(toks), 1, 3)).as("first3"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_cube" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n_customers,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY CUBE (n_name, c_mktsegment)""",
+    "q_percentile" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.5) AS median_qty,
+                quantile_cont(l_quantity, 0.9) AS p90_qty
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_listagg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+    "q_window_firstlast" ->
+      """SELECT c_custkey, c_nationkey,
+                first_value(c_custkey) OVER w AS richest,
+                last_value(c_custkey) OVER w AS poorest,
+                nth_value(c_custkey, 2) OVER w AS runner_up
+         FROM customer
+         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    "q_window_ntile" ->
+      """SELECT o_orderkey,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cdist
+         FROM orders
+         WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey ASC)""",
+    "q_agg_conditional" ->
+      """SELECT o_orderpriority,
+                count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+                CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                              THEN CAST(o_totalprice AS DECIMAL(18,2))
+                              ELSE 0 END) AS DOUBLE) AS open_total
+         FROM orders GROUP BY o_orderpriority""",
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+                CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since,
+                strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+                CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+                CAST(quarter(o_orderdate) AS BIGINT) AS qtr
+         FROM orders""",
+    "q_null_funcs" ->
+      """SELECT o_orderkey,
+                nullif(o_orderstatus, 'F') AS status_or_null,
+                coalesce(nullif(o_orderstatus, 'F'), 'CLOSED') AS status_display,
+                greatest(o_totalprice, 100000.0) AS floored_price,
+                least(o_totalprice, 100000.0) AS capped_price
+         FROM orders""",
+    "q_array_ops" ->
+      """SELECT doc_id,
+                CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+                list_contains(list_distinct(string_split(text, ' ')), 'the') AS has_the,
+                array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',') AS first3
+         FROM documents"""
+  )
+}
