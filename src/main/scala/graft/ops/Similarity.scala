@@ -96,7 +96,7 @@ object Similarity {
     }
     def finish(r: (Array[Double], Long)): Seq[Double] =
       if (r._2 == 0) Seq.empty else r._1.map(_ / r._2).toSeq
-    def bufferEncoder = Encoders.tuple(Encoders.javaSerialization[Array[Double]], Encoders.scalaLong)
+    def bufferEncoder = Encoders.tuple(Encoders.kryo[Array[Double]], Encoders.scalaLong)
     def outputEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
 }
