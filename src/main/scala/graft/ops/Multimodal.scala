@@ -39,6 +39,21 @@ object Multimodal {
     */
   def thumbnail(bytes: Column, nBytes: Int): Column = substring(bytes, 1, nBytes)
 
+  /** Frame/chunk sampling at the column level: split the payload into
+    * fixed-size chunks and keep every `stride`-th one — the dataflow of
+    * video frame-sampling or audio windowing (binary in, array of
+    * smaller binaries out), with the codec boundary stubbed as byte
+    * slicing. One codegen'd expression; the row never leaves the scan
+    * task.
+    */
+  def sampleChunks(bytes: Column, chunkBytes: Int, stride: Int): Column = {
+    val nChunks = ceil(octet_length(bytes).cast("double") / chunkBytes).cast("int")
+    filter(
+      transform(sequence(lit(0), greatest(nChunks - 1, lit(0))),
+        i => substring(bytes, i * chunkBytes + 1, lit(chunkBytes))),
+      (_, i) => i % stride === 0)
+  }
+
   /** The codec seam. Deterministic fake: "decodes" dimensions from the
     * payload hash. A real implementation would parse/decompress here.
     */

@@ -85,6 +85,12 @@ object QText {
     // threshold 1/5 as an integer cross-multiplication.
     "q_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(Tables(s, dir).documents, "text", "doc_id", 3, 1, 5)
+    }),
+
+    // The full corpus-cleaning chain (exact dedup -> LSH near-dup
+    // removal -> quality gate) as one oracle-checked pipeline.
+    "q_corpus_clean" -> ((s, dir) => {
+      graft.pipelines.CorpusClean.run(Tables(s, dir).documents)
     })
   )
 
@@ -166,6 +172,36 @@ object QText {
           FROM inter
           JOIN sizes sa ON sa.doc_id = id_a
           JOIN sizes sb ON sb.doc_id = id_b
-          WHERE n_inter * 5 >= (sa.n_sh + sb.n_sh - n_inter) * 1"""
+          WHERE n_inter * 5 >= (sa.n_sh + sb.n_sh - n_inter) * 1""",
+    "q_corpus_clean" ->
+      s"""WITH survivors AS (
+            SELECT d.* FROM documents d
+            JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)) k
+              ON d.doc_id = k.doc_id),
+          words AS (SELECT doc_id, string_split(text, ' ') AS w FROM survivors),
+          sh AS (SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                                         i -> array_to_string(w[i:i+2], ' '))) AS shingle
+            FROM words)),
+          mh AS (SELECT doc_id,
+                        ${(0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")}
+                 FROM sh GROUP BY doc_id),
+          bands AS (${(0 until 8).map(i =>
+            s"SELECT doc_id, $i AS band, md5(mh$i) AS bucket FROM mh").mkString(" UNION ALL ")}),
+          dropped AS (
+            SELECT DISTINCT b.doc_id FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+          kept AS (SELECT * FROM survivors WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+          SELECT doc_id, lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                 CAST(len(list_filter(string_split(text, ' '),
+                          t -> list_contains(['the','a','of','and','to','in','is','for'], t))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS stopword_ratio
+          FROM kept
+          WHERE len(string_split(text, ' ')) BETWEEN 20 AND 1000
+            AND CAST(len(list_filter(string_split(text, ' '),
+                         t -> list_contains(['the','a','of','and','to','in','is','for'], t))) AS DOUBLE)
+                  / len(string_split(text, ' ')) >= 0.02"""
   )
 }
