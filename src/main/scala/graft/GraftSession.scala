@@ -17,6 +17,7 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .withExtensions(new graft.expressions.GraftExtensions)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

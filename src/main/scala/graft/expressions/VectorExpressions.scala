@@ -108,5 +108,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier(VectorExpressions.dotName),
       new ExpressionInfo(classOf[FloatVectorDot].getName, VectorExpressions.dotName),
       { exprs: Seq[Expression] => FloatVectorDot(exprs.head, exprs(1)) }))
+    // declarative HOF dot products silently upgrade to the native loop
+    e.injectOptimizerRule(_ => RewriteHofDot)
   }
 }

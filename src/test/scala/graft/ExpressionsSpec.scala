@@ -44,6 +44,18 @@ class ExpressionsSpec extends SparkSpec {
     assert(got == 11.0)
   }
 
+  test("RewriteHofDot: declarative HOF dot product optimizes to graft_dot") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = df.select(Similarity.dot($"embedding", $"embedding").as("d"))
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_dot"),
+      s"HOF pattern not rewritten to native expression:\n$optimized")
+    // and the rewrite preserves values exactly
+    VectorExpressions.register(spark)
+    val direct = df.select(VectorExpressions.dot($"embedding", $"embedding").as("d"))
+    assert(q.collect().map(_.getDouble(0)).toSeq == direct.collect().map(_.getDouble(0)).toSeq)
+  }
+
   test("GraftExtensions hook applies its injections without error") {
     // A live withExtensions round-trip needs a fresh SparkContext (the
     // shared test session would be returned by getOrCreate); assert the
