@@ -59,12 +59,19 @@ object Dedup {
     * digest, never all-pairs.
     */
   def minhashCandidates(sig: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = (0 until bands).map { b =>
+    // One pass: explode per-band structs instead of unioning `bands`
+    // selects — a union would inline (and re-execute) the whole
+    // shingle+signature pipeline once per band, and the self-join below
+    // would double that again. The exploded band frame is tiny
+    // (ids × bands), so it is cached for the self-join's two sides.
+    val bandStructs = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
-      sig.select(col(idCol),
-        lit(b).as("band"),
-        md5(concat_ws("|", cols: _*)).as("bucket"))
-    }.reduce(_ unionAll _)
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bucket"))
+    }
+    val banded = sig
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .cache()
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))

@@ -25,10 +25,12 @@ object CorpusClean {
       minhashSeeds: Int = 8,
       minWords: Int = 20, maxWords: Int = 1000,
       minStopwordRatio: Double = 0.02): DataFrame = {
-    // 1 — exact dedup
+    // 1 — exact dedup; cached: the survivor set feeds shingling, the
+    // anti-join, and the final projection (3 consumers)
     val survivors = Dedup.exactByHash(documents, "text", "doc_id")
       .select(col("keep_id").as("doc_id"))
       .join(documents, Seq("doc_id"))
+      .cache()
 
     // 2 — near-dup candidates among survivors; drop the higher id
     val sh = Dedup.shingles(survivors, "text", "doc_id", 3)
