@@ -163,9 +163,12 @@ object QText {
           FROM documents""",
     "q_ngram_jaccard" ->
       s"""WITH $shingleCte,
-          sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+          shh AS (SELECT doc_id,
+                         CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS sh_h
+                  FROM sh),
+          sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
           inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    FROM shh a JOIN shh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
                     GROUP BY 1, 2)
           SELECT id_a, id_b,
                  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard

@@ -50,6 +50,20 @@ class DedupSpec extends SparkSpec {
       java.lang.Long.bitCount(fp(1L) ^ fp(2L)))
   }
 
+  test("CorpusClean: exact dups collapse, near-dups drop, quality gate holds") {
+    val longBase = (base + " ") * 3 // ~42 words: inside the 20..1000 band
+    val docs = Seq(
+      (1L, longBase.trim, "en"),
+      (2L, longBase.trim, "en"),                          // exact dup of 1 -> dropped
+      (3L, longBase.trim.replace("today", "tonight"), "en"), // near-dup of 1 -> dropped
+      (4L, (unrelated + " the a of and ") * 3, "en"),     // distinct, quality-ok
+      (5L, "tiny doc", "en")                              // fails min-word gate
+    ).toDF("doc_id", "text", "lang")
+    val kept = graft.pipelines.CorpusClean.run(docs, minWords = 20, maxWords = 1000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+  }
+
   test("fingerprint: order-sensitive, whitespace-normal") {
     val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
     val fp = df.select($"doc_id", Text.fingerprint($"text").as("f"))
