@@ -99,6 +99,19 @@ object QAggregates {
           count(lit(1)).over(w).as("n_in_frame"))
     }),
 
+    // F3 — RANGE frame (value-based, vs the row-based frame above):
+    // 5-minute trailing sum keyed on epoch seconds; ties in the order
+    // value share one frame, so tie order cannot matter.
+    "q_window_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("epoch_sec")).rangeBetween(-300, 0)
+      Tables(s, dir).events
+        .select(col("user_id"), col("event_id"),
+          expr("ts_ns DIV 1000000000").as("epoch_sec"), col("value"))
+        .select(col("user_id"), col("event_id"),
+          sum(Scalars.dec(col("value"))).over(w).cast("double").as("trailing_5m"))
+    }),
+
     // F4 — top-k per group via row_number filter.
     "q_topk_per_group" -> ((s, dir) => {
       Aggregates.topKPerGroup(Tables(s, dir).orders, Seq("o_custkey"),
@@ -152,6 +165,12 @@ object QAggregates {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+    "q_window_range_frame" ->
+      """SELECT user_id, event_id,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+                       (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                        RANGE BETWEEN 300 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_5m
+         FROM events""",
     "q_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM
            (SELECT o_custkey, o_orderkey, o_totalprice,
