@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL-string surface — the reference mixes the DataFrame API with
+  * `registerTempTable` + `spark.sql` (`Processing Data.py:154,188,190`);
+  * these queries exercise that path plus the subquery machinery
+  * (Catalyst decorrelation) nothing else covers: GROUPING SETS,
+  * correlated EXISTS, and a scalar subquery.
+  */
+object QSql {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def withViews(s: SparkSession, dir: String): Unit = {
+    val t = Tables(s, dir)
+    t.orders.createOrReplaceTempView("v_orders")
+    t.lineitem.createOrReplaceTempView("v_lineitem")
+    t.customer.createOrReplaceTempView("v_customer")
+    t.nation.createOrReplaceTempView("v_nation")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // E3 — explicit GROUPING SETS (the general form of rollup/cube).
+    "q_sql_grouping_sets" -> ((s, dir) => {
+      withViews(s, dir)
+      s.sql("""
+        SELECT n_name, c_mktsegment, count(*) AS n_customers
+        FROM v_customer JOIN v_nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), (n_name, c_mktsegment))
+      """)
+    }),
+
+    // Correlated EXISTS — decorrelated by Catalyst into a semi-join.
+    "q_correlated_exists" -> ((s, dir) => {
+      withViews(s, dir)
+      s.sql("""
+        SELECT o_orderkey, o_orderstatus
+        FROM v_orders
+        WHERE EXISTS (SELECT 1 FROM v_lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+      """)
+    }),
+
+    // Scalar subquery — a broadcast one-row aggregate in the plan.
+    "q_scalar_subquery" -> ((s, dir) => {
+      withViews(s, dir)
+      // threshold computed in exact integer cents: Spark's avg(decimal)
+      // stays decimal while DuckDB's returns double, so a decimal avg
+      // would round differently at boundaries
+      s.sql("""
+        SELECT o_orderkey, o_totalprice
+        FROM v_orders
+        WHERE 2 * CAST(CAST(o_totalprice * 100 AS DECIMAL(20,0)) AS BIGINT) >
+              3 * (SELECT CAST(SUM(CAST(CAST(o_totalprice * 100 AS DECIMAL(20,0)) AS BIGINT)) AS BIGINT)
+                          DIV count(*)
+                   FROM v_orders)
+      """)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_sql_grouping_sets" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n_customers
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY GROUPING SETS ((n_name), (c_mktsegment), (n_name, c_mktsegment))""",
+    "q_correlated_exists" ->
+      """SELECT o_orderkey, o_orderstatus
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity >= 49)""",
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice
+         FROM orders
+         WHERE 2 * CAST(CAST(o_totalprice * 100 AS DECIMAL(20,0)) AS BIGINT) >
+               3 * (SELECT CAST(SUM(CAST(CAST(o_totalprice * 100 AS DECIMAL(20,0)) AS BIGINT)) AS BIGINT)
+                            // count(*)
+                    FROM orders)"""
+  )
+}
