@@ -27,6 +27,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // ~80 queries of whole-stage-codegen classes overflow the default
+  // 240 MB code cache; once full the JIT stops compiling and late
+  // queries run interpreted (3-5x slowdowns late in Verify/Bench).
+  "-XX:ReservedCodeCacheSize=1g", "-XX:+UseCodeCacheFlushing",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

@@ -21,6 +21,14 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // Raise the broadcast threshold well past the demo dims/sketch
+    // frames: on this single-node harness a 64 MB broadcast is far
+    // cheaper than a shuffle, and it stops AQE flip-flopping between
+    // broadcast and sort-merge for inputs sitting near the 10 MB
+    // default (the main source of run-to-run bench variance). Cluster
+    // deployments should size this to executor memory instead.
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    .config("spark.sql.adaptive.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // ds partition values are strings by data-model contract (SURVEY
     // §1.1); without this, reading a ds=19950101 directory turns the

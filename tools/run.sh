@@ -13,6 +13,7 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 MAIN=$1; shift
 exec java $OPENS -Xmx"${SPARK_DRIVER_MEM:-64g}" \
+  -XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:src/main/resources:/opt/spark/jars/*" \
   "$MAIN" "$@"
