@@ -61,6 +61,32 @@ object QExtras {
           cume_dist().over(w).as("cdist"))
     }),
 
+    // C2 inverse — unpivot/melt: wide metric columns back to long
+    // (direction, value) rows; round-trips the engine's pivot.
+    "q_unpivot" -> ((s, dir) => {
+      val wide = Tables(s, dir).lineitem
+        .groupBy(col("l_partkey"))
+        .agg(sum(when(col("l_returnflag") === "A", Scalars.dec(col("l_quantity"))))
+          .cast("double").as("qty_a"),
+          sum(when(col("l_returnflag") === "R", Scalars.dec(col("l_quantity"))))
+            .cast("double").as("qty_r"))
+      wide.unpivot(Array(col("l_partkey")), Array(col("qty_a"), col("qty_r")),
+        "flag", "qty")
+        .filter(col("qty").isNotNull)
+    }),
+
+    // F2 twin — lead (lag is gate-checked separately).
+    "q_window_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns").asc, col("event_id").asc)
+      Tables(s, dir).events
+        .select(col("user_id"), col("event_id"),
+          lead(col("event_id"), 1).over(w).as("next_event"),
+          // microsecond granularity: DuckDB 1.0 reads TIMESTAMP(NANOS)
+          // parquet as microsecond TIMESTAMP, so ns-level gaps can't be
+          // compared cross-engine
+          (lead(expr("ts_ns DIV 1000"), 1).over(w) - expr("ts_ns DIV 1000")).as("gap_us"))
+    }),
+
     // E — FILTER-style conditional aggregation.
     "q_agg_conditional" -> ((s, dir) => {
       Tables(s, dir).orders.groupBy(col("o_orderpriority"))
@@ -132,6 +158,19 @@ object QExtras {
                 cume_dist() OVER w AS cdist
          FROM orders
          WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey ASC)""",
+    "q_unpivot" ->
+      """SELECT l_partkey, flag, qty FROM (
+           SELECT l_partkey,
+                  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+                  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
+           FROM lineitem GROUP BY l_partkey)
+         UNPIVOT (qty FOR flag IN (qty_a, qty_r))""",
+    "q_window_lead" ->
+      """SELECT user_id, event_id,
+                lead(event_id) OVER w AS next_event,
+                CAST(lead(tus) OVER w - tus AS BIGINT) AS gap_us
+         FROM (SELECT user_id, event_id, ts, epoch_us(ts) AS tus FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""",
     "q_agg_conditional" ->
       """SELECT o_orderpriority,
                 count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
