@@ -1,0 +1,293 @@
+package graft.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text-sketch kernels for the dedup family (SURVEY.md §2.J):
+  * shingle hashing, MinHash signatures, SimHash fingerprints.
+  *
+  * Why native Expressions instead of the declarative
+  * `transform`/`sequence`/`slice`/`aggregate` compositions they
+  * replace: Spark evaluates higher-order-function lambdas INTERPRETED,
+  * one virtual call + boxing per element — profiled at sf0.1 the
+  * shingle pipeline alone (260 k shingles from 5 k docs) took ~5 s,
+  * which was the whole cost of the n-gram Jaccard bench outlier. These
+  * kernels do the text → sketch step in one tight JVM loop per row and
+  * stay inside whole-stage codegen via a static call.
+  *
+  * The scale story is bigger than the constant factor: a MinHash
+  * signature computed per-document map-side means the LSH pipeline
+  * never explodes shingles into rows at all — no 50×-row-expansion
+  * shuffle before the band join. At 100 TB that turns the signature
+  * stage from a corpus-sized shuffle into a pure scan.
+  *
+  * Oracle parity: all hashing is md5 over UTF-8 bytes, bit-identical in
+  * DuckDB; the 60-bit shingle hash equals
+  * `CAST('0x' || substring(md5(s),1,15) AS BIGINT)`, the 32-bit token
+  * hash equals the 8-hex-char prefix parse, and signature minima use
+  * byte-wise digest order == lexicographic order of lowercase hex.
+  */
+object TextSketch {
+
+  private val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  private def md5(bytes: Array[Byte]): Array[Byte] = {
+    val d = md5Local.get(); d.reset(); d.digest(bytes)
+  }
+
+  /** First 60 bits of the digest as a non-negative long — identical to
+    * parsing the first 15 hex chars of the lowercase hex form.
+    */
+  private def first60(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** First 32 bits of the digest (the `Text.md5Int` value). */
+  def md5Int32(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 4) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** Mirrors `split(text, " ")` (Java regex semantics, limit -1):
+    * empty tokens from runs of spaces are kept, as is a trailing empty
+    * token — the declarative pipeline and the DuckDB oracle
+    * (`string_split`) both see those.
+    */
+  private def words(text: UTF8String): Array[String] =
+    text.toString.split(" ", -1)
+
+  /** Word n-gram shingle strings in first-occurrence order with
+    * duplicates removed — same contents as
+    * `array_distinct(transform(sequence(1, greatest(len-n+1, 1)),
+    * i -> concat_ws(' ', slice(words, i, n))))`.
+    */
+  def distinctShingles(text: UTF8String, n: Int): Array[String] = {
+    val w = words(text)
+    val count = math.max(w.length - (n - 1), 1)
+    val seen = new java.util.LinkedHashSet[String](count * 2)
+    var i = 0
+    while (i < count) {
+      val end = math.min(i + n, w.length)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(w(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  /** Distinct 60-bit shingle hashes for one document. */
+  def shingleHash64(text: UTF8String, n: Int): GenericArrayData = {
+    val sh = distinctShingles(text, n)
+    val out = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) {
+      out(i) = first60(md5(sh(i).getBytes("UTF-8")))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def toHex(d: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = hexChars(d(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Unsigned byte-wise digest compare — the same order as comparing
+    * the lowercase hex strings (what the declarative form and DuckDB's
+    * `min(md5(...))` use).
+    */
+  private def lessThan(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** MinHash signature for one document: for seed s in [0, seeds), the
+    * minimum md5 of s + "|" + shingle over the document's distinct
+    * word n-gram shingles, as lowercase hex — computed map-side, no
+    * shingle explode, no per-document aggregation shuffle.
+    */
+  def minhashSig(text: UTF8String, n: Int, seeds: Int): GenericArrayData = {
+    val sh = distinctShingles(text, n)
+    val mins = new Array[Array[Byte]](seeds)
+    var s = 0
+    while (s < seeds) {
+      val prefix = (s.toString + "|").getBytes("UTF-8")
+      var best: Array[Byte] = null
+      var i = 0
+      while (i < sh.length) {
+        val shB = sh(i).getBytes("UTF-8")
+        val buf = new Array[Byte](prefix.length + shB.length)
+        System.arraycopy(prefix, 0, buf, 0, prefix.length)
+        System.arraycopy(shB, 0, buf, prefix.length, shB.length)
+        val d = md5(buf)
+        if (best == null || lessThan(d, best)) best = d
+        i += 1
+      }
+      mins(s) = best
+      s += 1
+    }
+    new GenericArrayData(mins.map(toHex(_): AnyRef))
+  }
+
+  /** SimHash fingerprint for one document: each whitespace token votes
+    * ±1 per bit from its 32-bit md5-prefix hash (every occurrence
+    * votes, matching the declarative `aggregate` fold); bit j of the
+    * result is set iff its vote sum is positive. One md5 per token —
+    * the declarative form recomputed it once per token PER BIT.
+    */
+  def simhash(text: UTF8String, bits: Int): Long = {
+    val w = words(text)
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < w.length) {
+      val h = md5Int32(md5(w(i).getBytes("UTF-8")))
+      var j = 0
+      while (j < bits) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+}
+
+/** Base for the one-text-column sketch expressions: null-safe unary
+  * string input, static-call codegen so whole-stage codegen spans are
+  * not broken by the custom function.
+  */
+abstract class TextSketchExpression extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.simpleString}")
+
+  /** Java source for the static kernel call on input variable `c`. */
+  protected def staticCall(c: String): String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => staticCall(c))
+}
+
+/** `graft_shingle_hash64(text, n)` → array<bigint> of distinct 60-bit
+  * md5-prefix hashes of the word n-gram shingles of `text`.
+  */
+case class ShingleHash64(child: Expression, n: Int) extends TextSketchExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = TextSketchExpressions.shingleName
+  override def nullSafeEval(t: Any): Any =
+    TextSketch.shingleHash64(t.asInstanceOf[UTF8String], n)
+  override protected def staticCall(c: String): String =
+    s"graft.expressions.TextSketch.shingleHash64($c, $n)"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_minhash(text, n, seeds)` → array<string> MinHash signature
+  * (per-seed minimum md5 hex over word n-gram shingles).
+  */
+case class MinHashSig(child: Expression, n: Int, seeds: Int) extends TextSketchExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = TextSketchExpressions.minhashName
+  override def nullSafeEval(t: Any): Any =
+    TextSketch.minhashSig(t.asInstanceOf[UTF8String], n, seeds)
+  override protected def staticCall(c: String): String =
+    s"graft.expressions.TextSketch.minhashSig($c, $n, $seeds)"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_simhash(text, bits)` → bigint SimHash fingerprint. */
+case class SimHash(child: Expression, bits: Int) extends TextSketchExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = TextSketchExpressions.simhashName
+  override def nullSafeEval(t: Any): Any =
+    TextSketch.simhash(t.asInstanceOf[UTF8String], bits)
+  override protected def staticCall(c: String): String =
+    s"graft.expressions.TextSketch.simhash($c, $bits)"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextSketchExpressions {
+  val shingleName = "graft_shingle_hash64"
+  val minhashName = "graft_minhash"
+  val simhashName = "graft_simhash"
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val shingleBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"$shingleName expects (text, n)")
+    ShingleHash64(exprs.head, intLit(exprs(1), "n"))
+  }
+  val minhashBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3, s"$minhashName expects (text, n, seeds)")
+    MinHashSig(exprs.head, intLit(exprs(1), "n"), intLit(exprs(2), "seeds"))
+  }
+  val simhashBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"$simhashName expects (text, bits)")
+    SimHash(exprs.head, intLit(exprs(1), "bits"))
+  }
+
+  /** Column-API access; requires the extensions (or [[register]]). */
+  def shingleHash64(text: Column, n: Int): Column =
+    call_function(shingleName, text, org.apache.spark.sql.functions.lit(n))
+  def minhash(text: Column, n: Int, seeds: Int): Column =
+    call_function(minhashName, text,
+      org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(seeds))
+  def simhash(text: Column, bits: Int): Column =
+    call_function(simhashName, text, org.apache.spark.sql.functions.lit(bits))
+
+  /** Imperative per-session registration (idempotent); the extensions
+    * hook in [[GraftExtensions]] is the standard path.
+    */
+  def register(spark: SparkSession): Unit = {
+    val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction(shingleName, shingleBuilder, "built-in")
+    r.createOrReplaceTempFunction(minhashName, minhashBuilder, "built-in")
+    r.createOrReplaceTempFunction(simhashName, simhashBuilder, "built-in")
+  }
+}

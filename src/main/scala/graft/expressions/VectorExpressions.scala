@@ -108,6 +108,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier(VectorExpressions.dotName),
       new ExpressionInfo(classOf[FloatVectorDot].getName, VectorExpressions.dotName),
       { exprs: Seq[Expression] => FloatVectorDot(exprs.head, exprs(1)) }))
+    e.injectFunction((FunctionIdentifier(TextSketchExpressions.shingleName),
+      new ExpressionInfo(classOf[ShingleHash64].getName, TextSketchExpressions.shingleName),
+      TextSketchExpressions.shingleBuilder))
+    e.injectFunction((FunctionIdentifier(TextSketchExpressions.minhashName),
+      new ExpressionInfo(classOf[MinHashSig].getName, TextSketchExpressions.minhashName),
+      TextSketchExpressions.minhashBuilder))
+    e.injectFunction((FunctionIdentifier(TextSketchExpressions.simhashName),
+      new ExpressionInfo(classOf[SimHash].getName, TextSketchExpressions.simhashName),
+      TextSketchExpressions.simhashBuilder))
     // declarative HOF dot products silently upgrade to the native loop
     e.injectOptimizerRule(_ => RewriteHofDot)
   }

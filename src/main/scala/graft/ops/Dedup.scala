@@ -42,16 +42,21 @@ object Dedup {
           i => concat_ws(" ", slice(words, i, lit(n)))))).as("shingle"))
   }
 
-  /** MinHash signature: for each of `seeds` hash families, the minimum
-    * md5 of (seed || '|' || shingle). Output: one row per id with
-    * columns mh0..mh{k-1}. Lexicographic min over hex strings is a
-    * valid uniform min-hash (md5 is uniform over hex strings).
+  /** MinHash signature computed MAP-SIDE per document by the native
+    * [[graft.expressions.MinHashSig]] kernel: one `sig` array column of
+    * `seeds` per-seed minimum md5-hex values over the document's word
+    * n-gram shingles. Semantically identical to the declarative
+    * shingle-explode + `groupBy(min(md5(seed|shingle)))` pipeline
+    * (lexicographic min over hex == byte-wise min over digests), but
+    * with NO row expansion and NO aggregation shuffle — at 100 TB the
+    * signature stage is a pure scan, and only (id, 8×32-hex) rows ever
+    * move. Replaced the explode+groupBy form after round-1 profiling
+    * showed interpreted HOF shingling dominated the dedup queries.
     */
-  def minhashSignature(shingled: DataFrame, idCol: String, seeds: Int): DataFrame = {
-    val perSeed = (0 until seeds).map(sd =>
-      min(md5(concat(lit(sd.toString), lit("|"), col("shingle")))).as(s"mh$sd"))
-    shingled.groupBy(col(idCol)).agg(perSeed.head, perSeed.tail: _*)
-  }
+  def minhashSignature(df: DataFrame, textCol: String, idCol: String,
+      seeds: Int, n: Int = 3): DataFrame =
+    df.select(col(idCol),
+      graft.expressions.TextSketchExpressions.minhash(col(textCol), n, seeds).as("sig"))
 
   /** MinHash+LSH candidate pairs: signatures banded `bands` × `rowsPerBand`;
     * documents sharing any band bucket pair up (id_a < id_b). The
@@ -61,11 +66,12 @@ object Dedup {
   def minhashCandidates(sig: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
     // One pass: explode per-band structs instead of unioning `bands`
     // selects — a union would inline (and re-execute) the whole
-    // shingle+signature pipeline once per band, and the self-join below
-    // would double that again. The exploded band frame is tiny
-    // (ids × bands), so it is cached for the self-join's two sides.
+    // signature pipeline once per band, and the self-join below would
+    // double that again. The exploded band frame is tiny (ids × bands),
+    // so it is cached for the self-join's two sides.
     val bandStructs = (0 until bands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => element_at(col("sig"), i + 1))
       struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bucket"))
     }
     val banded = sig
@@ -80,17 +86,13 @@ object Dedup {
   }
 
   /** SimHash fingerprint over `bits` bits (each bit j: sign of the sum
-    * of ±1 votes from every token whose md5-int has bit j set). One
-    * aggregate fold per document — no explode, no shuffle.
+    * of ±1 votes from every token whose md5-int has bit j set). Native
+    * [[graft.expressions.SimHash]] kernel — one md5 per token (the
+    * declarative `aggregate` fold recomputed it per token PER BIT),
+    * no explode, no shuffle.
     */
-  def simhash(text: Column, bits: Int): Column = {
-    val toks = Text.tokens(text)
-    (0 until bits).map { j =>
-      val vote = aggregate(toks, lit(0L),
-        (acc, w) => acc + when(shiftright(Text.md5Int(w), j) % 2 === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L) * (1L << j)).otherwise(0L)
-    }.reduce(_ + _)
-  }
+  def simhash(text: Column, bits: Int): Column =
+    graft.expressions.TextSketchExpressions.simhash(text, bits)
 
   /** Hamming distance between two simhash fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("bigint")
@@ -106,12 +108,16 @@ object Dedup {
     // long equi-join keys shuffle ~3x less than ~20-char UTF8 strings
     // and hash/compare faster. Collision odds at 60 bits are ~1e-7 per
     // corpus; the oracle applies the identical hash so results agree
-    // exactly either way.
-    val sh = shingles(df, textCol, idCol, n)
-      .select(col(idCol),
-        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("bigint").as("sh_h"))
+    // exactly either way. The native ShingleHash64 kernel produces the
+    // whole distinct-hash array in one loop per document (the
+    // declarative transform/slice/md5 chain was the round-1 bench
+    // outlier: interpreted lambda dispatch per shingle), and set sizes
+    // fall out of the array length map-side — no groupBy shuffle.
+    val hashed = df.select(col(idCol),
+      graft.expressions.TextSketchExpressions.shingleHash64(col(textCol), n).as("shs"))
       .cache()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val sh = hashed.select(col(idCol), explode(col("shs")).as("sh_h"))
+    val sizes = hashed.select(col(idCol), size(col("shs")).cast("bigint").as("n_sh"))
     val inter = sh.select(col(idCol).as("id_a"), col("sh_h"))
       .join(sh.select(col(idCol).as("id_b"), col("sh_h")), Seq("sh_h"))
       .filter(col("id_a") < col("id_b"))

@@ -32,9 +32,10 @@ object CorpusClean {
       .join(documents, Seq("doc_id"))
       .cache()
 
-    // 2 — near-dup candidates among survivors; drop the higher id
-    val sh = Dedup.shingles(survivors, "text", "doc_id", 3)
-    val sig = Dedup.minhashSignature(sh, "doc_id", minhashSeeds)
+    // 2 — near-dup candidates among survivors; drop the higher id.
+    // Signatures are computed map-side by the native MinHash kernel —
+    // the only shuffle in this stage is the band-bucket equi-join.
+    val sig = Dedup.minhashSignature(survivors, "text", "doc_id", minhashSeeds)
     val dropIds = Dedup.minhashCandidates(sig, "doc_id", bands = minhashSeeds, rowsPerBand = 1)
       .select(col("id_b").as("doc_id")).distinct()
     val nearDeduped = survivors.join(dropIds, Seq("doc_id"), "left_anti")

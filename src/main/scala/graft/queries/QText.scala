@@ -70,8 +70,7 @@ object QText {
     // (candidate = any shared minhash) — the scale path where only
     // band-bucket collisions ever join.
     "q_minhash_dedup" -> ((s, dir) => {
-      val sh = Dedup.shingles(Tables(s, dir).documents, "text", "doc_id", 3)
-      val sig = Dedup.minhashSignature(sh, "doc_id", 8)
+      val sig = Dedup.minhashSignature(Tables(s, dir).documents, "text", "doc_id", 8)
       Dedup.minhashCandidates(sig, "doc_id", bands = 8, rowsPerBand = 1)
     }),
 

@@ -23,13 +23,45 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash+LSH: near-dups collide, unrelated docs do not") {
-    val sh = Dedup.shingles(corpus, "text", "doc_id", 3)
-    val sig = Dedup.minhashSignature(sh, "doc_id", 8)
+    val sig = Dedup.minhashSignature(corpus, "text", "doc_id", 8)
     val pairs = Dedup.minhashCandidates(sig, "doc_id", bands = 8, rowsPerBand = 1)
       .as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 4L))) // identical: all bands collide
     assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup: some band collides
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("native kernels match the declarative shingle/minhash/simhash forms") {
+    // The native TextSketch expressions replaced HOF pipelines after
+    // round-1 profiling; pin bit-identical semantics against the
+    // declarative forms they displaced (which the DuckDB oracle mirrors).
+    val declShingleHash = Dedup.shingles(corpus, "text", "doc_id", 3)
+      .select($"doc_id", conv(substring(md5($"shingle"), 1, 15), 16, 10)
+        .cast("long").as("sh_h"))
+      .as[(Long, Long)].collect().toSet
+    val nativeShingleHash = corpus.select($"doc_id",
+      explode(graft.expressions.TextSketchExpressions.shingleHash64($"text", 3)).as("sh_h"))
+      .as[(Long, Long)].collect().toSet
+    assert(nativeShingleHash == declShingleHash)
+
+    val declMinhash = Dedup.shingles(corpus, "text", "doc_id", 3)
+      .groupBy($"doc_id")
+      .agg(array((0 until 8).map(sd =>
+        min(md5(concat(lit(s"$sd|"), $"shingle")))): _*).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    val nativeMinhash = Dedup.minhashSignature(corpus, "text", "doc_id", 8)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(nativeMinhash == declMinhash)
+
+    val declSimhash = corpus.select($"doc_id",
+      (0 until 16).map { j =>
+        val vote = aggregate(Text.tokens($"text"), lit(0L),
+          (acc, w) => acc + when(shiftright(Text.md5Int(w), j) % 2 === 1, 1L).otherwise(-1L))
+        when(vote > 0, lit(1L) * (1L << j)).otherwise(0L)
+      }.reduce(_ + _).as("h")).as[(Long, Long)].collect().toMap
+    val nativeSimhash = corpus.select($"doc_id", Dedup.simhash($"text", 16).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(nativeSimhash == declSimhash)
   }
 
   test("ngram jaccard: identical=1.0, near-dup high, unrelated filtered out") {
