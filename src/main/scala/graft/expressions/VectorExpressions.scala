@@ -82,21 +82,98 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance between two float/double array columns — the
+  * IVF-assignment hot loop. Same sequential left-to-right fold of
+  * `(a_i - b_i)^2` as the `zip_with`+`aggregate` composition and
+  * DuckDB's `list_sum(list_transform(...))`, so distances are
+  * bit-identical to the oracle; same codegen rationale as
+  * [[FloatVectorDot]].
+  */
+case class FloatVectorL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2sq"
+
+  private def okType(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && okType(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = isFloat(left); val rf = isFloat(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val getL = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getR = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ($getL) - ($getR);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   val dotName = "graft_dot"
+  val l2Name = "graft_l2sq"
 
   private val dotBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2, s"$dotName expects 2 arguments")
     FloatVectorDot(exprs.head, exprs(1))
   }
 
+  private[expressions] val l2Builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"$l2Name expects 2 arguments")
+    FloatVectorL2Sq(exprs.head, exprs(1))
+  }
+
   /** Imperative per-session registration (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(dotName, dotBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(l2Name, l2Builder, "built-in")
+  }
 
   /** Column-API access; requires [[register]] (or the extensions) first. */
   def dot(a: Column, b: Column): Column = call_function(dotName, a, b)
+  def l2sq(a: Column, b: Column): Column = call_function(l2Name, a, b)
 }
 
 /** `SparkSessionExtensions` hook: injects the native functions at
@@ -108,6 +185,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier(VectorExpressions.dotName),
       new ExpressionInfo(classOf[FloatVectorDot].getName, VectorExpressions.dotName),
       { exprs: Seq[Expression] => FloatVectorDot(exprs.head, exprs(1)) }))
+    e.injectFunction((FunctionIdentifier(VectorExpressions.l2Name),
+      new ExpressionInfo(classOf[FloatVectorL2Sq].getName, VectorExpressions.l2Name),
+      VectorExpressions.l2Builder))
     e.injectFunction((FunctionIdentifier(TextSketchExpressions.shingleName),
       new ExpressionInfo(classOf[ShingleHash64].getName, TextSketchExpressions.shingleName),
       TextSketchExpressions.shingleBuilder))

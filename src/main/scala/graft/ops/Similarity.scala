@@ -56,23 +56,70 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
 
-  /** IVF assignment: nearest (squared-L2) of the broadcast `centroids`
-    * frame (id + vector). Deterministic tie-break on centroid id. One
-    * broadcast join + per-row argmin — no shuffle of the vector side.
+  /** IVF assignment: nearest (squared-L2) centroid per vector,
+    * deterministic tie-break on centroid id. The centroid set is
+    * collected to the driver (IVF's contract: k centroids, k small)
+    * and inlined as a literal array, so assignment is MAP-ONLY — a
+    * per-row argmin with zero joins and zero shuffles. The round-1
+    * form cross-joined k rows per vector and ranked them with a
+    * window, which shuffled k×N rows for nothing; at 100 TB this
+    * version is one scan, which is what makes IVF the ANN scale path.
+    * Distances use the native [[graft.expressions.FloatVectorL2Sq]]
+    * sequential fold — bit-identical to the DuckDB oracle's list_sum.
     */
+  private def collectCentroids(centroids: DataFrame, cVecCol: String, cIdCol: String): Seq[(Long, Seq[Float])] =
+    centroids.select(col(cIdCol).cast("long"), col(cVecCol))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+
+  /** argmin struct(dist2, cid) over an inlined centroid array —
+    * array_min's struct ordering == (dist2 asc, cid asc) tie-break.
+    */
+  private def assignExpr(vecCol: String, cents: Seq[(Long, Seq[Float])]): Column =
+    array_min(transform(typedlit(cents), c =>
+      struct(
+        graft.expressions.VectorExpressions.l2sq(col(vecCol), c.getField("_2")).as("dist2"),
+        c.getField("_1").as("cid"))))
+
   def ivfAssign(df: DataFrame, vecCol: String, idCol: String,
       centroids: DataFrame, cVecCol: String, cIdCol: String): DataFrame = {
-    val d2 = aggregate(
-      zip_with(col(vecCol), col(cVecCol),
-        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, x) => acc + x)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("dist2").asc, col(cIdCol).asc)
-    df.join(broadcast(centroids), joinExprs = lit(true), joinType = "cross")
-      .withColumn("dist2", d2)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(cIdCol).as("cluster_id"), col("dist2"))
+    val cents = collectCentroids(centroids, cVecCol, cIdCol)
+    df.withColumn("__best", assignExpr(vecCol, cents))
+      .select(col(idCol), col("__best.cid").as("cluster_id"), col("__best.dist2").as("dist2"))
+  }
+
+  /** IVF probe search: brute-force top-k restricted to the `nprobe`
+    * clusters nearest the query vector — the standard recall/cost
+    * trade: each query touches ~nprobe/k of the corpus instead of all
+    * of it. Assignment is the map-only [[ivfAssign]]; the probe-cluster
+    * filter prunes before any per-vector scoring.
+    */
+  def ivfSearch(df: DataFrame, vecCol: String, idCol: String,
+      centroids: DataFrame, cVecCol: String, cIdCol: String,
+      queryVec: Seq[Float], nprobe: Int, k: Int): DataFrame = {
+    val cents = collectCentroids(centroids, cVecCol, cIdCol)
+    val probes: Seq[Long] = cents
+      .map { case (cid, c) =>
+        var acc = 0.0; var i = 0
+        val n = math.min(c.length, queryVec.length)
+        while (i < n) { val d = queryVec(i).toDouble - c(i).toDouble; acc += d * d; i += 1 }
+        (cid, acc)
+      }
+      .sortBy { case (cid, d2) => (d2, cid) }
+      .take(nprobe).map(_._1)
+    val qv = typedlit(queryVec)
+    // One pass: assign, prune to probe clusters, score survivors, top-k
+    // (TakeOrderedAndProject) — no joins, no shuffles before the final
+    // k-row merge.
+    val d = graft.expressions.VectorExpressions.dot _
+    df.withColumn("cluster_id", assignExpr(vecCol, cents).getField("cid"))
+      .filter(col("cluster_id").isin(probes: _*))
+      .select(col(idCol), col("cluster_id"),
+        (d(col(vecCol), qv) / (sqrt(d(col(vecCol), col(vecCol))) * sqrt(d(qv, qv))))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
   }
 
   /** E5 — typed Aggregator: element-wise mean of embedding vectors

@@ -52,6 +52,21 @@ object QSimilarity {
         "embedding", "vec_id", centroids, "cvec", "cid")
     }),
 
+    // IVF probe search — the ANN scale path end-to-end: map-only
+    // cluster assignment, prune to the nprobe=2 clusters nearest the
+    // query, cosine top-k over survivors only. Each query touches
+    // ~nprobe/k of the corpus; at 100 TB cluster_id doubles as the
+    // partition key so probes become partition pruning.
+    "q_ivf_search" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head()
+        .getSeq[Float](0)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.ivfSearch(emb.select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", centroids, "cvec", "cid", q, nprobe = 2, k = 10)
+    }),
+
     // E5 — per-label centroid, exploded to (label, dim, value) rows;
     // fixed-point longs make the cross-row sum exact.
     "q_vector_centroid" -> ((s, dir) => {
@@ -84,6 +99,31 @@ object QSimilarity {
                    row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
             FROM dists)
           SELECT vec_id, cid AS cluster_id, dist2 FROM ranked WHERE rn = 1""",
+    "q_ivf_search" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+          q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          probes AS (
+            SELECT cid FROM c, q
+            ORDER BY list_sum(list_transform(range(1, len(cvec) + 1),
+                       i -> (CAST(qe[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))
+                          * (CAST(qe[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)))) ASC, cid ASC
+            LIMIT 2),
+          dists AS (
+            SELECT e.vec_id, c.cid,
+                   list_sum(list_transform(range(1, len(e.embedding) + 1),
+                     i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                        * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))) AS dist2
+            FROM embeddings e CROSS JOIN c),
+          ranked AS (
+            SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+            FROM dists),
+          assigned AS (SELECT vec_id, cid AS cluster_id FROM ranked WHERE rn = 1)
+          SELECT e.vec_id, a.cluster_id,
+                 ${dDot("e.embedding", "qe")} /
+                 (sqrt(${dDot("e.embedding", "e.embedding")}) * sqrt(${dDot("qe", "qe")})) AS cos_sim
+          FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id, q
+          WHERE a.cluster_id IN (SELECT cid FROM probes)
+          ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10""",
     "q_vector_centroid" ->
       """SELECT label, CAST(u['dim'] AS BIGINT) AS dim,
                 CAST(CAST(sum(CAST(CAST(u['v'] AS DOUBLE) * 9007199254740992 AS BIGINT)) AS DOUBLE)

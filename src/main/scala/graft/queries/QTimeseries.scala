@@ -44,6 +44,27 @@ object QTimeseries {
           col("n_events"), col("first_event"))
     }),
 
+    // C5 — event-time range join (attribution): each click pairs with
+    // the same user's purchases inside the following 15 minutes. The
+    // equi-key (user_id) carries the shuffle; the time bound is a join
+    // residual — the batch twin of [[graft.streaming.Streams.attributionJoin]],
+    // whose watermarks turn the same bound into finite state.
+    "q_range_join" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      clicks.join(buys,
+          col("user_id") === col("b_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") < col("click_ts") + expr("INTERVAL 15 MINUTES"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          date_format(col("click_ts"), fmt).as("click_ts"),
+          date_format(col("purchase_ts"), fmt).as("purchase_ts"))
+    }),
+
     // I4 — watermark as a batch filter: rows within 1 h of max(ts).
     // Exact nanosecond arithmetic (no double epoch maths).
     "q_watermark_filter" -> ((s, dir) => {
@@ -82,6 +103,14 @@ object QTimeseries {
                 strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS session_start,
                 count(*) AS n_events, min(event_id) AS first_event
          FROM sessions GROUP BY user_id, session_id""",
+    "q_range_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+                strftime(CAST(c.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS click_ts,
+                strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS purchase_ts
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 15 MINUTE
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'""",
     "q_watermark_filter" ->
       """SELECT event_id, user_id, event_type FROM events
          WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR"""

@@ -70,6 +70,28 @@ object Streams {
       .toDF()
   }
 
+  /** Stream-stream event-time interval join (attribution): each right
+    * event pairs with the same user's left events from the preceding
+    * `within` interval. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so Spark can expire join
+    * state — without the bound, stream-stream join state grows forever.
+    * Batch twin (oracle-checked): `q_range_join`.
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      within: String = "15 minutes", lateness: String = "10 minutes"): DataFrame = {
+    val l = clicks.withWatermark("ts", lateness)
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val r = purchases.withWatermark("ts", lateness)
+      .select(col("user_id").as("r_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** A8/I5 — exactly-once partitioned sink: each micro-batch stamps ds
     * and dynamic-partition-overwrites — re-processing a batch rewrites
     * the same partitions instead of duplicating them (the reference's

@@ -53,6 +53,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchase attributes to click within 15 min") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val q = Streams.attributionJoin(clicks.toDF(), buys.toDF()).writeStream
+      .format("memory").queryName("attr_out").outputMode("append").start()
+    try {
+      clicks.addData(
+        Ev(1, Timestamp.valueOf("2024-01-01 00:01:00"), 1, "click", 0.0),
+        Ev(2, Timestamp.valueOf("2024-01-01 00:30:00"), 2, "click", 0.0))
+      buys.addData(
+        Ev(10, Timestamp.valueOf("2024-01-01 00:05:00"), 1, "purchase", 9.0), // 4 min after click 1
+        Ev(11, Timestamp.valueOf("2024-01-01 00:50:00"), 2, "purchase", 9.0)) // 20 min after click 2
+      q.processAllAvailable()
+      // advance both watermarks so all joinable state resolves
+      clicks.addData(Ev(3, Timestamp.valueOf("2024-01-01 02:00:00"), 9, "click", 0.0))
+      buys.addData(Ev(12, Timestamp.valueOf("2024-01-01 02:00:00"), 9, "purchase", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .select($"click_id", $"purchase_id").as[(Long, Long)].collect().toSet
+      assert(got.contains((1L, 10L)))  // inside the 15-min bound
+      assert(!got.contains((2L, 11L))) // outside the bound
+    } finally q.stop()
+  }
+
   test("I3 streaming: session windows close once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
