@@ -141,23 +141,23 @@ object TextSketch {
     */
   def minhashSig(text: UTF8String, n: Int, seeds: Int): GenericArrayData = {
     val sh = distinctShingles(text, n)
+    val prefixes = Array.tabulate(seeds)(s => (s.toString + "|").getBytes("UTF-8"))
     val mins = new Array[Array[Byte]](seeds)
-    var s = 0
-    while (s < seeds) {
-      val prefix = (s.toString + "|").getBytes("UTF-8")
-      var best: Array[Byte] = null
-      var i = 0
-      while (i < sh.length) {
-        val shB = sh(i).getBytes("UTF-8")
-        val buf = new Array[Byte](prefix.length + shB.length)
-        System.arraycopy(prefix, 0, buf, 0, prefix.length)
-        System.arraycopy(shB, 0, buf, prefix.length, shB.length)
-        val d = md5(buf)
-        if (best == null || lessThan(d, best)) best = d
-        i += 1
+    val d = md5Local.get()
+    // shingle-outer loop: each shingle's UTF-8 bytes are encoded once
+    // for all seed families; digests stream through update() with no
+    // concat buffer
+    var i = 0
+    while (i < sh.length) {
+      val shB = sh(i).getBytes("UTF-8")
+      var s = 0
+      while (s < seeds) {
+        d.reset(); d.update(prefixes(s)); d.update(shB)
+        val dig = d.digest()
+        if (mins(s) == null || lessThan(dig, mins(s))) mins(s) = dig
+        s += 1
       }
-      mins(s) = best
-      s += 1
+      i += 1
     }
     new GenericArrayData(mins.map(toHex(_): AnyRef))
   }

@@ -16,8 +16,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit = {
+  /** Create the bucketed table if absent. Bucketing's economics are
+    * write-once-join-many: the bucket shuffle is paid at ingest and
+    * every later join is exchange-free, so an existing table (fixture
+    * names encode source + scale factor; testdata is deterministic) is
+    * reused rather than rebuilt. Pass `rebuild = true` after a source
+    * change.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int,
+      rebuild: Boolean = false): Unit = {
     val spark = df.sparkSession
+    if (!rebuild && spark.catalog.tableExists(table)) return
     // idempotent re-create (A11): drop catalog entry AND any orphaned
     // location a dead session left behind — saveAsTable refuses to
     // adopt an existing directory for a managed table

@@ -55,7 +55,7 @@ object Dedup {
     */
   def minhashSignature(df: DataFrame, textCol: String, idCol: String,
       seeds: Int, n: Int = 3): DataFrame =
-    df.select(col(idCol),
+    Par.widen(df).select(col(idCol),
       graft.expressions.TextSketchExpressions.minhash(col(textCol), n, seeds).as("sig"))
 
   /** MinHash+LSH candidate pairs: signatures banded `bands` × `rowsPerBand`;
@@ -113,7 +113,7 @@ object Dedup {
     // declarative transform/slice/md5 chain was the round-1 bench
     // outlier: interpreted lambda dispatch per shingle), and set sizes
     // fall out of the array length map-side — no groupBy shuffle.
-    val hashed = df.select(col(idCol),
+    val hashed = Par.widen(df).select(col(idCol),
       graft.expressions.TextSketchExpressions.shingleHash64(col(textCol), n).as("shs"))
       .cache()
     val sh = hashed.select(col(idCol), explode(col("shs")).as("sh_h"))

@@ -176,7 +176,7 @@ object QScalars {
     // H3 — tokenize via generator (explode(split)): the engine's only
     // "UDTF" need, satisfied by a built-in Generator.
     "q_tokenize_explode" -> ((s, dir) => {
-      Tables(s, dir).documents
+      graft.ops.Par.widen(Tables(s, dir).documents)
         .select(explode(split(col("text"), " ")).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
     })

@@ -26,7 +26,7 @@ object QText {
 
     // J3 — corpus stats per language.
     "q_text_stats" -> ((s, dir) => {
-      Tables(s, dir).documents.groupBy(col("lang"))
+      graft.ops.Par.widen(Tables(s, dir).documents).groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"),
           sum(size(Text.tokens(col("text"))).cast("bigint")).as("total_words"),
@@ -76,7 +76,7 @@ object QText {
 
     // SimHash 16-bit fingerprints (near-dup bucketing key).
     "q_simhash" -> ((s, dir) => {
-      Tables(s, dir).documents
+      graft.ops.Par.widen(Tables(s, dir).documents)
         .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash"))
     }),
 

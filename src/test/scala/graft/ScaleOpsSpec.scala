@@ -28,8 +28,8 @@ class ScaleOpsSpec extends SparkSpec {
   test("bucketed join plans without any Exchange (co-located scan)") {
     val a = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, s"x$i")).toDF("k", "vb")
-    Bucketing.writeBucketed(a, "bkt_a", "k", 4)
-    Bucketing.writeBucketed(b, "bkt_b", "k", 4)
+    Bucketing.writeBucketed(a, "bkt_a", "k", 4, rebuild = true)
+    Bucketing.writeBucketed(b, "bkt_b", "k", 4, rebuild = true)
     // force the non-broadcast path: co-location only matters for joins
     // too big to broadcast, which is what bucketing exists for
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
