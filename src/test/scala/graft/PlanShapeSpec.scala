@@ -1,0 +1,63 @@
+package graft
+
+import graft.io.PartitionedWriter
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+/** Executable proof of the scale-critical plan shapes — the properties
+  * that keep queries viable at 100 TB are asserted on the plans
+  * themselves, not trusted from code comments:
+  *  - predicate + projection pushdown reach the parquet scan,
+  *  - ds-partition pruning turns day filters into directory pruning,
+  *  - small dimensions broadcast (no fact shuffle),
+  *  - IVF assignment plans with no Exchange at all (map-only).
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("filter and projection push down to the parquet scan") {
+    val plan = Tables(spark, sfDir).lineitem
+      .filter(col("l_quantity") < 5)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:"),
+      s"projection not pruned to two columns:\n$plan")
+  }
+
+  test("ds filter prunes partitions at the source (directory-level skip)") {
+    val dir = tmpDir("plan_ds_prune")
+    val df = Seq((1L, "20240101"), (2L, "20240102"), (3L, "20240103"))
+      .toDF("id", "ds")
+    PartitionedWriter.writePartitioned(df, dir, compact = false)
+    val plan = spark.read.parquet(dir).filter(col("ds") === "20240102")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(ds"),
+      s"ds filter did not become a partition filter:\n$plan")
+  }
+
+  test("flagship enrichment joins broadcast the dimensions (no fact shuffle)") {
+    val plan = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in flagship:\n$plan")
+  }
+
+  test("IVF assignment is map-only: no Exchange anywhere in the plan") {
+    val emb = Tables(spark, sfDir).embeddings
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val plan = Similarity.ivfAssign(emb.select(col("vec_id"), col("embedding")),
+      "embedding", "vec_id", centroids, "cvec", "cid")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"IVF assignment should not shuffle:\n$plan")
+  }
+
+  test("sort+limit plans as TakeOrderedAndProject (k rows per partition, not a global sort)") {
+    val plan = Tables(spark, sfDir).lineitem
+      .orderBy(col("l_extendedprice").desc).limit(5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k fell back to a global sort:\n$plan")
+  }
+}
