@@ -118,6 +118,32 @@ object QAggregates {
         Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           col("rn").cast("bigint").as("rn"))
+    }),
+
+    // E1-ext — statistical aggregates (variance/stddev/correlation)
+    // from EXACT decimal power sums, not running-moment aggregates:
+    // builtin stddev/corr accumulate doubles in partition order, so
+    // their low bits differ run to run and engine to engine. Summing
+    // decimals is exact at any parallelism; the closed-form moment
+    // arithmetic then runs in doubles with the identical expression
+    // tree on both engines — bit-stable.
+    "q_agg_stats" -> ((s, dir) => {
+      val q = Scalars.dec(col("l_quantity"))
+      val p = Scalars.dec(col("l_extendedprice"))
+      val g = Tables(s, dir).lineitem.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(q).as("s_q"), sum(q * q).as("s_qq"),
+        sum(p).as("s_p"), sum(p * p).as("s_pp"),
+        sum(q * p).as("s_qp"))
+      val nd = col("n").cast("double")
+      val sx = col("s_q").cast("double"); val sxx = col("s_qq").cast("double")
+      val sy = col("s_p").cast("double"); val syy = col("s_pp").cast("double")
+      val sxy = col("s_qp").cast("double")
+      g.select(col("l_returnflag"), col("n"),
+        ((nd * sxx - sx * sx) / (nd * (nd - lit(1.0)))).as("var_qty"),
+        sqrt((nd * sxx - sx * sx) / (nd * (nd - lit(1.0)))).as("stddev_qty"),
+        ((nd * sxy - sx * sy) /
+          (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))).as("corr_qty_price"))
     })
   )
 
@@ -177,6 +203,24 @@ object QAggregates {
                    row_number() OVER (PARTITION BY o_custkey
                                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
             FROM orders)
-         WHERE rn <= 3"""
+         WHERE rn <= 3""",
+    "q_agg_stats" ->
+      """WITH g AS (
+           SELECT l_returnflag, count(*) AS n,
+                  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s_q,
+                  SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS s_qq,
+                  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s_p,
+                  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS s_pp,
+                  SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS s_qp
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+                (CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_qty,
+                sqrt((CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_qty,
+                (CAST(n AS DOUBLE) * CAST(s_qp AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_p AS DOUBLE))
+                  / (sqrt(CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                     * sqrt(CAST(n AS DOUBLE) * CAST(s_pp AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))) AS corr_qty_price
+         FROM g"""
   )
 }

@@ -157,6 +157,21 @@ object QScalars {
           get_json_object(col("props"), "$.k").cast("bigint").as("k_value"))
     }),
 
+    // D14-ext — schema-bound JSON parse (`from_json` with an explicit
+    // StructType) vs the path-probe above: one parse per row yields a
+    // typed struct Catalyst can prune and push through — the right
+    // shape when several fields are read, and parse failures surface
+    // as typed nulls instead of silent string defaults.
+    "q_json_struct" -> ((s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))
+      Tables(s, dir).events
+        .select(col("event_id"), from_json(col("props"), schema).as("j"))
+        .select(col("event_id"), col("j.k").as("k_value"),
+          col("j").isNotNull.as("parsed_ok"))
+    }),
+
     // D15 — array/higher-order functions over embeddings.embedding.
     // Floats widen to double (exact) before any arithmetic; the sum is
     // an exact decimal fold so partition order cannot matter.
@@ -261,6 +276,10 @@ object QScalars {
                 replace(p_name, ' ', '_') AS name_snake,
                 CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words
          FROM part""",
+    "q_json_struct" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+                props IS NOT NULL AS parsed_ok
+         FROM events""",
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
          FROM events""",
