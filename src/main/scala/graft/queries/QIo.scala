@@ -40,6 +40,24 @@ object QIo {
       Sources.csvWithSchema(s, path, schema)
     }),
 
+    // A2-ext — JSON-lines round-trip with explicit schema (no
+    // inference): the other self-describing interchange format every
+    // ingest edge meets. Doubles survive exactly: Spark writes
+    // shortest-round-trip representations.
+    "q_jsonl_ingest" -> ((s, dir) => {
+      val path = scratch("q_jsonl_ingest", dir)
+      Tables(s, dir).events
+        .filter(col("event_id") < 500)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .coalesce(1)
+        .write.mode("overwrite").json(path)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      s.read.schema(schema).json(path)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    }),
+
     // A6/A8/A10 — ds-partitioned parquet sink with dynamic partition
     // overwrite + size-adaptive compaction, then read back and
     // summarize per partition. Proves write->read row conservation and
@@ -93,6 +111,9 @@ object QIo {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts
          FROM orders WHERE o_orderkey < 500""",
+    "q_jsonl_ingest" ->
+      """SELECT event_id, user_id, event_type, value
+         FROM events WHERE event_id < 500""",
     "q_sink_partitioned_write" ->
       """SELECT strftime(o_orderdate, '%Y%m') AS ds, count(*) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
