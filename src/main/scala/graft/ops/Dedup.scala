@@ -102,8 +102,19 @@ object Dedup {
     * computed from exact integer counts. The threshold filter uses an
     * integer cross-multiplication so no float boundary is involved.
     */
+  /** `maxDocFreq`: optional skew guard for corpus scale. A shingle
+    * present in d documents emits d·(d-1)/2 candidate pairs, so one
+    * boilerplate phrase shared by 1 M documents is a 5·10^11-pair hot
+    * key no partitioning can save. Capping document frequency drops
+    * those shingles from the index, making the reported similarity a
+    * LOWER BOUND (set sizes still count capped shingles; intersections
+    * no longer can) — the standard inverted-index DF-cut: what is lost
+    * is exactly similarity carried by ubiquitous boilerplate, which
+    * near-dup pipelines usually want to ignore anyway. Off (0) by
+    * default; the oracle-checked demo runs exact.
+    */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
-      thresholdNum: Int, thresholdDen: Int): DataFrame = {
+      thresholdNum: Int, thresholdDen: Int, maxDocFreq: Long = 0L): DataFrame = {
     // Join on a 60-bit md5-prefix hash of the shingle, not the string:
     // long equi-join keys shuffle ~3x less than ~20-char UTF8 strings
     // and hash/compare faster. Collision odds at 60 bits are ~1e-7 per
@@ -116,8 +127,16 @@ object Dedup {
     val hashed = Par.widen(df).select(col(idCol),
       graft.expressions.TextSketchExpressions.shingleHash64(col(textCol), n).as("shs"))
       .cache()
-    val sh = hashed.select(col(idCol), explode(col("shs")).as("sh_h"))
+    val shAll = hashed.select(col(idCol), explode(col("shs")).as("sh_h"))
     val sizes = hashed.select(col(idCol), size(col("shs")).cast("bigint").as("n_sh"))
+    val sh =
+      if (maxDocFreq <= 0) shAll
+      else {
+        val rare = shAll.groupBy(col("sh_h"))
+          .agg(count(lit(1)).as("__df")).filter(col("__df") <= maxDocFreq)
+          .select(col("sh_h"))
+        shAll.join(rare, Seq("sh_h"), "left_semi")
+      }
     val inter = sh.select(col(idCol).as("id_a"), col("sh_h"))
       .join(sh.select(col(idCol).as("id_b"), col("sh_h")), Seq("sh_h"))
       .filter(col("id_a") < col("id_b"))

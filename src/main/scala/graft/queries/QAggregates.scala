@@ -120,6 +120,19 @@ object QAggregates {
           col("rn").cast("bigint").as("rn"))
     }),
 
+    // F1-ext — relative-rank window functions: percent_rank and
+    // cume_dist over a total tie-broken order (value then key) —
+    // identical definitions in DuckDB, so the doubles match exactly.
+    "q_window_relrank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables(s, dir).orders
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+    }),
+
     // E1-ext — statistical aggregates (variance/stddev/correlation)
     // from EXACT decimal power sums, not running-moment aggregates:
     // builtin stddev/corr accumulate doubles in partition order, so
@@ -204,6 +217,13 @@ object QAggregates {
                                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
             FROM orders)
          WHERE rn <= 3""",
+    "q_window_relrank" ->
+      """SELECT o_orderpriority, o_orderkey,
+                percent_rank() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice ASC, o_orderkey ASC) AS pct_rank,
+                cume_dist() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice ASC, o_orderkey ASC) AS cume
+         FROM orders WHERE o_orderkey < 2000""",
     "q_agg_stats" ->
       """WITH g AS (
            SELECT l_returnflag, count(*) AS n,

@@ -73,6 +73,28 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains((1L, 3L)))
   }
 
+  test("ngram jaccard DF-cut: ubiquitous shingles stop generating pairs") {
+    // Two docs that share ONLY a boilerplate header; two true near-dups.
+    val header = "terms of service apply to all content"
+    val docs = Seq(
+      (1L, header + " alpha beta gamma delta epsilon"),
+      (2L, header + " zeta eta theta iota kappa"),
+      (5L, header + " lambda mu nu xi omicron"),
+      (3L, "the quick brown fox jumps over the lazy dog today"),
+      (4L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 1, 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.contains((1L, 2L)) && exact.contains((3L, 4L)))
+    // cap df at 2: the header shingles (df=3) leave the index; the
+    // boilerplate-only pairs disappear, the true near-dup (its shared
+    // shingles have df=2) survives
+    val capped = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 1, 10, maxDocFreq = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!capped.contains((1L, 2L)) && !capped.contains((1L, 5L)))
+    assert(capped.contains((3L, 4L)))
+  }
+
   test("simhash: near-dups within small hamming distance, unrelated far") {
     val fp = corpus.select($"doc_id", Dedup.simhash($"text", 16).as("h"))
       .as[(Long, Long)].collect().toMap
