@@ -85,6 +85,24 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Jaccard estimate for candidate pairs from signature agreement:
+    * the fraction of seed families whose min-hash matches is an
+    * unbiased estimator of the true Jaccard similarity. This is the
+    * cheap middle stage of the production dedup pipeline — LSH
+    * candidates -> signature estimate (no document text touched) ->
+    * exact compare only above threshold. The joins ship signatures
+    * (seeds × 32 hex), never text.
+    */
+  def minhashJaccardEstimate(sig: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val sa = sig.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val sb = sig.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
+    pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          hit => hit)).cast("double")
+          / size(col("sig_a")).cast("double")).as("jaccard_est"))
+  }
+
   /** SimHash fingerprint over `bits` bits (each bit j: sign of the sum
     * of ±1 votes from every token whose md5-int has bit j set). Native
     * [[graft.expressions.SimHash]] kernel — one md5 per token (the

@@ -188,6 +188,20 @@ object QScalars {
             (acc, x) => acc + x.cast("double")).as("elem_sum"))
     }),
 
+    // D13-ext — MapType construction and access (map_from_arrays,
+    // element_at, map_keys): the dynamic-schema escape hatch when
+    // per-row key sets vary.
+    "q_map_funcs" -> ((s, dir) => {
+      val m = map_from_arrays(
+        array(lit("status"), lit("prio")),
+        array(col("o_orderstatus"), col("o_orderpriority")))
+      Tables(s, dir).orders.filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          element_at(m, "prio").as("prio"),
+          element_at(m, "status").as("status"),
+          size(map_keys(m)).cast("bigint").as("n_keys"))
+    }),
+
     // H3 — tokenize via generator (explode(split)): the engine's only
     // "UDTF" need, satisfied by a built-in Generator.
     "q_tokenize_explode" -> ((s, dir) => {
@@ -276,6 +290,12 @@ object QScalars {
                 replace(p_name, ' ', '_') AS name_snake,
                 CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words
          FROM part""",
+    "q_map_funcs" ->
+      """SELECT o_orderkey,
+                map_extract(MAP {'status': o_orderstatus, 'prio': o_orderpriority}, 'prio')[1] AS prio,
+                map_extract(MAP {'status': o_orderstatus, 'prio': o_orderpriority}, 'status')[1] AS status,
+                CAST(cardinality(MAP {'status': o_orderstatus, 'prio': o_orderpriority}) AS BIGINT) AS n_keys
+         FROM orders WHERE o_orderkey < 1000""",
     "q_json_struct" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
                 props IS NOT NULL AS parsed_ok

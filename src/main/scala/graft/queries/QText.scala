@@ -74,6 +74,15 @@ object QText {
       Dedup.minhashCandidates(sig, "doc_id", bands = 8, rowsPerBand = 1)
     }),
 
+    // LSH candidates -> signature-agreement Jaccard estimate: the
+    // cheap verification stage (no document text touched) between
+    // banding and exact comparison.
+    "q_minhash_est" -> ((s, dir) => {
+      val sig = Dedup.minhashSignature(Tables(s, dir).documents, "text", "doc_id", 8)
+      val cand = Dedup.minhashCandidates(sig, "doc_id", bands = 8, rowsPerBand = 1)
+      Dedup.minhashJaccardEstimate(sig, "doc_id", cand)
+    }),
+
     // SimHash 16-bit fingerprints (near-dup bucketing key).
     "q_simhash" -> ((s, dir) => {
       graft.ops.Par.widen(Tables(s, dir).documents)
@@ -153,6 +162,21 @@ object QText {
             s"SELECT doc_id, $i AS band, md5(mh$i) AS bucket FROM mh").mkString(" UNION ALL ")})
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
+    "q_minhash_est" ->
+      s"""WITH $shingleCte,
+          mh AS (SELECT doc_id,
+                        ${(0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")}
+                 FROM sh GROUP BY doc_id),
+          bands AS (${(0 until 8).map(i =>
+            s"SELECT doc_id, $i AS band, md5(mh$i) AS bucket FROM mh").mkString(" UNION ALL ")}),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+          SELECT id_a, id_b,
+                 (${(0 until 8).map(i =>
+                    s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END").mkString(" + ")}) / 8.0
+                   AS jaccard_est
+          FROM cand JOIN mh x ON x.doc_id = id_a JOIN mh y ON y.doc_id = id_b""",
     "q_simhash" ->
       s"""SELECT doc_id,
                  ${(0 until 16).map(j =>
