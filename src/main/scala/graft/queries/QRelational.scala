@@ -129,6 +129,46 @@ object QRelational {
         .select("l_orderkey", "l_linenumber", "l_quantity")
     }),
 
+    // B7-ext — deterministic content-addressed sample: ~10% of orders
+    // chosen by key-hash bucket. Unlike RNG sampling this is stable
+    // across engines, runs, AND repartitions — the property incremental
+    // pipelines need so re-runs sample the same rows (and the reason
+    // it CAN be oracle-checked while q_sample is rows-only).
+    "q_sample_hash" -> ((s, dir) => {
+      Tables(s, dir).orders
+        .filter(
+          conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+            .cast("bigint") % 10 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    }),
+
+    // C-ext — NOT IN with a nullable subquery column: three-valued
+    // logic means ONE null in the list empties the result unless nulls
+    // are excluded — the classic silent-wrong-answer trap; stated
+    // explicitly with the null-safe anti-join form.
+    "q_not_in_null" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      // o_comment-keyed nullable side: null out one value, then the
+      // null-EXCLUDING NOT IN (the form that returns rows)
+      val keys = t.orders.filter(col("o_orderkey") < 500).select(
+        when(col("o_orderkey") === 7, lit(null).cast("long"))
+          .otherwise(col("o_custkey")).as("k"))
+      t.customer.join(keys.filter(col("k").isNotNull),
+          col("c_custkey") === col("k"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // G3-ext — union by NAME across different column orders (schema
+    // evolution: late files with reordered/renamed-back columns).
+    "q_union_by_name" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val a = t.orders.filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val b = t.orders.filter(col("o_orderkey") >= 300 && col("o_orderkey") < 600)
+        .select(col("o_orderstatus"), col("o_orderkey")) // reordered
+      a.unionByName(b)
+    }),
+
     // G3 — UNION / INTERSECT / EXCEPT, tagged into one result.
     "q_set_ops" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -188,6 +228,21 @@ object QRelational {
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q_sample_hash" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+         FROM orders
+         WHERE CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 0""",
+    "q_not_in_null" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN (
+           SELECT CASE WHEN o_orderkey = 7 THEN NULL ELSE o_custkey END AS k
+           FROM orders
+           WHERE o_orderkey < 500
+             AND CASE WHEN o_orderkey = 7 THEN NULL ELSE o_custkey END IS NOT NULL)""",
+    "q_union_by_name" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 300
+         UNION ALL
+         SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey >= 300 AND o_orderkey < 600""",
     "q_set_ops" ->
       """SELECT nationkey, 'union' AS op FROM
            (SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier)
