@@ -52,13 +52,29 @@ object PartitionedWriter {
       path: String,
       partitionCol: String = "ds",
       overwritePartitions: Boolean = true,
+      compact: Boolean = true): Unit =
+    writePartitionedBy(df, path, Seq(partitionCol), overwritePartitions, compact)
+
+  /** Multi-column variant: the partition-key granularity must match
+    * the unit a producer replays — dynamic overwrite replaces every
+    * partition present in `df`, so a batch that carries only PART of a
+    * partition's data silently erases the rest (see
+    * [[graft.streaming.Streams.partitionedSink]], which sub-partitions
+    * by window for exactly this reason).
+    */
+  def writePartitionedBy(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      overwritePartitions: Boolean = true,
       compact: Boolean = true): Unit = {
-    // Repartition BY the partition column: each task owns a disjoint
-    // set of ds values, so (a) writers parallelize across tasks instead
-    // of one task fanning out every directory, and (b) each ds ends up
-    // with one file per owning task, not one per task — the two
-    // failure modes of naive partitioned writes at scale. Task count is
-    // the max of the 128 MiB size target and the cluster's parallelism.
+    // Repartition BY the partition columns: each task owns a disjoint
+    // set of partition values, so (a) writers parallelize across tasks
+    // instead of one task fanning out every directory, and (b) each
+    // partition ends up with one file per owning task, not one per
+    // task — the two failure modes of naive partitioned writes at
+    // scale. Task count is the max of the 128 MiB size target and the
+    // cluster's parallelism.
     val out = if (compact) {
       val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
       val sizeN =
@@ -66,11 +82,11 @@ object PartitionedWriter {
         else ((bytes + targetFileBytes - 1) / targetFileBytes).toInt
       val n = math.min(math.max(sizeN, df.sparkSession.sparkContext.defaultParallelism),
         maxOutputFiles)
-      df.repartition(n, col(partitionCol))
+      df.repartition(n, partitionCols.map(col): _*)
     } else df
     val mode = if (overwritePartitions) SaveMode.Overwrite else SaveMode.Append
     out.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    out.write.mode(mode).partitionBy(partitionCol).parquet(path)
+    out.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
   }
 
   /** A9 — high-watermark: max partition value of an existing dataset.

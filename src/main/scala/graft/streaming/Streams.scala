@@ -92,10 +92,17 @@ object Streams {
         col("click_ts"), col("purchase_ts"))
   }
 
-  /** A8/I5 — exactly-once partitioned sink: each micro-batch stamps ds
-    * and dynamic-partition-overwrites — re-processing a batch rewrites
-    * the same partitions instead of duplicating them (the reference's
-    * truncate+append loop, atomically).
+  /** A8/I5 — exactly-once partitioned sink: each micro-batch stamps
+    * (ds, win) from the window start and dynamic-partition-overwrites.
+    * The partition key matches the EMISSION granularity: append-mode
+    * watermarked aggs emit each closed window exactly once, so a
+    * window is always written whole by exactly one batch — replaying
+    * that batch rewrites the same (ds, win) partitions (idempotent),
+    * while later batches' new windows land in fresh partitions instead
+    * of overwriting the day. (Overwriting at bare-ds granularity, the
+    * reference's truncate+append loop, is only safe when one batch
+    * carries a whole day — its daily-driver assumption, not true of a
+    * streaming window feed.)
     */
   def partitionedSink(agg: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
     agg.writeStream
@@ -104,8 +111,10 @@ object Streams {
       .trigger(Trigger.ProcessingTime("5 seconds"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val stamped = batch.withColumn("ds", Scalars.dsOf(col("window_start")))
-          PartitionedWriter.writePartitioned(stamped, path, compact = false)
+          val stamped = batch
+            .withColumn("ds", Scalars.dsOf(col("window_start")))
+            .withColumn("win", date_format(col("window_start"), "HHmm"))
+          PartitionedWriter.writePartitionedBy(stamped, path, Seq("ds", "win"), compact = false)
         }
       }
 }

@@ -78,6 +78,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("A8/I5 streaming: foreachBatch sink lands ds-partitioned parquet exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = tmpDir("stream_sink_out")
+    val ckpt = tmpDir("stream_sink_ckpt")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val q = Streams.partitionedSink(Streams.tumblingAgg(mem.toDF()), out, ckpt).start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      // watermark must pass the windows before append-mode emits them
+      mem.addData(Ev(9, Timestamp.valueOf("2024-01-01 05:00:00"), 9, "click", 0.0))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(out)
+      assert(landed.columns.contains("ds"))
+      val byDs = landed.groupBy($"ds").count().as[(String, Long)].collect().toMap
+      assert(byDs.keySet == Set("20240101")) // all five evs are 2024-01-01
+      // the closed 5-minute windows: 00:00 (2 rows incl. replayed dup), 00:05, 01:00
+      assert(landed.select($"n").as[Long].collect().sum == 5L)
+    } finally q.stop()
+  }
+
   test("I3 streaming: session windows close once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
