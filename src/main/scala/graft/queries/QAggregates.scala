@@ -120,6 +120,19 @@ object QAggregates {
           col("rn").cast("bigint").as("rn"))
     }),
 
+    // E-ext — bitwise aggregates: bit_xor is the standard
+    // order-insensitive content checksum (and never overflows, unlike
+    // sum under ANSI mode); bit_and/bit_or answer "bits common to /
+    // present in any row" flag columns.
+    "q_agg_bitwise" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          bit_xor(col("l_partkey")).as("xor_partkey"),
+          bit_and(col("l_linenumber").cast("bigint")).as("and_linenumber"),
+          bit_or(col("l_linenumber").cast("bigint")).as("or_linenumber"))
+    }),
+
     // F1-ext — relative-rank window functions: percent_rank and
     // cume_dist over a total tie-broken order (value then key) —
     // identical definitions in DuckDB, so the doubles match exactly.
@@ -217,6 +230,12 @@ object QAggregates {
                                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
             FROM orders)
          WHERE rn <= 3""",
+    "q_agg_bitwise" ->
+      """SELECT l_returnflag,
+                bit_xor(l_partkey) AS xor_partkey,
+                bit_and(CAST(l_linenumber AS BIGINT)) AS and_linenumber,
+                bit_or(CAST(l_linenumber AS BIGINT)) AS or_linenumber
+         FROM lineitem GROUP BY l_returnflag""",
     "q_window_relrank" ->
       """SELECT o_orderpriority, o_orderkey,
                 percent_rank() OVER (PARTITION BY o_orderpriority
