@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Classic TPC-H query shapes (Q3 / Q5 / Q10, trimmed to the synthetic
+  * star's columns) — the canonical multi-join + aggregate + top-k
+  * patterns every analytics engine is judged on. These stress exactly
+  * the optimizer behaviors the engine banks on at 100 TB: dimension
+  * broadcast under selective filters, join reorder across a 5-table
+  * chain, partial aggregation before the shuffle, and
+  * TakeOrderedAndProject for the final top-k.
+  *
+  * Determinism: revenue sums go through DECIMAL(18,6) (exact at any
+  * parallelism) and every LIMIT carries a total tie-break order, so
+  * the selected row set is identical in both engines.
+  */
+object QTpch {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def withViews(s: SparkSession, dir: String): Unit = {
+    val t = Tables(s, dir)
+    t.customer.createOrReplaceTempView("t_customer")
+    t.orders.createOrReplaceTempView("t_orders")
+    t.lineitem.createOrReplaceTempView("t_lineitem")
+    t.supplier.createOrReplaceTempView("t_supplier")
+    t.nation.createOrReplaceTempView("t_nation")
+    t.region.createOrReplaceTempView("t_region")
+  }
+
+  private val revenue =
+    "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))"
+
+  val queries: Map[String, Q] = Map(
+    // Q3 — shipping-priority: selective dim filter, 3-way join, agg,
+    // top-10 by revenue.
+    "q_tpch_q3" -> ((s, dir) => {
+      withViews(s, dir)
+      s.sql(s"""
+        SELECT l_orderkey,
+               CAST($revenue AS DOUBLE) AS revenue,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS order_date
+        FROM t_customer
+        JOIN t_orders   ON c_custkey = o_custkey
+        JOIN t_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP_NTZ '1995-03-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP_NTZ '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, order_date ASC, l_orderkey ASC
+        LIMIT 10
+      """)
+    }),
+
+    // Q5 — local-supplier volume: 6-table join closed by the
+    // "customer and supplier in the same nation" condition.
+    "q_tpch_q5" -> ((s, dir) => {
+      withViews(s, dir)
+      s.sql(s"""
+        SELECT n_name, CAST($revenue AS DOUBLE) AS revenue
+        FROM t_customer
+        JOIN t_orders   ON c_custkey = o_custkey
+        JOIN t_lineitem ON l_orderkey = o_orderkey
+        JOIN t_supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN t_nation   ON s_nationkey = n_nationkey
+        JOIN t_region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP_NTZ '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP_NTZ '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name ASC
+      """)
+    }),
+
+    // Q10 — returned-item reporting: revenue lost to returns per
+    // customer in a quarter, top-20.
+    "q_tpch_q10" -> ((s, dir) => {
+      withViews(s, dir)
+      s.sql(s"""
+        SELECT c_custkey, c_name,
+               CAST($revenue AS DOUBLE) AS revenue,
+               c_acctbal, n_name
+        FROM t_customer
+        JOIN t_orders   ON c_custkey = o_custkey
+        JOIN t_lineitem ON l_orderkey = o_orderkey
+        JOIN t_nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP_NTZ '1995-10-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP_NTZ '1996-01-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+      """)
+    })
+  )
+
+  private val dRevenue =
+    "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
+
+  val oracles: Map[String, String] = Map(
+    "q_tpch_q3" ->
+      s"""SELECT l_orderkey, $dRevenue AS revenue,
+                 strftime(o_orderdate, '%Y-%m-%d') AS order_date
+          FROM customer
+          JOIN orders   ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1995-03-15'
+            AND l_shipdate  > TIMESTAMP '1995-03-15'
+          GROUP BY l_orderkey, o_orderdate
+          ORDER BY revenue DESC, order_date ASC, l_orderkey ASC
+          LIMIT 10""",
+    "q_tpch_q5" ->
+      s"""SELECT n_name, $dRevenue AS revenue
+          FROM customer
+          JOIN orders   ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate <  TIMESTAMP '1997-01-01'
+          GROUP BY n_name
+          ORDER BY revenue DESC, n_name ASC""",
+    "q_tpch_q10" ->
+      s"""SELECT c_custkey, c_name, $dRevenue AS revenue, c_acctbal, n_name
+          FROM customer
+          JOIN orders   ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+            AND o_orderdate <  TIMESTAMP '1996-01-01'
+            AND l_returnflag = 'R'
+          GROUP BY c_custkey, c_name, c_acctbal, n_name
+          ORDER BY revenue DESC, c_custkey ASC
+          LIMIT 20"""
+  )
+}
