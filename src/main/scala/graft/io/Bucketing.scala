@@ -27,13 +27,27 @@ object Bucketing {
       rebuild: Boolean = false): Unit = {
     val spark = df.sparkSession
     if (!rebuild && spark.catalog.tableExists(table)) return
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!rebuild && fs.exists(loc)) {
+      // A fresh session's in-memory catalog has forgotten the table,
+      // but the bucket FILES (hash-placed, bucket ids in the names)
+      // are still on disk from an earlier session: re-declare the
+      // table over them with the full bucket spec instead of paying
+      // the bucket shuffle + write again. Same deterministic source,
+      // same spec -> the layout contract still holds.
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(
+        s"""CREATE TABLE $table (${df.schema.toDDL}) USING parquet
+           |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $buckets BUCKETS
+           |LOCATION '${loc.toString}'""".stripMargin)
+      return
+    }
     // idempotent re-create (A11): drop catalog entry AND any orphaned
     // location a dead session left behind — saveAsTable refuses to
     // adopt an existing directory for a managed table
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCol)

@@ -90,4 +90,38 @@ class PropertySpec extends SparkSpec {
       assert(fps.map(_.getLong(0)).distinct.length == texts.distinct.length)
     }
   }
+
+  /** Adversarial text: repeated/leading/trailing spaces (empty tokens),
+    * unicode (multi-byte UTF-8), punctuation — the cases where a JVM
+    * kernel's split/encode could drift from Spark's split()/md5().
+    */
+  private val textGen: Gen[String] = Gen.nonEmptyListOf(Gen.oneOf(
+    "the", "fox", "naïve", "héllo", "日本語", "a", "", " ", "x.y,z", "émoji🎈", "tab\tchar"))
+    .map(_.mkString(" "))
+
+  test("native shingle-hash kernel == declarative pipeline on adversarial text") {
+    forAll(textGen, n = 20) { text =>
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val native = df.select(
+        explode(graft.expressions.TextSketchExpressions.shingleHash64($"text", 3)).as("h"))
+        .as[Long].collect().sorted.toSeq
+      val decl = graft.ops.Dedup.shingles(df, "text", "doc_id", 3)
+        .select(conv(substring(md5($"shingle"), 1, 15), 16, 10).cast("long"))
+        .as[Long].collect().sorted.toSeq
+      assert(native == decl, s"text=<$text>")
+    }
+  }
+
+  test("native minhash kernel == declarative min(md5(seed|shingle)) on adversarial text") {
+    forAll(textGen, n = 20) { text =>
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val native = graft.ops.Dedup.minhashSignature(df, "text", "doc_id", 4)
+        .select($"sig").as[Seq[String]].head()
+      val decl = graft.ops.Dedup.shingles(df, "text", "doc_id", 3)
+        .groupBy($"doc_id")
+        .agg(array((0 until 4).map(sd => min(md5(concat(lit(s"$sd|"), $"shingle")))): _*).as("sig"))
+        .select($"sig").as[Seq[String]].head()
+      assert(native == decl, s"text=<$text>")
+    }
+  }
 }
