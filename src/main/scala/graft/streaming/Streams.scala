@@ -22,6 +22,7 @@ import org.apache.spark.sql.Row
   */
 final case class UserEvent(event_id: Long, user_id: Long, value: Double)
 final case class UserCount(user_id: Long, n: Long)
+final case class UserTotal(user_id: Long, total: Double)
 
 object Streams {
 
@@ -67,6 +68,39 @@ object Streams {
           state.update(next)
           Iterator(next)
         })
+      .toDF()
+  }
+
+  /** Spark 4's `transformWithState` successor to the
+    * `flatMapGroupsWithState` form above: explicit named state
+    * (ValueState/ListState/MapState per key), optional TTL, timers —
+    * the API new stateful pipelines should target. Requires the
+    * RocksDB state store provider; state shards by key across
+    * executors like all stream state.
+    */
+  class RunningTotalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserTotal] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    @transient private var total: ValueState[Double] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      total = getHandle.getValueState[Double]("total",
+        org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timers: TimerValues): Iterator[UserTotal] = {
+      val sum = rows.map(_.value).sum + (if (total.exists()) total.get() else 0.0)
+      total.update(sum)
+      Iterator(UserTotal(key, sum))
+    }
+  }
+
+  /** Per-user running value totals via `transformWithState`. */
+  def runningTotals(events: org.apache.spark.sql.Dataset[UserEvent]): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
       .toDF()
   }
 

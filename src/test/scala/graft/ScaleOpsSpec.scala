@@ -44,6 +44,32 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("transformWithState (Spark 4 arbitrary state) keeps running totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[UserEvent]
+    val q = Streams.runningTotals(mem.toDS()).writeStream
+      .format("memory").queryName("totals_out").outputMode("append").start()
+    try {
+      mem.addData(UserEvent(1, 10, 1.5), UserEvent(2, 10, 2.5), UserEvent(3, 20, 3.0))
+      q.processAllAvailable()
+      mem.addData(UserEvent(4, 10, 4.0))
+      q.processAllAvailable() // ValueState must carry: user 10 reaches 8.0
+      val latest = spark.table("totals_out")
+        .groupBy($"user_id").agg(max($"total").as("total"))
+        .as[(Long, Double)].collect().toMap
+      assert(latest(10L) == 8.0 && latest(20L) == 3.0)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState keeps running per-user counts across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[UserEvent]
