@@ -120,6 +120,19 @@ object QAggregates {
           col("rn").cast("bigint").as("rn"))
     }),
 
+    // F2-ext — lag IGNORE NULLS: carry the last VALID reading across
+    // gaps (error rows null out their value) — the gap-filling
+    // primitive for sensor/counter streams.
+    "q_window_ignore_nulls" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val validValue = when(col("event_type") === "error", lit(null))
+        .otherwise(col("value"))
+      Tables(s, dir).events
+        .select(col("user_id"), col("event_id"),
+          lag(validValue, 1, null, ignoreNulls = true).over(w).as("prev_valid_value"))
+    }),
+
     // E-ext — bitwise aggregates: bit_xor is the standard
     // order-insensitive content checksum (and never overflows, unlike
     // sum under ANSI mode); bit_and/bit_or answer "bits common to /
@@ -230,6 +243,11 @@ object QAggregates {
                                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
             FROM orders)
          WHERE rn <= 3""",
+    "q_window_ignore_nulls" ->
+      """SELECT user_id, event_id,
+                lag(CASE WHEN event_type = 'error' THEN NULL ELSE value END, 1 IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_valid_value
+         FROM events""",
     "q_agg_bitwise" ->
       """SELECT l_returnflag,
                 bit_xor(l_partkey) AS xor_partkey,
