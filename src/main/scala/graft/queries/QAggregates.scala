@@ -165,24 +165,29 @@ object QAggregates {
     // their low bits differ run to run and engine to engine. Summing
     // decimals is exact at any parallelism; the closed-form moment
     // arithmetic then runs in doubles with the identical expression
-    // tree on both engines — bit-stable.
+    // tree on both engines — bit-stable. Measure choice matters: every
+    // power sum's integer mantissa must stay under 2^53, because
+    // DuckDB converts big decimals to double via int128 -> double ->
+    // /10^scale (TWO roundings) while Spark rounds once — sums of
+    // price^2 crossed 2^53 and diverged by an ulp, so the correlation
+    // pairs quantity with discount (bounded magnitudes).
     "q_agg_stats" -> ((s, dir) => {
       val q = Scalars.dec(col("l_quantity"))
-      val p = Scalars.dec(col("l_extendedprice"))
+      val d = Scalars.dec(col("l_discount"))
       val g = Tables(s, dir).lineitem.groupBy(col("l_returnflag")).agg(
         count(lit(1)).as("n"),
         sum(q).as("s_q"), sum(q * q).as("s_qq"),
-        sum(p).as("s_p"), sum(p * p).as("s_pp"),
-        sum(q * p).as("s_qp"))
+        sum(d).as("s_d"), sum(d * d).as("s_dd"),
+        sum(q * d).as("s_qd"))
       val nd = col("n").cast("double")
       val sx = col("s_q").cast("double"); val sxx = col("s_qq").cast("double")
-      val sy = col("s_p").cast("double"); val syy = col("s_pp").cast("double")
-      val sxy = col("s_qp").cast("double")
+      val sy = col("s_d").cast("double"); val syy = col("s_dd").cast("double")
+      val sxy = col("s_qd").cast("double")
       g.select(col("l_returnflag"), col("n"),
         ((nd * sxx - sx * sx) / (nd * (nd - lit(1.0)))).as("var_qty"),
         sqrt((nd * sxx - sx * sx) / (nd * (nd - lit(1.0)))).as("stddev_qty"),
         ((nd * sxy - sx * sy) /
-          (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))).as("corr_qty_price"))
+          (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))).as("corr_qty_disc"))
     })
   )
 
@@ -266,18 +271,18 @@ object QAggregates {
            SELECT l_returnflag, count(*) AS n,
                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s_q,
                   SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS s_qq,
-                  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s_p,
-                  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS s_pp,
-                  SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS s_qp
+                  SUM(CAST(l_discount AS DECIMAL(18,2))) AS s_d,
+                  SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS s_dd,
+                  SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS s_qd
            FROM lineitem GROUP BY l_returnflag)
          SELECT l_returnflag, n,
                 (CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_qty,
                 sqrt((CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_qty,
-                (CAST(n AS DOUBLE) * CAST(s_qp AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_p AS DOUBLE))
+                (CAST(n AS DOUBLE) * CAST(s_qd AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_d AS DOUBLE))
                   / (sqrt(CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
-                     * sqrt(CAST(n AS DOUBLE) * CAST(s_pp AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))) AS corr_qty_price
+                     * sqrt(CAST(n AS DOUBLE) * CAST(s_dd AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))) AS corr_qty_disc
          FROM g"""
   )
 }
