@@ -95,6 +95,48 @@ object QText {
       Dedup.ngramJaccardPairs(Tables(s, dir).documents, "text", "doc_id", 3, 1, 5)
     }),
 
+    // Sequence packing: assign documents to ~512-token training bins
+    // by running token cumsum (greedy in doc_id order). One window
+    // pass; at scale the order key is a shard-local sequence so bins
+    // pack within partitions without a global sort.
+    "q_token_pack" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables(s, dir).documents
+        .select(col("doc_id"), size(Text.tokens(col("text"))).cast("bigint").as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("bin_id", ((col("cum_tokens") - lit(1)) / lit(512)).cast("bigint"))
+    }),
+
+    // Benchmark decontamination: drop training documents sharing ANY
+    // word 8-gram with the benchmark set (here: doc_id < 50). The
+    // overlap test is a semi-join on 60-bit shingle hashes — only
+    // hashes shuffle, never text; the benchmark side broadcasts.
+    "q_contamination" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val sh = (d: org.apache.spark.sql.DataFrame) => d.select(col("doc_id"),
+        explode(graft.expressions.TextSketchExpressions.shingleHash64(col("text"), 8)).as("h"))
+      val benchShingles = sh(docs.filter(col("doc_id") < 50)).select(col("h")).distinct()
+      val contaminated = sh(docs.filter(col("doc_id") >= 50))
+        .join(broadcast(benchShingles), Seq("h"), "left_semi")
+        .select(col("doc_id")).distinct()
+      docs.filter(col("doc_id") >= 50)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // Repetition score: 1 - distinct/total trigrams. Total shingle
+    // count is arithmetic on the word count (no expansion); distinct
+    // count is the native kernel's array length — one scan, no shuffle.
+    "q_repetition" -> ((s, dir) => {
+      val total = greatest(size(Text.tokens(col("text"))) - lit(2), lit(1)).cast("double")
+      val distinctN =
+        size(graft.expressions.TextSketchExpressions.shingleHash64(col("text"), 3)).cast("double")
+      Tables(s, dir).documents
+        .select(col("doc_id"), (lit(1.0) - distinctN / total).as("repetition"))
+    }),
+
     // The full corpus-cleaning chain (exact dedup -> LSH near-dup
     // removal -> quality gate) as one oracle-checked pipeline.
     "q_corpus_clean" -> ((s, dir) => {
@@ -162,6 +204,35 @@ object QText {
             s"SELECT doc_id, $i AS band, md5(mh$i) AS bucket FROM mh").mkString(" UNION ALL ")})
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
+    "q_token_pack" ->
+      """SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+                CAST((cum_tokens - 1) // 512 AS BIGINT) AS bin_id
+         FROM (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                      SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                        OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+               FROM documents)""",
+    "q_contamination" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          sh AS (SELECT DISTINCT doc_id,
+                        CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h
+                 FROM (SELECT doc_id,
+                              unnest(list_transform(range(1, greatest(len(w) - 7, 1) + 1),
+                                                    i -> array_to_string(w[i:i+7], ' '))) AS shingle
+                       FROM words)),
+          bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < 50),
+          cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (h) WHERE s.doc_id >= 50)
+          SELECT doc_id, lang FROM documents
+          WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM cont)""",
+    "q_repetition" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         SELECT doc_id,
+                1.0 - CAST(len(list_distinct(list_transform(
+                        list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                                       i -> array_to_string(w[i:i+2], ' ')),
+                        s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)))) AS DOUBLE)
+                      / CAST(greatest(len(w) - 2, 1) AS DOUBLE) AS repetition
+         FROM words""",
     "q_minhash_est" ->
       s"""WITH $shingleCte,
           mh AS (SELECT doc_id,
