@@ -26,4 +26,23 @@ object Skew {
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Two-stage aggregation under key skew: aggregate on (key, salt)
+    * first — the hot key's rows spread over `buckets` reducers — then
+    * merge the per-salt partials by key. Every aggregate used must be
+    * decomposable into partial + merge (sums/counts/min/max are; avg
+    * must be carried as sum+count). Results are identical to the plain
+    * groupBy — the salt never escapes. NOTE Spark's own hash aggregate
+    * already does map-side partial aggregation, which absorbs most
+    * groupBy skew; explicit salting is for the residue (e.g. partials
+    * defeated by high per-partition key cardinality).
+    */
+  def saltedAgg(df: DataFrame, key: String, buckets: Int,
+      partials: Seq[org.apache.spark.sql.Column],
+      merges: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.withColumn("__salt", (rand(seed = 7) * buckets).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(partials.head, partials.tail: _*)
+      .groupBy(col(key))
+      .agg(merges.head, merges.tail: _*)
 }

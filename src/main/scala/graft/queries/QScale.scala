@@ -27,6 +27,18 @@ object QScale {
         .agg(count(lit(1)).as("n_items"), sum(col("qty")).cast("double").as("total_qty"))
     }),
 
+    // Two-stage salted aggregation: partial per (key, salt), merge per
+    // key — result identical to the plain groupBy (the oracle).
+    "q_skew_agg_twostage" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Skew.saltedAgg(
+        t.lineitem.select(col("l_returnflag"), Scalars.dec(col("l_quantity")).as("qty")),
+        "l_returnflag", buckets = 8,
+        partials = Seq(count(lit(1)).as("pn"), sum(col("qty")).as("pq")),
+        merges = Seq(sum(col("pn")).as("n_items"),
+          sum(col("pq")).cast("double").as("total_qty")))
+    }),
+
     // Bucketed co-located fact-fact join: lineitem and orders bucketed
     // by orderkey into catalog tables, joined shuffle-free, aggregated.
     "q_bucketed_join" -> ((s, dir) => {
@@ -51,6 +63,10 @@ object QScale {
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand""",
+    "q_skew_agg_twostage" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+         FROM lineitem GROUP BY l_returnflag""",
     "q_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty

@@ -54,6 +54,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"IVF assignment should not shuffle:\n$plan")
   }
 
+  test("global orderBy plans as a range-partitioned sort (sampled split points, no single reducer)") {
+    val plan = Tables(spark, sfDir).lineitem
+      .orderBy(col("l_extendedprice").desc)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange rangepartitioning"),
+      s"global sort should range-partition, not funnel to one task:\n$plan")
+  }
+
   test("sort+limit plans as TakeOrderedAndProject (k rows per partition, not a global sort)") {
     val plan = Tables(spark, sfDir).lineitem
       .orderBy(col("l_extendedprice").desc).limit(5)
