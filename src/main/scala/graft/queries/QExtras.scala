@@ -11,10 +11,39 @@ import org.apache.spark.sql.functions._
   * values, ntile/percent_rank/cume_dist, FILTER-style conditional
   * aggregates, date arithmetic, null-handling functions, array ops.
   */
+/** Typed record for the Dataset[T] pipeline demo (must be top-level so
+  * the Encoder derives outside the test/query closure).
+  */
+final case class OrderRec(o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
+    o_totalprice: Double)
+final case class CustSpend(o_custkey: Long, n_open: Long, cents: Long)
+
 object QExtras {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // Typed Dataset[T] pipeline (SURVEY §1.1: Dataset where type safety
+    // helps): case-class Encoder scan -> typed filter/map ->
+    // groupByKey + mapGroups with integer-cent arithmetic. The lambdas
+    // cost Encoder round-trips vs Catalyst expressions — the demo
+    // documents the trade; columnar stays the default.
+    "q_typed_agg" -> ((s, dir) => {
+      import s.implicits._
+      val ds = Tables(s, dir).orders
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .as[OrderRec]
+      ds.filter(o => o.o_orderstatus == "O")
+        .map(o => CustSpend(o.o_custkey, 1L, math.round(o.o_totalprice * 100)))
+        .groupByKey(_.o_custkey)
+        .mapGroups { (k, it) =>
+          val rows = it.toSeq
+          CustSpend(k, rows.size.toLong, rows.map(_.cents).sum)
+        }
+        .toDF()
+        .select(col("o_custkey"), col("n_open"),
+          (col("cents").cast("double") / 100.0).as("open_total"))
+    }),
+
     // E3 — full cube (rollup's big sibling).
     "q_agg_cube" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -129,6 +158,11 @@ object QExtras {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_typed_agg" ->
+      """SELECT o_custkey, count(*) AS n_open,
+                CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS open_total
+         FROM orders WHERE o_orderstatus = 'O'
+         GROUP BY o_custkey""",
     "q_agg_cube" ->
       """SELECT n_name, c_mktsegment, count(*) AS n_customers,
                 CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
