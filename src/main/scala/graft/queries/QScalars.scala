@@ -150,6 +150,29 @@ object QScalars {
           size(split(col("p_name"), " ")).cast("bigint").as("n_words"))
     }),
 
+    // D-ext — ANSI-safe casts: Spark 4 runs ANSI mode (bad casts
+    // THROW), so ingestion edges use try_cast to get typed nulls for
+    // malformed values instead of job failure.
+    "q_try_cast" -> ((s, dir) => {
+      val maybeNum = when(col("o_orderkey") % 3 === 0, concat(lit("x"), col("o_orderstatus")))
+        .otherwise(col("o_orderkey").cast("string"))
+      Tables(s, dir).orders
+        .filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          try_to_number(maybeNum, lit("999999999")).cast("bigint").as("parsed"),
+          expr("try_cast(o_orderstatus AS BIGINT)").as("status_num"))
+    }),
+
+    // D1-ext — regexp_replace with capture-group backreferences
+    // (rewrite, not just strip): swap the two halves of the priority
+    // code.
+    "q_regexp_backref" -> ((s, dir) => {
+      Tables(s, dir).orders
+        .filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          regexp_replace(col("o_orderpriority"), "^([0-9]+)-(.*)$", "$2/$1").as("swapped"))
+    }),
+
     // D14 — JSON access on events.props (north-star text analysis).
     "q_json_extract" -> ((s, dir) => {
       Tables(s, dir).events
@@ -290,6 +313,16 @@ object QScalars {
                 replace(p_name, ' ', '_') AS name_snake,
                 CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words
          FROM part""",
+    "q_try_cast" ->
+      """SELECT o_orderkey,
+                TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN 'x' || o_orderstatus
+                              ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS parsed,
+                TRY_CAST(o_orderstatus AS BIGINT) AS status_num
+         FROM orders WHERE o_orderkey < 1000""",
+    "q_regexp_backref" ->
+      """SELECT o_orderkey,
+                regexp_replace(o_orderpriority, '^([0-9]+)-(.*)$', '\2/\1') AS swapped
+         FROM orders WHERE o_orderkey < 1000""",
     "q_map_funcs" ->
       """SELECT o_orderkey,
                 map_extract(MAP {'status': o_orderstatus, 'prio': o_orderpriority}, 'prio')[1] AS prio,
