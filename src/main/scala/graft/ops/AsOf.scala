@@ -55,4 +55,47 @@ object AsOf {
     carried.filter(col("__side") === 1)
       .drop((Seq("__t", "__side") ++ rightCols.values.map(to => s"__r_$to")): _*)
   }
+
+  /** As-of FORWARD join: for every left row, the single earliest right
+    * row with `rightTime >= leftTime` on the same key — the symmetric
+    * union-merge scanned in descending time. `rightTie` makes the
+    * match deterministic when right rows share a timestamp (the
+    * smallest (time, tie) at-or-after the left row wins). Same cost
+    * shape as [[asofBackward]]: one shuffle + sort of |L|+|R|.
+    */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightTie: String,
+      rightCols: Map[String, String]): DataFrame = {
+    val lTagged = left.withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1)).withColumn("__tie", lit(null).cast("long"))
+    val rTagged = right.select(
+      (col(key) +: col(rightTime).as("__t") +: lit(0).as("__side") +:
+        col(rightTie).cast("long").as("__tie") +:
+        rightCols.map { case (from, to) => col(from).as(s"__r_$to") }.toSeq): _*)
+
+    val rNulls = rightCols.values.map(to => lit(null).as(s"__r_$to"))
+    val lAligned = lTagged.select(
+      (lTagged.columns.map(col).toSeq ++ rNulls.toSeq): _*)
+    val rAligned = lTagged.columns.filterNot(c => c == key || c == "__t" || c == "__side" || c == "__tie")
+      .foldLeft(rTagged) { case (df, c) => df.withColumn(c, lit(null)) }
+      .select(lAligned.columns.map(col): _*)
+
+    // Descending time scan; at equal time the right row sorts BEFORE
+    // the left (rtime == ltime matches), and among equal-time right
+    // rows the larger tie comes first so the smallest is seen last —
+    // last(ignoreNulls) then carries min(time, tie) at-or-after.
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").desc, col("__side").asc, col("__tie").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.values.foldLeft(lAligned.unionByName(rAligned)) {
+      case (df, to) => df.withColumn(to, last(col(s"__r_$to"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .drop((Seq("__t", "__side", "__tie") ++ rightCols.values.map(to => s"__r_$to")): _*)
+  }
 }

@@ -29,6 +29,20 @@ object QAsOf {
         .select("user_id", "event_id", "purchase_event_id", "purchase_value")
     }),
 
+    // As-of FORWARD join: each click matched to the user's next
+    // purchase at-or-after it (deterministic (ts, event_id) tie-break).
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts_ns"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_event_id"),
+          col("value").as("p_value"), col("ts_ns"))
+      AsOf.asofForward(clicks, purchases, "user_id", "ts_ns", "ts_ns", "p_event_id",
+        Map("p_event_id" -> "next_purchase_id", "p_value" -> "next_purchase_value"))
+        .select("user_id", "event_id", "next_purchase_id", "next_purchase_value")
+    }),
+
     // Embedding near-dup pairs, IVF-bucketed: pairs only form inside a
     // cluster (the 100 TB path — candidate generation is an equi-join
     // on cluster_id, never all-pairs), then exact cosine filters.
@@ -61,6 +75,14 @@ object QAsOf {
          FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
          ASOF LEFT JOIN (SELECT user_id, event_id, value, ts FROM events WHERE event_type = 'purchase') p
            ON c.user_id = p.user_id AND p.ts <= c.ts""",
+    "q_asof_forward" ->
+      """SELECT c.user_id, c.event_id,
+                p.event_id AS next_purchase_id, p.value AS next_purchase_value
+         FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+         LEFT JOIN LATERAL (
+           SELECT pp.event_id, pp.value FROM events pp
+           WHERE pp.event_type = 'purchase' AND pp.user_id = c.user_id AND pp.ts >= c.ts
+           ORDER BY pp.ts ASC, pp.event_id ASC LIMIT 1) p ON true""",
     "q_embed_neardup" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
           dists AS (

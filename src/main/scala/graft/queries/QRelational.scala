@@ -177,6 +177,19 @@ object QRelational {
       Relational.unionAll(cn, sn).distinct().withColumn("op", lit("union"))
         .unionByName(Relational.intersect(cn, sn).withColumn("op", lit("intersect")))
         .unionByName(Relational.except(cn, sn).withColumn("op", lit("except")))
+    }),
+
+    // G3-ext — MULTISET set ops (intersectAll/exceptAll): bag
+    // semantics keep duplicate counts — min(count) for intersect,
+    // count difference for except — which is what dedup accounting
+    // over row multisets actually needs.
+    "q_set_ops_all" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val cn = t.customer.select(col("c_nationkey").as("nationkey"))
+      val sn = t.supplier.select(col("s_nationkey").as("nationkey"))
+      cn.intersectAll(sn).withColumn("op", lit("intersect_all"))
+        .unionByName(cn.exceptAll(sn).withColumn("op", lit("except_all")))
+        .groupBy(col("op"), col("nationkey")).agg(count(lit(1)).as("n"))
     })
   )
 
@@ -228,6 +241,14 @@ object QRelational {
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q_set_ops_all" ->
+      """WITH cn AS (SELECT c_nationkey AS nationkey FROM customer),
+            sn AS (SELECT s_nationkey AS nationkey FROM supplier),
+            both_ops AS (
+              SELECT nationkey, 'intersect_all' AS op FROM (SELECT * FROM cn INTERSECT ALL SELECT * FROM sn)
+              UNION ALL
+              SELECT nationkey, 'except_all' AS op FROM (SELECT * FROM cn EXCEPT ALL SELECT * FROM sn))
+         SELECT op, nationkey, count(*) AS n FROM both_ops GROUP BY op, nationkey""",
     "q_sample_hash" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus
          FROM orders

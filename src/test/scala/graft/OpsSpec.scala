@@ -95,6 +95,21 @@ class OpsSpec extends SparkSpec {
     assert(got(102L).isEmpty)        // user 2 has no purchase
   }
 
+  test("asof forward join: earliest right >= left time, (ts, tie) deterministic, null when none") {
+    val clicks = Seq((1L, 100L, 1000L), (1L, 101L, 2000L), (2L, 102L, 500L))
+      .toDF("user_id", "event_id", "ts_ns")
+    val purchases = Seq(
+      (1L, 902L, 7.0, 1500L), (1L, 901L, 9.0, 1500L), // equal ts: min event_id wins
+      (1L, 903L, 11.0, 900L))                          // before every click: never forward-matched
+      .toDF("user_id", "p_event_id", "p_value", "ts_ns")
+    val got = AsOf.asofForward(clicks, purchases, "user_id", "ts_ns", "ts_ns", "p_event_id",
+      Map("p_event_id" -> "pe", "p_value" -> "pv"))
+      .select("event_id", "pe").as[(Long, Option[Long])].collect().toMap
+    assert(got(100L).contains(901L)) // earliest at-or-after 1000 is ts=1500; tie -> min id
+    assert(got(101L).isEmpty)        // no purchase at-or-after 2000
+    assert(got(102L).isEmpty)        // user 2 has none
+  }
+
   test("similarity: cosine of identical vectors is 1, orthogonal is 0") {
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b", "c")
     val row = df.select(Similarity.cosine($"a", $"b"), Similarity.cosine($"a", $"c")).head()
