@@ -40,6 +40,17 @@ object QIo {
       Sources.csvWithSchema(s, path, schema)
     }),
 
+    // A2 productionized — the DataSource V2 slice source: the
+    // reference's serial driver HTTP loop becomes one InputPartition
+    // per time slice, fetched and parsed ON EXECUTORS (synthetic
+    // deterministic fetcher; a real HTTP fetcher registers under a new
+    // name with zero other changes).
+    "q_dsv2_slices" -> ((s, dir) => {
+      s.read.format("graft.io.v2.SliceSource")
+        .option("start", 0).option("end", 3600).option("step", 600)
+        .load()
+    }),
+
     // A2-ext — JSON-lines round-trip with explicit schema (no
     // inference): the other self-describing interchange format every
     // ingest edge meets. Doubles survive exactly: Spark writes
@@ -114,6 +125,13 @@ object QIo {
     "q_jsonl_ingest" ->
       """SELECT event_id, user_id, event_type, value
          FROM events WHERE event_id < 500""",
+    "q_dsv2_slices" ->
+      """SELECT t.t AS slice_start,
+                'app' || CAST(i.i % 5 AS VARCHAR) AS app,
+                CAST(CAST('0x' || substring(md5(CAST(t.t AS VARCHAR) || '|' || CAST(i.i AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS DOUBLE) / 100.0 AS metric,
+                t.t + i.i * 600 // 100 AS ts
+         FROM (SELECT unnest(range(0, 3600, 600)) AS t) t,
+              (SELECT unnest(range(0, 100)) AS i) i""",
     "q_sink_partitioned_write" ->
       """SELECT strftime(o_orderdate, '%Y%m') AS ds, count(*) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
