@@ -91,10 +91,57 @@ class SliceTable(props: util.Map[String, String]) extends Table with SupportsRea
     val end = options.getLong("end", start)
     val step = options.getLong("step", 300L)
     val fetcher = options.getOrDefault("fetcher", "synthetic")
-    new ScanBuilder {
-      override def build(): Scan = new SliceScan(start, end, step, fetcher)
-    }
+    new SliceScanBuilder(start, end, step, fetcher)
   }
+}
+
+/** Pushes `slice_start` comparisons into slice planning: a time-range
+  * predicate narrows [start, end) BEFORE partitions are planned, so
+  * pruned slices are never fetched at all — the source-side analogue
+  * of partition pruning, and the reason a day-scoped query over a
+  * year-wide source costs a day. Pushed filters are consumed (not
+  * re-evaluated by Spark), so the slice arithmetic must be EXACT;
+  * all other predicates stay residual.
+  */
+class SliceScanBuilder(start0: Long, end0: Long, step: Long, fetcher: String)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
+  private var start = start0
+  private var end = end0
+  private var pushed: Array[Filter] = Array.empty
+
+  private def alignDown(v: Long): Long = start0 + ((v - start0) / step) * step
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case GreaterThanOrEqual("slice_start", _: java.lang.Long | _: java.lang.Integer) => true
+      case GreaterThan("slice_start", _: java.lang.Long | _: java.lang.Integer) => true
+      case LessThan("slice_start", _: java.lang.Long | _: java.lang.Integer) => true
+      case LessThanOrEqual("slice_start", _: java.lang.Long | _: java.lang.Integer) => true
+      case EqualTo("slice_start", _: java.lang.Long | _: java.lang.Integer) => true
+      case _ => false
+    }
+    def lv(v: Any): Long = v match { case l: java.lang.Long => l; case i: java.lang.Integer => i.toLong }
+    accepted.foreach {
+      case GreaterThanOrEqual(_, v) => start = math.max(start, alignDown(lv(v)) + (if (lv(v) == alignDown(lv(v))) 0 else step))
+      case GreaterThan(_, v) => start = math.max(start, alignDown(lv(v)) + step)
+      case LessThan(_, v) => end = math.min(end, alignDown(lv(v)) + (if (lv(v) == alignDown(lv(v))) 0 else step))
+      case LessThanOrEqual(_, v) => end = math.min(end, alignDown(lv(v)) + step)
+      case EqualTo(_, v) =>
+        if (lv(v) == alignDown(lv(v))) {
+          start = math.max(start, lv(v)); end = math.min(end, lv(v) + step)
+        } else end = start // not a slice boundary: no slice matches
+      case _ =>
+    }
+    pushed = accepted
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new SliceScan(start, math.max(start, end), step, fetcher)
 }
 
 final case class SlicePartition(sliceStart: Long, step: Long, fetcher: String)

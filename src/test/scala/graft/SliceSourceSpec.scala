@@ -37,6 +37,18 @@ class SliceSourceSpec extends SparkSpec {
     assert(got == Set(("only", 1.5, 0L), ("only", 1.5, 300L), ("only", 1.5, 600L)))
   }
 
+  test("slice_start range filters prune partitions at planning time") {
+    val pruned = read(0, 3600, 600).filter($"slice_start" >= 1800)
+    assert(pruned.rdd.getNumPartitions == 3, "only slices 1800/2400/3000 should be planned")
+    assert(pruned.select($"slice_start").distinct().as[Long].collect().sorted.toSeq
+      == Seq(1800L, 2400L, 3000L))
+    // non-aligned equality matches nothing (and plans nothing)
+    assert(read(0, 3600, 600).filter($"slice_start" === 700).count() == 0)
+    // aligned equality plans exactly one slice
+    val one = read(0, 3600, 600).filter($"slice_start" === 1200)
+    assert(one.rdd.getNumPartitions == 1 && one.count() == graft.io.v2.SliceSource.rowsPerSlice)
+  }
+
   test("filters and projections apply on top of the source scan") {
     val n = read(0, 3600, 600).filter($"app" === "app0")
       .select(count(lit(1))).as[Long].head()
