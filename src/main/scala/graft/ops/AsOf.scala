@@ -98,4 +98,33 @@ object AsOf {
     carried.filter(col("__side") === 1)
       .drop((Seq("__t", "__side", "__tie") ++ rightCols.values.map(to => s"__r_$to")): _*)
   }
+
+  /** As-of NEAREST join: the right row minimizing |rightTime -
+    * leftTime| per left row, composed from one backward and one
+    * forward pass joined on `leftId`; equidistant candidates resolve
+    * to the backward (earlier) match. Still two union-merges + one
+    * id-equi-join — never a per-key cross product.
+    */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftId: String,
+      leftTime: String,
+      rightTime: String,
+      rightTie: String,
+      rightCols: Map[String, String]): DataFrame = {
+    val bCols = rightCols.map { case (f, t) => f -> s"__b_$t" } + (rightTime -> "__b_t")
+    val fCols = rightCols.map { case (f, t) => f -> s"__f_$t" } + (rightTime -> "__f_t")
+    val b = asofBackward(left, right, key, leftTime, rightTime, bCols)
+    val f = asofForward(left, right, key, leftTime, rightTime, rightTie, fCols)
+      .select((col(leftId) +: fCols.values.map(col).toSeq): _*)
+    val joined = b.join(f, Seq(leftId))
+    val distB = col(leftTime) - col("__b_t")
+    val distF = col("__f_t") - col(leftTime)
+    val takeBackward = col("__f_t").isNull || (col("__b_t").isNotNull && distB <= distF)
+    rightCols.values.foldLeft(joined) { case (df, to) =>
+      df.withColumn(to, when(takeBackward, col(s"__b_$to")).otherwise(col(s"__f_$to")))
+    }.drop((bCols.values ++ fCols.values).toSeq: _*)
+  }
 }

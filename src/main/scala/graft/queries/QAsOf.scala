@@ -43,6 +43,20 @@ object QAsOf {
         .select("user_id", "event_id", "next_purchase_id", "next_purchase_value")
     }),
 
+    // As-of NEAREST join: whichever purchase is closest in time,
+    // either direction; equidistant resolves backward.
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts_ns"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_event_id"),
+          col("value").as("p_value"), col("ts_ns"))
+      AsOf.asofNearest(clicks, purchases, "user_id", "event_id", "ts_ns", "ts_ns", "p_event_id",
+        Map("p_event_id" -> "nearest_purchase_id", "p_value" -> "nearest_purchase_value"))
+        .select("user_id", "event_id", "nearest_purchase_id", "nearest_purchase_value")
+    }),
+
     // Embedding near-dup pairs, IVF-bucketed: pairs only form inside a
     // cluster (the 100 TB path — candidate generation is an equi-join
     // on cluster_id, never all-pairs), then exact cosine filters.
@@ -83,6 +97,15 @@ object QAsOf {
            SELECT pp.event_id, pp.value FROM events pp
            WHERE pp.event_type = 'purchase' AND pp.user_id = c.user_id AND pp.ts >= c.ts
            ORDER BY pp.ts ASC, pp.event_id ASC LIMIT 1) p ON true""",
+    "q_asof_nearest" ->
+      """SELECT c.user_id, c.event_id,
+                p.event_id AS nearest_purchase_id, p.value AS nearest_purchase_value
+         FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+         LEFT JOIN LATERAL (
+           SELECT pp.event_id, pp.value FROM events pp
+           WHERE pp.event_type = 'purchase' AND pp.user_id = c.user_id
+           ORDER BY abs(epoch_us(pp.ts) - epoch_us(c.ts)) ASC, pp.ts ASC, pp.event_id ASC
+           LIMIT 1) p ON true""",
     "q_embed_neardup" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
           dists AS (

@@ -158,6 +158,21 @@ object QRelational {
         .select(col("c_custkey"), col("c_name"))
     }),
 
+    // C-ext — null-safe equality join (<=>): null keys MATCH each
+    // other instead of silently dropping — the semantics reconciliation
+    // jobs need when "unknown" is a legitimate join value.
+    "q_null_safe_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val l = t.orders.filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, lit(null)).otherwise(col("o_custkey")).as("k"))
+      val r = t.customer.filter(col("c_custkey") < 50)
+        .select(when(col("c_custkey") % 5 === 0, lit(null)).otherwise(col("c_custkey")).as("rk"),
+          col("c_name"))
+      l.join(r, col("k") <=> col("rk"))
+        .select(col("o_orderkey"), col("k"), col("c_name"))
+    }),
+
     // G3-ext — union by NAME across different column orders (schema
     // evolution: late files with reordered/renamed-back columns).
     "q_union_by_name" -> ((s, dir) => {
@@ -260,6 +275,14 @@ object QRelational {
            FROM orders
            WHERE o_orderkey < 500
              AND CASE WHEN o_orderkey = 7 THEN NULL ELSE o_custkey END IS NOT NULL)""",
+    "q_null_safe_join" ->
+      """SELECT o_orderkey, k, c_name
+         FROM (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS k
+               FROM orders WHERE o_orderkey < 300) l
+         JOIN (SELECT CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_custkey END AS rk, c_name
+               FROM customer WHERE c_custkey < 50) r
+           ON l.k IS NOT DISTINCT FROM r.rk""",
     "q_union_by_name" ->
       """SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 300
          UNION ALL
