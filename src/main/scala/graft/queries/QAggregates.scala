@@ -146,6 +146,17 @@ object QAggregates {
           bit_or(col("l_linenumber").cast("bigint")).as("or_linenumber"))
     }),
 
+    // E-ext — numeric histogram by explicit bucket arithmetic
+    // (floor(x / width) — portable where width_bucket dialects are
+    // not): one aggregation, bucket count bounded by the value range.
+    "q_histogram" -> ((s, dir) => {
+      Tables(s, dir).orders
+        .groupBy(floor(col("o_totalprice") / 50000.0).cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+    }),
+
     // F1-ext — relative-rank window functions: percent_rank and
     // cume_dist over a total tie-broken order (value then key) —
     // identical definitions in DuckDB, so the doubles match exactly.
@@ -259,6 +270,10 @@ object QAggregates {
                 bit_and(CAST(l_linenumber AS BIGINT)) AS and_linenumber,
                 bit_or(CAST(l_linenumber AS BIGINT)) AS or_linenumber
          FROM lineitem GROUP BY l_returnflag""",
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+                count(*) AS n, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+         FROM orders GROUP BY 1""",
     "q_window_relrank" ->
       """SELECT o_orderpriority, o_orderkey,
                 percent_rank() OVER (PARTITION BY o_orderpriority
