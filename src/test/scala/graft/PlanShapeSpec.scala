@@ -44,6 +44,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in flagship:\n$plan")
   }
 
+  test("Par.widen: under-split small scan widens; unknown-stat frame left alone") {
+    val small = Tables(spark, sfDir).documents // one tiny file = 1 scan partition
+    assert(small.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+    assert(graft.ops.Par.widen(small).rdd.getNumPartitions
+      == spark.sparkContext.defaultParallelism)
+    // LogicalRDD reports the unknown-size sentinel: widen must not
+    // trust it (repartitioning a huge frame by mistake is the failure
+    // mode the stats check exists to avoid)
+    val unknown = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L)), 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType))))
+    assert(graft.ops.Par.widen(unknown).rdd.getNumPartitions == 2)
+  }
+
   test("IVF assignment is map-only: no Exchange anywhere in the plan") {
     val emb = Tables(spark, sfDir).embeddings
     val centroids = emb.filter(col("vec_id") < 8)
