@@ -150,6 +150,26 @@ object QScalars {
           size(split(col("p_name"), " ")).cast("bigint").as("n_words"))
     }),
 
+    // H3-ext — null-preserving generator (explode_outer): rows whose
+    // array is empty survive with a null element instead of vanishing
+    // — the difference between "no tags" and "row lost" downstream.
+    "q_explode_outer" -> ((s, dir) => {
+      val tags = when(col("o_orderkey") % 10 === 0, array().cast("array<string>"))
+        .otherwise(array(col("o_orderstatus"), col("o_orderpriority")))
+      Tables(s, dir).orders
+        .filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"), explode_outer(tags).as("tag"))
+    }),
+
+    // D13-ext — Levenshtein edit distance (the near-dup text measure
+    // built-ins provide; identical DP definition in DuckDB).
+    "q_levenshtein" -> ((s, dir) => {
+      Tables(s, dir).part
+        .select(col("p_partkey"),
+          levenshtein(col("p_name"), col("p_type")).cast("bigint").as("name_type_dist"),
+          levenshtein(col("p_brand"), lit("Brand#1")).cast("bigint").as("brand_dist"))
+    }),
+
     // D-ext — ANSI-safe casts: Spark 4 runs ANSI mode (bad casts
     // THROW), so ingestion edges use try_cast to get typed nulls for
     // malformed values instead of job failure.
@@ -312,6 +332,18 @@ object QScalars {
                 length(p_name) AS name_len,
                 replace(p_name, ' ', '_') AS name_snake,
                 CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words
+         FROM part""",
+    "q_explode_outer" ->
+      """SELECT o.o_orderkey, t.tag
+         FROM (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 10 = 0 THEN []::VARCHAR[]
+                           ELSE [o_orderstatus, o_orderpriority] END AS tags
+               FROM orders WHERE o_orderkey < 500) o
+         LEFT JOIN LATERAL (SELECT unnest(o.tags) AS tag) t ON true""",
+    "q_levenshtein" ->
+      """SELECT p_partkey,
+                CAST(levenshtein(p_name, p_type) AS BIGINT) AS name_type_dist,
+                CAST(levenshtein(p_brand, 'Brand#1') AS BIGINT) AS brand_dist
          FROM part""",
     "q_try_cast" ->
       """SELECT o_orderkey,
