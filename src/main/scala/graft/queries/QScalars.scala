@@ -150,6 +150,21 @@ object QScalars {
           size(split(col("p_name"), " ")).cast("bigint").as("n_words"))
     }),
 
+    // D13-ext — scalar bit ops + greatest/least: exact integer
+    // arithmetic, the flag-mask vocabulary.
+    "q_scalar_bits" -> ((s, dir) => {
+      Tables(s, dir).orders
+        .filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          shiftleft(col("o_custkey"), 2).as("shl"),
+          shiftright(col("o_custkey"), 1).as("shr"),
+          (col("o_orderkey").bitwiseAND(lit(255L))).as("band"),
+          (col("o_orderkey").bitwiseOR(lit(4096L))).as("bor"),
+          (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("bxor"),
+          greatest(col("o_orderkey"), col("o_custkey")).as("gst"),
+          least(col("o_orderkey"), col("o_custkey")).as("lst"))
+    }),
+
     // H3-ext — null-preserving generator (explode_outer): rows whose
     // array is empty survive with a null element instead of vanishing
     // — the difference between "no tags" and "row lost" downstream.
@@ -333,6 +348,16 @@ object QScalars {
                 replace(p_name, ' ', '_') AS name_snake,
                 CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words
          FROM part""",
+    "q_scalar_bits" ->
+      """SELECT o_orderkey,
+                o_custkey << 2 AS shl,
+                o_custkey >> 1 AS shr,
+                o_orderkey & 255 AS band,
+                o_orderkey | 4096 AS bor,
+                xor(o_orderkey, o_custkey) AS bxor,
+                greatest(o_orderkey, o_custkey) AS gst,
+                least(o_orderkey, o_custkey) AS lst
+         FROM orders WHERE o_orderkey < 1000""",
     "q_explode_outer" ->
       """SELECT o.o_orderkey, t.tag
          FROM (SELECT o_orderkey,

@@ -41,6 +41,26 @@ class PipelinesSpec extends SparkSpec {
     assert(MySqlIngest.watermark(spark, out).contains("20240101"))
   }
 
+  test("MySqlIngest: watermark drives the next incremental window (no re-read, no dupes)") {
+    // day 1 = 2024-01-01 WIB, day 2 = 2024-01-02 WIB (clock+7h governs ds)
+    // WIB day 20240101 = UTC clocks [1704042000, 1704128400)
+    val fixture = Seq(
+      (1L, 1704100000L, BigDecimal(1)),  // 2024-01-01 WIB
+      (2L, 1704110000L, BigDecimal(2)),  // 2024-01-01 WIB
+      (3L, 1704186000L, BigDecimal(3))   // 2024-01-02 WIB
+    ).toDF("itemid", "clock", "value")
+    val source = (a: Long, b: Long) => fixture.filter($"clock" >= a && $"clock" < b)
+    val out = tmpDir("mysql_resume")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    MySqlIngest.run(spark, source, 1704100000L, 1704114000L, out)
+    assert(MySqlIngest.watermark(spark, out).contains("20240101"))
+    // resume from the watermark boundary: only the unseen window reads
+    MySqlIngest.run(spark, source, 1704114000L, 1704190000L, out)
+    val ids = spark.read.parquet(out).select($"itemid").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L)) // complete, no duplicates
+    assert(MySqlIngest.watermark(spark, out).contains("20240102"))
+  }
+
   test("Enrich: 4-table join + regex derive + single-pass pivot (PROC semantics)") {
     val remotes = Seq(("10.0.0.1", "tipe", "KancaX", "KanwilY", "SiteA", -6.2, 106.8))
       .toDF("remote_ip", "tipe", "kanca", "kanwil", "remote", "latitude", "longitude")
