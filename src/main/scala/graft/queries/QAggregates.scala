@@ -146,6 +146,18 @@ object QAggregates {
           bit_or(col("l_linenumber").cast("bigint")).as("or_linenumber"))
     }),
 
+    // F3-ext — forward frame (current row to partition end): the
+    // "remaining backlog" shape, the mirror of running totals.
+    "q_window_remaining" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      Tables(s, dir).events
+        .select(col("user_id"), col("event_id"),
+          sum(Scalars.dec(col("value"))).over(w).cast("double").as("remaining_value"),
+          count(lit(1)).over(w).as("remaining_events"))
+    }),
+
     // E-ext — numeric histogram by explicit bucket arithmetic
     // (floor(x / width) — portable where width_bucket dialects are
     // not): one aggregation, bucket count bounded by the value range.
@@ -270,6 +282,14 @@ object QAggregates {
                 bit_and(CAST(l_linenumber AS BIGINT)) AS and_linenumber,
                 bit_or(CAST(l_linenumber AS BIGINT)) AS or_linenumber
          FROM lineitem GROUP BY l_returnflag""",
+    "q_window_remaining" ->
+      """SELECT user_id, event_id,
+                CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                  OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE) AS remaining_value,
+                count(*) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS remaining_events
+         FROM events""",
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
                 count(*) AS n, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price

@@ -150,6 +150,29 @@ object QScalars {
           size(split(col("p_name"), " ")).cast("bigint").as("n_words"))
     }),
 
+    // D6-ext — calendar part functions (vs the substring date parts
+    // the reference uses): year/quarter/month/day/ISO week/day-of-year.
+    "q_date_parts_fn" -> ((s, dir) => {
+      Tables(s, dir).orders
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("bigint").as("y"),
+          quarter(col("o_orderdate")).cast("bigint").as("q"),
+          month(col("o_orderdate")).cast("bigint").as("m"),
+          dayofmonth(col("o_orderdate")).cast("bigint").as("d"),
+          weekofyear(col("o_orderdate")).cast("bigint").as("iso_week"),
+          dayofyear(col("o_orderdate")).cast("bigint").as("doy"))
+    }),
+
+    // E-ext — DISTINCT ordered string aggregation: sorted collect_set
+    // joined — deterministic at any parallelism (plain collect_list
+    // order is partition-dependent, which is why it is banned here).
+    "q_listagg_distinct" -> ((s, dir) => {
+      Tables(s, dir).orders
+        .groupBy(col("o_orderpriority"))
+        .agg(array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+          countDistinct(col("o_orderstatus")).as("n_statuses"))
+    }),
+
     // D13-ext — scalar bit ops + greatest/least: exact integer
     // arithmetic, the flag-mask vocabulary.
     "q_scalar_bits" -> ((s, dir) => {
@@ -348,6 +371,20 @@ object QScalars {
                 replace(p_name, ' ', '_') AS name_snake,
                 CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words
          FROM part""",
+    "q_date_parts_fn" ->
+      """SELECT o_orderkey,
+                CAST(year(o_orderdate) AS BIGINT) AS y,
+                CAST(quarter(o_orderdate) AS BIGINT) AS q,
+                CAST(month(o_orderdate) AS BIGINT) AS m,
+                CAST(day(o_orderdate) AS BIGINT) AS d,
+                CAST(week(o_orderdate) AS BIGINT) AS iso_week,
+                CAST(dayofyear(o_orderdate) AS BIGINT) AS doy
+         FROM orders""",
+    "q_listagg_distinct" ->
+      """SELECT o_orderpriority,
+                string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+                count(DISTINCT o_orderstatus) AS n_statuses
+         FROM orders GROUP BY o_orderpriority""",
     "q_scalar_bits" ->
       """SELECT o_orderkey,
                 o_custkey << 2 AS shl,
