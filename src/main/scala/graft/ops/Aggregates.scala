@@ -46,4 +46,33 @@ object Aggregates {
     val w = Window.partitionBy(col(key)).orderBy(order: _*)
     df.withColumn(alias, col(value) - lag(col(value), 1).over(w))
   }
+
+  /** H2/F4-at-scale — top-k VALUES per group as a bounded-heap
+    * `Aggregator` (udaf): each partition keeps at most k doubles per
+    * group (ascending array, min first), merges are k+k picks. Unlike
+    * the window form ([[topKPerGroup]]), which SORTS every group's full
+    * row set, memory and shuffle are O(groups × k) regardless of group
+    * size — the difference between a window sort over a 10^9-row hot
+    * group and a 10-element buffer. Multiset semantics (duplicates
+    * kept), result sorted descending — deterministic for the oracle.
+    */
+  class TopKValuesAggregator(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Double, Array[Double], Seq[Double]] {
+    def zero: Array[Double] = Array.empty
+    private def insert(buf: Array[Double], v: Double): Array[Double] =
+      if (buf.length < k) (buf :+ v).sorted
+      else if (v <= buf(0)) buf
+      else { buf(0) = v; buf.sorted }
+    def reduce(buf: Array[Double], v: Double): Array[Double] = insert(buf, v)
+    def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+      b.foldLeft(a)(insert)
+    def finish(r: Array[Double]): Seq[Double] = r.sorted.reverse.toSeq
+    def bufferEncoder = org.apache.spark.sql.Encoders.kryo[Array[Double]]
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** Column form of [[TopKValuesAggregator]]. */
+  def topKValues(valueCol: Column, k: Int): Column =
+    udaf(new TopKValuesAggregator(k)).apply(valueCol)
 }

@@ -146,6 +146,17 @@ object QAggregates {
           bit_or(col("l_linenumber").cast("bigint")).as("or_linenumber"))
     }),
 
+    // H2/F4-at-scale — bounded-heap top-k values per group (udaf):
+    // O(k) state per group vs the window form's full-group sort;
+    // exploded to (group, rank, value) rows for the oracle.
+    "q_agg_topk_values" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(Aggregates.topKValues(col("l_extendedprice"), 3).as("topk"))
+        .select(col("l_returnflag"), posexplode(col("topk")).as(Seq("pos", "price")))
+        .select(col("l_returnflag"), (col("pos") + 1).cast("bigint").as("rank"), col("price"))
+    }),
+
     // F3-ext — forward frame (current row to partition end): the
     // "remaining backlog" shape, the mirror of running totals.
     "q_window_remaining" -> ((s, dir) => {
@@ -282,6 +293,13 @@ object QAggregates {
                 bit_and(CAST(l_linenumber AS BIGINT)) AS and_linenumber,
                 bit_or(CAST(l_linenumber AS BIGINT)) AS or_linenumber
          FROM lineitem GROUP BY l_returnflag""",
+    "q_agg_topk_values" ->
+      """SELECT l_returnflag, CAST(rn AS BIGINT) AS rank, price
+         FROM (SELECT l_returnflag, l_extendedprice AS price,
+                      row_number() OVER (PARTITION BY l_returnflag
+                                         ORDER BY l_extendedprice DESC) AS rn
+               FROM lineitem)
+         WHERE rn <= 3""",
     "q_window_remaining" ->
       """SELECT user_id, event_id,
                 CAST(SUM(CAST(value AS DECIMAL(18,2)))

@@ -110,6 +110,19 @@ class OpsSpec extends SparkSpec {
     assert(got(102L).isEmpty)        // user 2 has none
   }
 
+  test("TopKValuesAggregator: multiset semantics, partition-merge exact") {
+    import graft.ops.Aggregates
+    val df = (Seq.fill(3)(9.0) ++ Seq(7.0, 8.0, 1.0, 2.0)).zipWithIndex
+      .map { case (v, i) => (i % 4, v) }
+      .toDF("g", "v").repartition(4) // force multi-partition merges
+    val got = df.groupBy($"g").agg(Aggregates.topKValues($"v", 2).as("topk"))
+      .select($"topk").as[Seq[Double]].collect()
+    got.foreach(s => assert(s.length <= 2 && s == s.sorted.reverse))
+    val all = df.agg(Aggregates.topKValues($"v", 3).as("topk"))
+      .select($"topk").as[Seq[Double]].head()
+    assert(all == Seq(9.0, 9.0, 9.0)) // duplicates kept (multiset top-k)
+  }
+
   test("similarity: cosine of identical vectors is 1, orthogonal is 0") {
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b", "c")
     val row = df.select(Similarity.cosine($"a", $"b"), Similarity.cosine($"a", $"c")).head()
