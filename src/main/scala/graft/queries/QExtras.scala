@@ -44,6 +44,42 @@ object QExtras {
           (col("cents").cast("double") / 100.0).as("open_total"))
     }),
 
+    // E3-ext — grouping_id: which grouping-set produced each row, as
+    // a bitmask — the disambiguator reports need when NULL is both a
+    // data value and a subtotal marker.
+    "q_grouping_id" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.join(t.nation, col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), grouping_id().cast("bigint").as("gid"))
+    }),
+
+    // D15-ext — array set operations over token arrays; results sorted
+    // so element order (engine-specific) cannot matter.
+    "q_array_set_ops" -> ((s, dir) => {
+      val a = split(lit("the quick brown fox the"), " ")
+      val b = split(col("o_orderpriority"), "-")
+      Tables(s, dir).orders.filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          concat_ws(",", sort_array(array_intersect(a,
+            array(lit("the"), lit("fox"), lit("dog"))))).as("inter"),
+          concat_ws(",", sort_array(array_except(b, array(lit("LOW"))))).as("minus"),
+          concat_ws(",", sort_array(array_distinct(array_union(b, array(lit("X")))))).as("uni"))
+    }),
+
+    // D-ext — date-series generation (sequence + explode): calendar
+    // scaffolds for gap-free reporting joins.
+    "q_date_series" -> ((s, dir) => {
+      Tables(s, dir).orders
+        .filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"),
+          explode(sequence(
+            to_date(col("o_orderdate")),
+            date_add(to_date(col("o_orderdate")), 3),
+            expr("INTERVAL 1 DAY"))).as("d"))
+        .select(col("o_orderkey"), date_format(col("d"), "yyyy-MM-dd").as("d"))
+    }),
+
     // E3 — full cube (rollup's big sibling).
     "q_agg_cube" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -158,6 +194,27 @@ object QExtras {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_grouping_id" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n,
+                CAST(GROUPING(n_name, c_mktsegment) AS BIGINT) AS gid
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY ROLLUP (n_name, c_mktsegment)""",
+    "q_array_set_ops" ->
+      """SELECT o_orderkey,
+                array_to_string(list_sort(list_intersect(string_split('the quick brown fox the', ' '),
+                                                         ['the','fox','dog'])), ',') AS inter,
+                array_to_string(list_sort(list_filter(string_split(o_orderpriority, '-'),
+                                                      x -> x != 'LOW')), ',') AS minus,
+                array_to_string(list_sort(list_distinct(list_concat(string_split(o_orderpriority, '-'),
+                                                                    ['X']))), ',') AS uni
+         FROM orders WHERE o_orderkey < 500""",
+    "q_date_series" ->
+      """SELECT o_orderkey, strftime(CAST(ds AS DATE), '%Y-%m-%d') AS d
+         FROM (SELECT o_orderkey,
+                      unnest(generate_series(CAST(o_orderdate AS DATE),
+                                             CAST(o_orderdate AS DATE) + 3,
+                                             INTERVAL 1 DAY)) AS ds
+               FROM orders WHERE o_orderkey < 100)""",
     "q_typed_agg" ->
       """SELECT o_custkey, count(*) AS n_open,
                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS open_total
