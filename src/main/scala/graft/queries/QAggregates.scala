@@ -146,6 +146,32 @@ object QAggregates {
           bit_or(col("l_linenumber").cast("bigint")).as("or_linenumber"))
     }),
 
+    // F3-ext — orderless window (whole-partition frame): attach the
+    // group total to every row; ratio-to-total without a join back.
+    "q_ratio_to_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+      Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          (Scalars.dec(col("l_quantity")).cast("double") /
+            sum(Scalars.dec(col("l_quantity"))).over(w).cast("double")).as("qty_share"))
+    }),
+
+    // C2-ext — pivot with MULTIPLE aggregates per pivot value (sum and
+    // count): one pass, suffixed output columns.
+    "q_pivot_multi_agg" -> ((s, dir) => {
+      val p = Tables(s, dir).lineitem
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(Scalars.dec(col("l_quantity"))).cast("double").as("qty"),
+          count(lit(1)).as("n"))
+      // absent (status, flag) combos: pivot yields null counts, the
+      // conditional-agg oracle yields 0 — normalize explicitly
+      p.select(col("l_linestatus"),
+        col("A_qty").as("a_qty"), coalesce(col("A_n"), lit(0L)).as("a_n"),
+        col("N_qty").as("n_qty"), coalesce(col("N_n"), lit(0L)).as("n_n"),
+        col("R_qty").as("r_qty"), coalesce(col("R_n"), lit(0L)).as("r_n"))
+    }),
+
     // H2/F4-at-scale — bounded-heap top-k values per group (udaf):
     // O(k) state per group vs the window form's full-group sort;
     // exploded to (group, rank, value) rows for the oracle.
@@ -293,6 +319,21 @@ object QAggregates {
                 bit_and(CAST(l_linenumber AS BIGINT)) AS and_linenumber,
                 bit_or(CAST(l_linenumber AS BIGINT)) AS or_linenumber
          FROM lineitem GROUP BY l_returnflag""",
+    "q_ratio_to_total" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+                CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) /
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_returnflag) AS DOUBLE)
+                  AS qty_share
+         FROM lineitem""",
+    "q_pivot_multi_agg" ->
+      """SELECT l_linestatus,
+                CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS a_qty,
+                count(*) FILTER (WHERE l_returnflag = 'A') AS a_n,
+                CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS n_qty,
+                count(*) FILTER (WHERE l_returnflag = 'N') AS n_n,
+                CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS r_qty,
+                count(*) FILTER (WHERE l_returnflag = 'R') AS r_n
+         FROM lineitem GROUP BY l_linestatus""",
     "q_agg_topk_values" ->
       """SELECT l_returnflag, CAST(rn AS BIGINT) AS rank, price
          FROM (SELECT l_returnflag, l_extendedprice AS price,
