@@ -150,6 +150,27 @@ object QScalars {
           size(split(col("p_name"), " ")).cast("bigint").as("n_words"))
     }),
 
+    // D1-ext — regexp_extract_all: every match, joined to a stable
+    // string (array column compare avoided by design).
+    "q_regexp_extract_all" -> ((s, dir) => {
+      Tables(s, dir).part
+        .select(col("p_partkey"),
+          concat_ws("|", expr("regexp_extract_all(p_name, '[a-z]+', 0)")).as("words"),
+          concat_ws("|", expr("regexp_extract_all(p_brand, '[0-9]+', 0)")).as("brand_nums"))
+    }),
+
+    // D13-ext — binary encodings + char functions: hex/base64 of UTF-8
+    // bytes, ascii/chr/repeat — the byte-level vocabulary.
+    "q_encode_funcs" -> ((s, dir) => {
+      Tables(s, dir).part
+        .filter(col("p_partkey") < 500)
+        .select(col("p_partkey"),
+          hex(col("p_brand").cast("binary")).as("brand_hex"),
+          base64(col("p_brand").cast("binary")).as("brand_b64"),
+          ascii(col("p_name")).cast("bigint").as("first_char_code"),
+          concat(lit("x"), repeat(lit("ab"), 3)).as("repeated"))
+    }),
+
     // D6-ext — calendar part functions (vs the substring date parts
     // the reference uses): year/quarter/month/day/ISO week/day-of-year.
     "q_date_parts_fn" -> ((s, dir) => {
@@ -371,6 +392,18 @@ object QScalars {
                 replace(p_name, ' ', '_') AS name_snake,
                 CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words
          FROM part""",
+    "q_regexp_extract_all" ->
+      """SELECT p_partkey,
+                array_to_string(regexp_extract_all(p_name, '[a-z]+', 0), '|') AS words,
+                array_to_string(regexp_extract_all(p_brand, '[0-9]+', 0), '|') AS brand_nums
+         FROM part""",
+    "q_encode_funcs" ->
+      """SELECT p_partkey,
+                hex(encode(p_brand)) AS brand_hex,
+                to_base64(encode(p_brand)) AS brand_b64,
+                CAST(ascii(p_name) AS BIGINT) AS first_char_code,
+                'x' || repeat('ab', 3) AS repeated
+         FROM part WHERE p_partkey < 500""",
     "q_date_parts_fn" ->
       """SELECT o_orderkey,
                 CAST(year(o_orderdate) AS BIGINT) AS y,
