@@ -53,6 +53,21 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join: stream rows enrich against a batch dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = mem.toDF().join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+      .writeStream.format("memory").queryName("enrich_out").outputMode("append").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .select($"event_id", $"tier").as[(Long, Option[String])].collect().toMap
+      assert(got(1L).contains("gold") && got(3L).contains("silver"))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: purchase attributes to click within 15 min") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Ev]
