@@ -56,6 +56,23 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
 
+  /** Overload for a driver-held query vector: the query norm is folded
+    * on the driver (same sequential square-sum the column fold runs, so
+    * bit-identical) and inlined as a literal — the per-row work is one
+    * dot + one norm instead of dot + two norms, with no reliance on
+    * Catalyst constant-folding through the HOF lambda.
+    */
+  def cosineTopK(df: DataFrame, vecCol: String, idCol: String, queryVec: Seq[Float], k: Int): DataFrame = {
+    var acc = 0.0
+    var i = 0
+    while (i < queryVec.length) { val x = queryVec(i).toDouble; acc += x * x; i += 1 }
+    val qv = typedlit(queryVec)
+    df.select(col(idCol), (dot(col(vecCol), qv) / (norm(col(vecCol)) * lit(math.sqrt(acc))))
+        .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** IVF assignment: nearest (squared-L2) centroid per vector,
     * deterministic tie-break on centroid id. The centroid set is
     * collected to the driver (IVF's contract: k centroids, k small)
@@ -95,11 +112,12 @@ object Similarity {
     * of it. Assignment is the map-only [[ivfAssign]]; the probe-cluster
     * filter prunes before any per-vector scoring.
     */
-  def ivfSearch(df: DataFrame, vecCol: String, idCol: String,
-      centroids: DataFrame, cVecCol: String, cIdCol: String,
-      queryVec: Seq[Float], nprobe: Int, k: Int): DataFrame = {
-    val cents = collectCentroids(centroids, cVecCol, cIdCol)
-    val probes: Seq[Long] = cents
+  /** Nearest-`nprobe` centroid ids to a driver-held query vector —
+    * driver-side by the same contract as [[collectCentroids]] (k
+    * centroids, k small).
+    */
+  private def probeClusters(cents: Seq[(Long, Seq[Float])], queryVec: Seq[Float], nprobe: Int): Seq[Long] =
+    cents
       .map { case (cid, c) =>
         var acc = 0.0; var i = 0
         val n = math.min(c.length, queryVec.length)
@@ -108,6 +126,12 @@ object Similarity {
       }
       .sortBy { case (cid, d2) => (d2, cid) }
       .take(nprobe).map(_._1)
+
+  def ivfSearch(df: DataFrame, vecCol: String, idCol: String,
+      centroids: DataFrame, cVecCol: String, cIdCol: String,
+      queryVec: Seq[Float], nprobe: Int, k: Int): DataFrame = {
+    val cents = collectCentroids(centroids, cVecCol, cIdCol)
+    val probes = probeClusters(cents, queryVec, nprobe)
     val qv = typedlit(queryVec)
     // One pass: assign, prune to probe clusters, score survivors, top-k
     // (TakeOrderedAndProject) — no joins, no shuffles before the final
@@ -116,6 +140,55 @@ object Similarity {
     df.withColumn("cluster_id", assignExpr(vecCol, cents).getField("cid"))
       .filter(col("cluster_id").isin(probes: _*))
       .select(col(idCol), col("cluster_id"),
+        (d(col(vecCol), qv) / (sqrt(d(col(vecCol), col(vecCol))) * sqrt(d(qv, qv))))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** IVF index BUILD: assign every corpus vector to its nearest
+    * centroid once ([[ivfAssign]] semantics, map-only) and persist the
+    * result `partitionBy(cluster_id)`. This is the piece that makes
+    * probe search actually touch ~nprobe/k of the data at 100 TB:
+    * [[ivfSearch]] re-derives the assignment inline, so every query is
+    * a full-corpus scan + k-centroid argmin per row; with the
+    * assignment stored as the partition key, the probe filter becomes
+    * DIRECTORY pruning — non-probe clusters are never even listed into
+    * the scan (asserted in `PlanShapeSpec`). Build cost is one scan +
+    * one write, amortized over every subsequent query; rebuild only on
+    * centroid refresh (dynamic partition overwrite keeps it
+    * idempotent).
+    */
+  def ivfBuild(df: DataFrame, vecCol: String, idCol: String,
+      centroids: DataFrame, cVecCol: String, cIdCol: String, path: String): Unit = {
+    val cents = collectCentroids(centroids, cVecCol, cIdCol)
+    val assigned = df
+      .withColumn("cluster_id", assignExpr(vecCol, cents).getField("cid"))
+      .select(col(idCol), col(vecCol), col("cluster_id"))
+    graft.io.PartitionedWriter.writePartitionedBy(assigned, path, Seq("cluster_id"))
+  }
+
+  /** IVF probe search against a built index ([[ivfBuild]] output):
+    * pick the nprobe nearest centroids on the driver, read ONLY those
+    * `cluster_id=` partitions (partition pruning — the scan never
+    * lists the rest), score survivors, top-k. Same results as
+    * [[ivfSearch]] on the same centroid set; the full-corpus scan and
+    * the per-row k-centroid argmin are both gone.
+    */
+  def ivfSearchPruned(spark: org.apache.spark.sql.SparkSession, path: String,
+      vecCol: String, idCol: String,
+      centroids: DataFrame, cVecCol: String, cIdCol: String,
+      queryVec: Seq[Float], nprobe: Int, k: Int): DataFrame = {
+    val cents = collectCentroids(centroids, cVecCol, cIdCol)
+    val probes = probeClusters(cents, queryVec, nprobe)
+    val qv = typedlit(queryVec)
+    val d = graft.expressions.VectorExpressions.dot _
+    // Partition values are strings on disk (type inference off, see
+    // GraftSession): filter on the string form so the IN lands in
+    // PartitionFilters verbatim; cast back for the result schema.
+    spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probes.map(_.toString): _*))
+      .select(col(idCol), col("cluster_id").cast("long").as("cluster_id"),
         (d(col(vecCol), qv) / (sqrt(d(col(vecCol), col(vecCol))) * sqrt(d(qv, qv))))
           .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)

@@ -67,6 +67,24 @@ object QSimilarity {
         "embedding", "vec_id", centroids, "cvec", "cid", q, nprobe = 2, k = 10)
     }),
 
+    // IVF probe search against a BUILT index: assignments persisted
+    // partitionBy(cluster_id) once, probe filter prunes at the
+    // directory level — the 100 TB shape (each query lists/scans only
+    // nprobe/k of the corpus; no per-query re-assignment). Same oracle
+    // as q_ivf_search.
+    "q_ivf_search_pruned" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head()
+        .getSeq[Float](0)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val path = s"target/tmp/q_ivf_index_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      Similarity.ivfBuild(emb.select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", centroids, "cvec", "cid", path)
+      Similarity.ivfSearchPruned(s, path, "embedding", "vec_id",
+        centroids, "cvec", "cid", q, nprobe = 2, k = 10)
+    }),
+
     // E5 — per-label centroid, exploded to (label, dim, value) rows;
     // fixed-point longs make the cross-row sum exact.
     "q_vector_centroid" -> ((s, dir) => {
@@ -78,29 +96,11 @@ object QSimilarity {
     })
   )
 
-  val oracles: Map[String, String] = Map(
-    "q_cosine_topk" ->
-      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-          SELECT vec_id,
-                 ${dDot("embedding", "qe")} /
-                 (sqrt(${dDot("embedding", "embedding")}) * sqrt(${dDot("qe", "qe")})) AS cos_sim
-          FROM embeddings, q
-          ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
-    "q_ivf_assign" ->
-      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
-          dists AS (
-            SELECT e.vec_id, c.cid,
-                   list_sum(list_transform(range(1, len(e.embedding) + 1),
-                     i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
-                        * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))) AS dist2
-            FROM embeddings e CROSS JOIN c),
-          ranked AS (
-            SELECT vec_id, cid, dist2,
-                   row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
-            FROM dists)
-          SELECT vec_id, cid AS cluster_id, dist2 FROM ranked WHERE rn = 1""",
-    "q_ivf_search" ->
-      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+  /** Shared by q_ivf_search and q_ivf_search_pruned — the built index
+    * must return exactly the inline-assignment results.
+    */
+  private val ivfSearchSql: String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
           q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
           probes AS (
             SELECT cid FROM c, q
@@ -123,7 +123,31 @@ object QSimilarity {
                  (sqrt(${dDot("e.embedding", "e.embedding")}) * sqrt(${dDot("qe", "qe")})) AS cos_sim
           FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id, q
           WHERE a.cluster_id IN (SELECT cid FROM probes)
-          ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10""",
+          ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10"""
+
+  val oracles: Map[String, String] = Map(
+    "q_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+          SELECT vec_id,
+                 ${dDot("embedding", "qe")} /
+                 (sqrt(${dDot("embedding", "embedding")}) * sqrt(${dDot("qe", "qe")})) AS cos_sim
+          FROM embeddings, q
+          ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
+    "q_ivf_assign" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+          dists AS (
+            SELECT e.vec_id, c.cid,
+                   list_sum(list_transform(range(1, len(e.embedding) + 1),
+                     i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                        * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))) AS dist2
+            FROM embeddings e CROSS JOIN c),
+          ranked AS (
+            SELECT vec_id, cid, dist2,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+            FROM dists)
+          SELECT vec_id, cid AS cluster_id, dist2 FROM ranked WHERE rn = 1""",
+    "q_ivf_search" -> ivfSearchSql,
+    "q_ivf_search_pruned" -> ivfSearchSql,
     "q_vector_centroid" ->
       """SELECT label, CAST(u['dim'] AS BIGINT) AS dim,
                 CAST(CAST(sum(CAST(CAST(u['v'] AS DOUBLE) * 9007199254740992 AS BIGINT)) AS DOUBLE)

@@ -70,6 +70,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"IVF assignment should not shuffle:\n$plan")
   }
 
+  test("IVF probe search on a built index prunes non-probe partitions (directory-level skip)") {
+    val dir = tmpDir("plan_ivf_prune")
+    val emb = Tables(spark, sfDir).embeddings
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head()
+      .getSeq[Float](0)
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    Similarity.ivfBuild(emb.select(col("vec_id"), col("embedding")),
+      "embedding", "vec_id", centroids, "cvec", "cid", dir)
+    val searched = Similarity.ivfSearchPruned(spark, dir, "embedding", "vec_id",
+      centroids, "cvec", "cid", q, nprobe = 2, k = 10)
+    val plan = searched.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster_id"),
+      s"probe filter did not become a partition filter:\n$plan")
+    // the scan must select only the nprobe=2 cluster directories, out
+    // of the 8 written — non-probe partitions are never even listed
+    val scans = searched.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, s"no file scan found:\n$plan")
+    val picked = scans.head.selectedPartitions.partitionCount
+    assert(picked == 2, s"expected 2 probe partitions scanned, got $picked")
+    val onDisk = new java.io.File(dir).listFiles().count(_.getName.startsWith("cluster_id="))
+    assert(onDisk > 2, s"fixture degenerate: only $onDisk cluster dirs on disk")
+  }
+
   test("global orderBy plans as a range-partitioned sort (sampled split points, no single reducer)") {
     val plan = Tables(spark, sfDir).lineitem
       .orderBy(col("l_extendedprice").desc)
