@@ -44,6 +44,43 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("catalog road: truncate+append == dynamic overwrite; SHOW PARTITIONS == directory watermark") {
+    import graft.io.{CatalogWriter, PartitionedWriter}
+    val table = "cat_ingest"
+    CatalogWriter.drop(spark, table)
+    // clear any orphan managed location a dead JVM left (as Bucketing does)
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
+
+    val v1 = Seq((1L, "a", "20240101"), (2L, "b", "20240102"), (3L, "c", "20240102"))
+      .toDF("id", "v", "ds")
+    // replay of 20240102 with corrected contents — the reference's
+    // daily re-ingest case (partition must be REPLACED, not doubled)
+    val v2 = Seq((2L, "B", "20240102"), (4L, "d", "20240102")).toDF("id", "v", "ds")
+
+    CatalogWriter.writeTable(v1, table)
+    CatalogWriter.truncateThenAppend(v2, table)
+    CatalogWriter.refresh(spark, table)
+
+    val dir = tmpDir("cat_vs_dyn")
+    PartitionedWriter.writePartitioned(v1, dir, compact = false)
+    PartitionedWriter.writePartitioned(v2, dir, compact = false)
+
+    val catRows = spark.table(table).select($"id", $"v", $"ds").collect().toSet
+    val dirRows = spark.read.parquet(dir).select($"id", $"v", $"ds").collect().toSet
+    assert(catRows == dirRows, s"catalog road diverged: $catRows vs $dirRows")
+    assert(catRows.size == 3) // 20240101 intact, 20240102 replaced
+
+    // watermark: SHOW PARTITIONS road == directory-listing road, on
+    // the catalog table's own storage
+    assert(CatalogWriter.maxPartition(spark, table).contains("20240102"))
+    val tableLoc = CatalogWriter.tableLocation(spark, table)
+    assert(PartitionedWriter.maxPartition(spark, tableLoc).contains("20240102"))
+    CatalogWriter.drop(spark, table)
+  }
+
   test("transformWithState (Spark 4 arbitrary state) keeps running totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
