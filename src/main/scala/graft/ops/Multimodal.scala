@@ -54,6 +54,52 @@ object Multimodal {
       (_, i) => i % stride === 0)
   }
 
+  /** REAL header parsers for the formats that need no codec library —
+    * pure-JVM byte-layout reads, proving the decode seam with actual
+    * header bytes (the compressed-codec formats stay on [[DecoderStub]]
+    * until a codec lib is linkable).
+    */
+  object Headers {
+    private def le16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], off: Int, s: String): Boolean =
+      b.length >= off + 4 && (0 until 4).forall(i => b(off + i) == s.charAt(i).toByte)
+
+    /** BMP: 'BM' magic; BITMAPINFOHEADER width/height as signed LE32 at
+      * offsets 18/22 (height negative = top-down rows; dimension is the
+      * magnitude).
+      */
+    def parseBmp(b: Array[Byte]): Option[(Int, Int)] =
+      if (b.length >= 26 && b(0) == 'B'.toByte && b(1) == 'M'.toByte)
+        Some((le32(b, 18), math.abs(le32(b, 22))))
+      else None
+
+    final case class WavMeta(channels: Int, sampleRateHz: Int, bitsPerSample: Int, dataBytes: Long)
+
+    /** WAV: RIFF/WAVE container; walk the chunk list (fmt may not be
+      * at the canonical offset if LIST/fact chunks precede it) and read
+      * the PCM format fields + data payload size.
+      */
+    def parseWav(b: Array[Byte]): Option[WavMeta] = {
+      if (!(tag(b, 0, "RIFF") && tag(b, 8, "WAVE"))) return None
+      var off = 12
+      var fmt: Option[(Int, Int, Int)] = None
+      var dataBytes = -1L
+      while (off + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
+        val size = le32(b, off + 4)
+        if (tag(b, off, "fmt ") && off + 24 <= b.length)
+          fmt = Some((le16(b, off + 10), le32(b, off + 12), le16(b, off + 22)))
+        else if (tag(b, off, "data"))
+          dataBytes = size.toLong & 0xffffffffL
+        off += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      fmt.map { case (ch, rate, bits) => WavMeta(ch, rate, bits, math.max(0L, dataBytes)) }
+    }
+  }
+
   /** The codec seam. Deterministic fake: "decodes" dimensions from the
     * payload hash. A real implementation would parse/decompress here.
     */
@@ -65,6 +111,12 @@ object Multimodal {
     }
   }
 
+  /** Dispatch: real header parse for self-describing formats, stub for
+    * the rest — the swap point the plumbing was built around.
+    */
+  def decodeDims(payload: Array[Byte]): (Int, Int) =
+    Headers.parseBmp(payload).getOrElse(DecoderStub.decode(payload))
+
   /** Batched partition-level decode — the Scala analogue of a Python
     * `mapInPandas` batch loop: iterate a partition in fixed-size
     * batches, pay codec setup once per batch, emit typed metadata.
@@ -75,7 +127,7 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // per-batch codec init would happen here
         batch.iterator.map { r =>
-          val (w, h) = DecoderStub.decode(r.bytes)
+          val (w, h) = decodeDims(r.bytes)
           DecodedMeta(r.media_id, r.bytes.length.toLong, w, h, ok = true)
         }
       }

@@ -149,4 +149,51 @@ class OpsSpec extends SparkSpec {
     val again = decodePartitions(ds, batchSize = 64).collect().sortBy(_.media_id)
     assert(got.toSeq == again.toSeq) // batch size cannot change results
   }
+
+  test("multimodal: REAL BMP/WAV header parse on actual header bytes; stub only for opaque formats") {
+    import Multimodal._
+    def le(buf: Array[Byte], off: Int, v: Long, n: Int): Unit =
+      (0 until n).foreach(i => buf(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+    def tag(buf: Array[Byte], off: Int, s: String): Unit =
+      (0 until 4).foreach(i => buf(off + i) = s.charAt(i).toByte)
+
+    // 54-byte BMP header, 640x480, height stored NEGATIVE (top-down)
+    val bmp = new Array[Byte](54)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    le(bmp, 14, 40, 4) // BITMAPINFOHEADER size
+    le(bmp, 18, 640, 4)
+    le(bmp, 22, -480 & 0xffffffffL, 4)
+    assert(Headers.parseBmp(bmp).contains((640, 480)))
+
+    // canonical 44-byte WAV header: PCM stereo 44.1 kHz 16-bit
+    val wav = new Array[Byte](44)
+    tag(wav, 0, "RIFF"); le(wav, 4, 36 + 88200, 4); tag(wav, 8, "WAVE")
+    tag(wav, 12, "fmt "); le(wav, 16, 16, 4); le(wav, 20, 1, 2)
+    le(wav, 22, 2, 2); le(wav, 24, 44100, 4); le(wav, 28, 176400, 4)
+    le(wav, 32, 4, 2); le(wav, 34, 16, 2)
+    tag(wav, 36, "data"); le(wav, 40, 88200, 4)
+    assert(Headers.parseWav(wav).contains(Headers.WavMeta(2, 44100, 16, 88200L)))
+
+    // non-canonical chunk order: a LIST chunk before fmt must not break the walk
+    val listed = new Array[Byte](12 + 8 + 6 + 24 + 8)
+    tag(listed, 0, "RIFF"); le(listed, 4, listed.length - 8, 4); tag(listed, 8, "WAVE")
+    tag(listed, 12, "LIST"); le(listed, 16, 6, 4) // odd-ish payload, word-aligned walk
+    val fmtOff = 12 + 8 + 6 // 6 is even, no pad
+    tag(listed, fmtOff, "fmt "); le(listed, fmtOff + 4, 16, 4); le(listed, fmtOff + 8, 1, 2)
+    le(listed, fmtOff + 10, 1, 2); le(listed, fmtOff + 12, 16000, 4)
+    le(listed, fmtOff + 22, 8, 2)
+    assert(Headers.parseWav(listed).map(m => (m.channels, m.sampleRateHz, m.bitsPerSample))
+      .contains((1, 16000, 8)))
+
+    // end-to-end through the batched decode: BMP rows get REAL dims,
+    // opaque rows still get the deterministic stub
+    val ds = spark.createDataset(Seq(MediaRecord(1L, bmp), MediaRecord(2L, "opaque".getBytes)))
+    val metas = decodePartitions(ds).collect().sortBy(_.media_id)
+    assert((metas(0).width, metas(0).height) == (640, 480))
+    assert((metas(1).width, metas(1).height) == DecoderStub.decode("opaque".getBytes))
+
+    // junk that starts like a container but truncates must not throw
+    assert(Headers.parseBmp("BM".getBytes).isEmpty)
+    assert(Headers.parseWav("RIFFxxxxWAVE".getBytes).isEmpty)
+  }
 }
