@@ -72,6 +72,61 @@ object QTpch {
       """)
     }),
 
+    // Q18 — large-volume customers: HAVING over an aggregate inside an
+    // IN-subquery. Stresses aggregate-subquery decorrelation (the
+    // semi-join must be planned off the grouped lineitem, not a
+    // re-scan per order) and the exactness of cross-engine quantity
+    // sums (DECIMAL, not double).
+    "q_tpch_q18" -> ((s, dir) => {
+      withViews(s, dir)
+      s.sql("""
+        SELECT c_name, c_custkey, o_orderkey,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS order_date, o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+        FROM t_customer
+        JOIN t_orders   ON c_custkey = o_custkey
+        JOIN t_lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM t_lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 300)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 100
+      """)
+    }),
+
+    // Q21 — suppliers who kept waiting, re-keyed to this star's
+    // columns (no receipt/commit dates: "late" = shipped >60 days
+    // after the order date). The optimizer muscle is the pair of
+    // correlated subqueries — EXISTS (another supplier in the order)
+    // AND NOT EXISTS (another LATE supplier) — where the NOT EXISTS
+    // correlates on BOTH l1's orderkey and the outer o_orderdate in a
+    // non-equality predicate; both must decorrelate to joins, not
+    // per-row re-scans.
+    "q_tpch_q21" -> ((s, dir) => {
+      withViews(s, dir)
+      s.sql("""
+        SELECT s_name, count(*) AS numwait
+        FROM t_supplier
+        JOIN t_lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN t_orders ON o_orderkey = l1.l_orderkey
+        JOIN t_nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM t_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM t_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+          AND n_name IN ('NATION_3', 'NATION_7')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 100
+      """)
+    }),
+
     // Q10 — returned-item reporting: revenue lost to returns per
     // customer in a quarter, top-20.
     "q_tpch_q10" -> ((s, dir) => {
@@ -123,6 +178,36 @@ object QTpch {
             AND o_orderdate <  TIMESTAMP '1997-01-01'
           GROUP BY n_name
           ORDER BY revenue DESC, n_name ASC""",
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+           HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 300)
+         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey ASC
+         LIMIT 100""",
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+         JOIN orders ON o_orderkey = l1.l_orderkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE o_orderstatus = 'F'
+           AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+           AND n_name IN ('NATION_3', 'NATION_7')
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name ASC
+         LIMIT 100""",
     "q_tpch_q10" ->
       s"""SELECT c_custkey, c_name, $dRevenue AS revenue, c_acctbal, n_name
           FROM customer
