@@ -195,6 +195,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch ANN — top-k neighbors for EVERY row of `queries` against a
+    * built IVF index ([[ivfBuild]] output): the nearest-neighbor JOIN
+    * shape training pipelines actually run (retrieval, embedding
+    * dedupe), where looping [[ivfSearchPruned]] per query would be a
+    * driver-side loop. Fully distributed:
+    *  - each query row expands map-side to its `nprobe` nearest
+    *    clusters (argmin over the same inlined centroid array the
+    *    assignment uses — no join, no shuffle);
+    *  - candidates come from an equi-join on `cluster_id`; the query
+    *    side is broadcast, so the big index side never shuffles AND
+    *    Spark's dynamic partition pruning can skip unprobed
+    *    `cluster_id=` directories at runtime (the batch analogue of
+    *    the static IN-filter prune, asserted in `PlanShapeSpec`);
+    *  - top-k per query is one window over candidates only
+    *    (≈ nprobe/k of the corpus per query, not the corpus).
+    */
+  def ivfKnnJoin(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      vecCol: String, idCol: String,
+      queries: DataFrame, qVecCol: String, qIdCol: String,
+      centroids: DataFrame, cVecCol: String, cIdCol: String,
+      nprobe: Int, k: Int): DataFrame = {
+    val cents = collectCentroids(centroids, cVecCol, cIdCol)
+    val l2 = graft.expressions.VectorExpressions.l2sq _
+    val d = graft.expressions.VectorExpressions.dot _
+    // per-query probe clusters: sort (dist2, cid) structs, keep nprobe
+    val probeArr = slice(
+      array_sort(transform(typedlit(cents), c =>
+        struct(l2(col(qVecCol), c.getField("_2")).as("d2"), c.getField("_1").as("cid")))),
+      1, nprobe)
+    val expanded = queries
+      .select(col(qIdCol).as("q_id"), col(qVecCol).as("__qvec"),
+        explode(probeArr.getField("cid")).as("__probe"))
+      .withColumn("__qnorm", sqrt(d(col("__qvec"), col("__qvec"))))
+    val index = spark.read.parquet(indexPath)
+    val scored = index
+      .join(broadcast(expanded), index("cluster_id") === expanded("__probe").cast("string"))
+      .select(col("q_id"), col(idCol),
+        (d(col(vecCol), col("__qvec")) /
+          (sqrt(d(col(vecCol), col(vecCol))) * col("__qnorm"))).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col(idCol).asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** E5 — typed Aggregator: element-wise mean of embedding vectors
     * (cluster centroid). Buffer is (sums, count); merge is element-wise.
     * Exposed via `udaf` for DataFrame use; unit-tested (float summation

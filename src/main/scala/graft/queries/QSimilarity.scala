@@ -85,6 +85,25 @@ object QSimilarity {
         centroids, "cvec", "cid", q, nprobe = 2, k = 10)
     }),
 
+    // Batch ANN: top-5 neighbors for each of 4 query vectors against
+    // the built IVF index in ONE distributed join — query rows expand
+    // map-side to their probe clusters, candidates come from a
+    // broadcast equi-join on cluster_id (dynamic partition pruning
+    // skips unprobed directories), top-k per query is a window over
+    // candidates only.
+    "q_ivf_knn_join" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val path = s"target/tmp/q_ivf_index_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      Similarity.ivfBuild(emb.select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", centroids, "cvec", "cid", path)
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 104)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.ivfKnnJoin(s, path, "embedding", "vec_id",
+        queries, "embedding", "vec_id", centroids, "cvec", "cid", nprobe = 2, k = 5)
+    }),
+
     // E5 — per-label centroid, exploded to (label, dim, value) rows;
     // fixed-point longs make the cross-row sum exact.
     "q_vector_centroid" -> ((s, dir) => {
@@ -148,6 +167,43 @@ object QSimilarity {
           SELECT vec_id, cid AS cluster_id, dist2 FROM ranked WHERE rn = 1""",
     "q_ivf_search" -> ivfSearchSql,
     "q_ivf_search_pruned" -> ivfSearchSql,
+    "q_ivf_knn_join" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+          q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+                WHERE vec_id >= 100 AND vec_id < 104),
+          dists AS (
+            SELECT e.vec_id, c.cid,
+                   list_sum(list_transform(range(1, len(e.embedding) + 1),
+                     i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                        * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))) AS dist2
+            FROM embeddings e CROSS JOIN c),
+          ranked AS (
+            SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+            FROM dists),
+          assigned AS (SELECT vec_id, cid AS cluster_id FROM ranked WHERE rn = 1),
+          qd AS (
+            SELECT q.q_id, c.cid,
+                   list_sum(list_transform(range(1, len(q.qe) + 1),
+                     i -> (CAST(q.qe[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                        * (CAST(q.qe[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))) AS dist2
+            FROM q CROSS JOIN c),
+          qr AS (
+            SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY dist2 ASC, cid ASC) AS rn
+            FROM qd),
+          probes AS (SELECT q_id, cid FROM qr WHERE rn <= 2),
+          cands AS (
+            SELECT p.q_id, e.vec_id,
+                   ${dDot("e.embedding", "q.qe")} /
+                   (sqrt(${dDot("e.embedding", "e.embedding")}) * sqrt(${dDot("q.qe", "q.qe")})) AS cos_sim
+            FROM probes p
+            JOIN assigned a ON a.cluster_id = p.cid
+            JOIN embeddings e ON e.vec_id = a.vec_id
+            JOIN q ON q.q_id = p.q_id),
+          sel AS (
+            SELECT q_id, vec_id, cos_sim,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rn
+            FROM cands)
+          SELECT q_id, vec_id, cos_sim FROM sel WHERE rn <= 5""",
     "q_vector_centroid" ->
       """SELECT label, CAST(u['dim'] AS BIGINT) AS dim,
                 CAST(CAST(sum(CAST(CAST(u['v'] AS DOUBLE) * 9007199254740992 AS BIGINT)) AS DOUBLE)

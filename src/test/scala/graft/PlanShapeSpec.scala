@@ -96,6 +96,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(onDisk > 2, s"fixture degenerate: only $onDisk cluster dirs on disk")
   }
 
+  test("IVF kNN join broadcasts the query side and dynamic-prunes the index scan") {
+    val dir = tmpDir("plan_ivf_knn")
+    val emb = Tables(spark, sfDir).embeddings
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    Similarity.ivfBuild(emb.select(col("vec_id"), col("embedding")),
+      "embedding", "vec_id", centroids, "cvec", "cid", dir)
+    val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 104)
+      .select(col("vec_id"), col("embedding"))
+    val knn = Similarity.ivfKnnJoin(spark, dir, "embedding", "vec_id",
+      queries, "embedding", "vec_id", centroids, "cvec", "cid", nprobe = 2, k = 5)
+    val plan = knn.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query side should broadcast (index side must not shuffle):\n$plan")
+    assert(plan.contains("dynamicpruningexpression(cluster_id"),
+      s"index scan should dynamic-partition-prune on the probed clusters:\n$plan")
+    assert(knn.count() == 20) // 4 queries x top-5
+  }
+
   test("global orderBy plans as a range-partitioned sort (sampled split points, no single reducer)") {
     val plan = Tables(spark, sfDir).lineitem
       .orderBy(col("l_extendedprice").desc)
