@@ -24,6 +24,7 @@ object QTpch {
     t.orders.createOrReplaceTempView("t_orders")
     t.lineitem.createOrReplaceTempView("t_lineitem")
     t.supplier.createOrReplaceTempView("t_supplier")
+    t.part.createOrReplaceTempView("t_part")
     t.nation.createOrReplaceTempView("t_nation")
     t.region.createOrReplaceTempView("t_region")
   }
@@ -127,6 +128,45 @@ object QTpch {
       """)
     }),
 
+    // Q17 — small-quantity-order revenue: a correlated SCALAR
+    // aggregate subquery (per-part average quantity) gating the fact
+    // scan. The optimizer must rewrite the per-row subquery into one
+    // grouped aggregate joined back on p_partkey — at 100 TB the
+    // difference between one extra lineitem scan and one scan per row.
+    // Averages computed as decimal-sum / count on both engines
+    // (double SUM order is partition-dependent; decimal is exact).
+    "q_tpch_q17" -> ((s, dir) => {
+      withViews(s, dir)
+      s.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM t_lineitem JOIN t_part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1' AND p_size < 15
+          AND l_quantity < (
+            SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+            FROM t_lineitem l2 WHERE l2.l_partkey = p_partkey)
+      """)
+    }),
+
+    // Q20 — part-promotion suppliers, re-keyed to this star (no
+    // partsupp table): nested IN-subqueries with a correlated scalar
+    // aggregate inside a HAVING, correlating on the inner query's own
+    // GROUP BY key — the deepest decorrelation shape here.
+    "q_tpch_q20" -> ((s, dir) => {
+      withViews(s, dir)
+      s.sql("""
+        SELECT s_name FROM t_supplier JOIN t_nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+          SELECT l1.l_suppkey FROM t_lineitem l1
+          WHERE l1.l_partkey IN (SELECT p_partkey FROM t_part WHERE p_name LIKE 'red%')
+          GROUP BY l1.l_suppkey, l1.l_partkey
+          HAVING SUM(CAST(l1.l_quantity AS DECIMAL(18,6))) > (
+             SELECT 0.12 * SUM(CAST(l2.l_quantity AS DECIMAL(18,6)))
+             FROM t_lineitem l2 WHERE l2.l_partkey = l1.l_partkey))
+          AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        ORDER BY s_name
+      """)
+    }),
+
     // Q10 — returned-item reporting: revenue lost to returns per
     // customer in a quarter, top-20.
     "q_tpch_q10" -> ((s, dir) => {
@@ -208,6 +248,24 @@ object QTpch {
          GROUP BY s_name
          ORDER BY numwait DESC, s_name ASC
          LIMIT 100""",
+    "q_tpch_q17" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand = 'Brand#1' AND p_size < 15
+           AND l_quantity < (
+             SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+             FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
+    "q_tpch_q20" ->
+      """SELECT s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE s_suppkey IN (
+           SELECT l1.l_suppkey FROM lineitem l1
+           WHERE l1.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+           GROUP BY l1.l_suppkey, l1.l_partkey
+           HAVING SUM(CAST(l1.l_quantity AS DECIMAL(18,6))) > (
+              SELECT 0.12 * SUM(CAST(l2.l_quantity AS DECIMAL(18,6)))
+              FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey))
+           AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+         ORDER BY s_name""",
     "q_tpch_q10" ->
       s"""SELECT c_custkey, c_name, $dRevenue AS revenue, c_acctbal, n_name
           FROM customer
