@@ -51,6 +51,19 @@ object QIo {
         .load()
     }),
 
+    // A-ext — ORC round-trip: the other columnar format Spark ships a
+    // native vectorized reader for. Typed columns survive exactly
+    // (no inference anywhere); proves format breadth beyond parquet.
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val path = scratch("q_orc_roundtrip", dir)
+      Tables(s, dir).orders
+        .filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+    }),
+
     // A2-ext — JSON-lines round-trip with explicit schema (no
     // inference): the other self-describing interchange format every
     // ingest edge meets. Doubles survive exactly: Spark writes
@@ -125,6 +138,9 @@ object QIo {
     "q_jsonl_ingest" ->
       """SELECT event_id, user_id, event_type, value
          FROM events WHERE event_id < 500""",
+    "q_orc_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderkey < 500""",
     "q_dsv2_slices" ->
       """SELECT t.t AS slice_start,
                 'app' || CAST(i.i % 5 AS VARCHAR) AS app,

@@ -27,6 +27,35 @@ object QMultimodal {
         octet_length(Multimodal.thumbnail(col("bytes"), 64)).cast("bigint").as("thumb_len"))
     }),
 
+    // REAL binary-file ingest: deterministic BMP files on disk, read
+    // through Spark's binaryFile source (the actual multimodal ingest
+    // path — whole files as binary rows), REAL header parse in the
+    // batched decode. The oracle restates the generator's arithmetic,
+    // so a parser or ingest regression breaks the hash.
+    "q_binary_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val path = s"target/tmp/q_binary_ingest_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val d = new java.io.File(path)
+      if (!d.exists()) {
+        d.mkdirs()
+        (0 until 20).foreach { i =>
+          val b = new Array[Byte](54 + i) // header + i bytes of "pixel" padding
+          b(0) = 'B'; b(1) = 'M'
+          def le(off: Int, v: Int): Unit =
+            (0 until 4).foreach(j => b(off + j) = ((v >> (8 * j)) & 0xff).toByte)
+          le(14, 40); le(18, 100 + i); le(22, 50 + 2 * i)
+          java.nio.file.Files.write(new java.io.File(d, f"media_$i%03d.bmp").toPath, b)
+        }
+      }
+      val recs = s.read.format("binaryFile").load(path)
+        .select(
+          regexp_extract(col("path"), "media_(\\d+)\\.bmp", 1).cast("long").as("media_id"),
+          col("content").as("bytes"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.decodePartitions(recs).toDF()
+        .select(col("media_id"), col("byte_len"), col("width"), col("height"))
+    }),
+
     // Frame sampling: 32-byte chunks, every 2nd kept — count + the md5
     // of the first sampled frame (content-addressed, engine-portable).
     "q_multimodal_frames" -> ((s, dir) => {
@@ -48,6 +77,12 @@ object QMultimodal {
                 CAST(CAST('0x' || substring(md5(reverse(text)), 1, 8) AS BIGINT) % 1080 + 1 AS INT) AS height,
                 CAST(least(octet_length(encode(text)), 64) AS BIGINT) AS thumb_len
          FROM documents""",
+    "q_binary_ingest" ->
+      """SELECT CAST(range AS BIGINT) AS media_id,
+                CAST(54 + range AS BIGINT) AS byte_len,
+                CAST(100 + range AS INT) AS width,
+                CAST(50 + 2 * range AS INT) AS height
+         FROM range(20)""",
     "q_multimodal_frames" ->
       """SELECT doc_id AS media_id,
                 CAST((greatest(CAST(ceil(length(text) / 32.0) AS INT), 1) + 1) // 2 AS BIGINT) AS n_frames,
