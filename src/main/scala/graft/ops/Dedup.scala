@@ -103,6 +103,50 @@ object Dedup {
           / size(col("sig_a")).cast("double")).as("jaccard_est"))
   }
 
+  /** Connected components over an undirected candidate-pair edge list
+    * — the step that turns pairwise near-dup hits into duplicate
+    * CLUSTERS (keep one document per component), which is what a
+    * production dedup actually deletes by. Spark has no built-in;
+    * this is iterative min-label propagation: each node adopts the
+    * minimum label among itself and its neighbors until fixpoint.
+    *
+    * Scale shape: rounds = graph diameter (tiny for near-dup clusters
+    * — members all share shingles), each round one equi-join + one
+    * groupBy, both shuffling on node id only (never text).
+    * `localCheckpoint` truncates lineage every round — without it the
+    * plan doubles per iteration, the classic iterative-Spark trap.
+    * Convergence is read off the monotonically decreasing label sum
+    * (min-propagation can only lower labels): one cheap aggregate per
+    * round instead of a change-detection join.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    def checksum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prev = checksum(labels)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNbr = und.join(labels, und("dst") === labels("node"))
+        .select(und("src").as("node"), col("label"))
+      val next = labels.union(viaNbr)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      val cur = checksum(next)
+      converged = cur.compareTo(prev) == 0
+      prev = cur
+      labels = next
+      iter += 1
+    }
+    und.unpersist()
+    labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
   /** SimHash fingerprint over `bits` bits (each bit j: sign of the sum
     * of ±1 votes from every token whose md5-int has bit j set). Native
     * [[graft.expressions.SimHash]] kernel — one md5 per token (the

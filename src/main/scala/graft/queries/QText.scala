@@ -74,6 +74,18 @@ object QText {
       Dedup.minhashCandidates(sig, "doc_id", bands = 8, rowsPerBand = 1)
     }),
 
+    // Candidate pairs -> duplicate CLUSTERS: distributed connected
+    // components (iterative min-label propagation) over the LSH pair
+    // graph — what a production dedup actually deletes by (keep the
+    // min doc_id per component). Oracle is a recursive CTE over the
+    // identical pair construction.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val sig = Dedup.minhashSignature(Tables(s, dir).documents, "text", "doc_id", 8)
+      val cand = Dedup.minhashCandidates(sig, "doc_id", bands = 8, rowsPerBand = 1)
+      Dedup.connectedComponents(cand, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("cluster_id"))
+    }),
+
     // LSH candidates -> signature-agreement Jaccard estimate: the
     // cheap verification stage (no document text touched) between
     // banding and exact comparison.
@@ -204,6 +216,22 @@ object QText {
             s"SELECT doc_id, $i AS band, md5(mh$i) AS bucket FROM mh").mkString(" UNION ALL ")})
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+          mh AS (SELECT doc_id,
+                        ${(0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")}
+                 FROM sh GROUP BY doc_id),
+          bands AS (${(0 until 8).map(i =>
+            s"SELECT doc_id, $i AS band, md5(mh$i) AS bucket FROM mh").mkString(" UNION ALL ")}),
+          pairs AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                    FROM bands a JOIN bands b
+                      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+          edges AS (SELECT src, dst FROM pairs UNION SELECT dst AS src, src AS dst FROM pairs),
+          reach(node, label) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, r.label FROM edges e JOIN reach r ON r.node = e.src)
+          SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node""",
     "q_token_pack" ->
       """SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
                 CAST((cum_tokens - 1) // 512 AS BIGINT) AS bin_id

@@ -64,6 +64,26 @@ class DedupSpec extends SparkSpec {
     assert(nativeSimhash == declSimhash)
   }
 
+  test("connected components: chain merges to one cluster, islands stay apart") {
+    // Chain 10-11-12-13 needs multiple propagation rounds (diameter 3);
+    // pair (20,21) is a separate component; 30 is connected only via 31.
+    val edges = Seq((11L, 10L), (11L, 12L), (13L, 12L), (20L, 21L), (31L, 30L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
+  test("connected components on LSH pairs: exact dups land in one cluster") {
+    val pairs = Dedup.minhashCandidates(
+      Dedup.minhashSignature(corpus, "text", "doc_id", 8), "doc_id", 8, 1)
+    val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(1L) == clusters(4L)) // identical docs share a cluster
+    assert(!clusters.contains(3L)) // unrelated doc never entered the pair graph
+  }
+
   test("ngram jaccard: identical=1.0, near-dup high, unrelated filtered out") {
     val got = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 1, 5)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
