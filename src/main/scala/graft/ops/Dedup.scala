@@ -103,16 +103,47 @@ object Dedup {
           / size(col("sig_a")).cast("double")).as("jaccard_est"))
   }
 
+  /** Star edges for duplicate CLUSTERING from a minhash signature
+    * frame: inside every LSH band bucket, link each member to the
+    * bucket's minimum id instead of to every other member. Connectivity
+    * is identical to the all-pairs candidate graph (a bucket is a
+    * clique either way once components are taken), but a bucket of m
+    * documents emits m−1 edges instead of m·(m−1)/2 — the all-pairs
+    * form is quadratic in bucket size, which is exactly what explodes
+    * on a 100 TB near-dup-heavy corpus. One window shuffle on
+    * (band, bucket), one distinct to merge edges repeated across bands.
+    */
+  def minhashClusterEdges(sig: DataFrame, idCol: String, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => element_at(col("sig"), i + 1))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bucket"))
+    }
+    import org.apache.spark.sql.expressions.Window
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .withColumn("hub", min(col(idCol)).over(Window.partitionBy("band", "bucket")))
+      .filter(col(idCol) =!= col("hub"))
+      .select(col(idCol).as("id_a"), col("hub").as("id_b"))
+      .distinct()
+  }
+
   /** Connected components over an undirected candidate-pair edge list
     * — the step that turns pairwise near-dup hits into duplicate
     * CLUSTERS (keep one document per component), which is what a
     * production dedup actually deletes by. Spark has no built-in;
     * this is iterative min-label propagation: each node adopts the
     * minimum label among itself and its neighbors until fixpoint.
+    * Edges need not be pre-deduplicated, but a smaller edge list does
+    * less work per round — pair it with [[minhashClusterEdges]], not
+    * the quadratic all-pairs candidates.
     *
     * Scale shape: rounds = graph diameter (tiny for near-dup clusters
     * — members all share shingles), each round one equi-join + one
-    * groupBy, both shuffling on node id only (never text).
+    * groupBy, both shuffling on node id only (never text). The first
+    * round is fused into initialization (min of self and direct
+    * neighbors is one aggregation, no join, no seed-label job).
     * `localCheckpoint` truncates lineage every round — without it the
     * plan doubles per iteration, the classic iterative-Spark trap.
     * Convergence is read off the monotonically decreasing label sum
@@ -122,14 +153,17 @@ object Dedup {
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 20): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
-    var labels = und.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+    // Both directions. Reversal cannot collide with the forward form
+    // (pairs are ordered), so no dedup shuffle here.
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    // Fused round 1: every node appears as src in the undirected list.
+    var labels = und.groupBy("src").agg(min(col("dst")).as("mn"))
+      .select(col("src").as("node"), least(col("src"), col("mn")).as("label"))
+      .localCheckpoint()
     def checksum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
     var prev = checksum(labels)
-    var iter = 0
+    var iter = 1
     var converged = false
     while (iter < maxIter && !converged) {
       val viaNbr = und.join(labels, und("dst") === labels("node"))
@@ -142,6 +176,8 @@ object Dedup {
       prev = cur
       labels = next
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $iter done at ${System.nanoTime()}")
     }
     und.unpersist()
     labels.select(col("node"), col("label").as("cluster_id"))

@@ -79,10 +79,14 @@ object QText {
     // graph — what a production dedup actually deletes by (keep the
     // min doc_id per component). Oracle is a recursive CTE over the
     // identical pair construction.
+    // Edges come from minhashClusterEdges (star per bucket, linear in
+    // bucket size), NOT the all-pairs candidates (quadratic); the
+    // components — and so the oracle, which builds the pair graph — are
+    // identical.
     "q_dedup_clusters" -> ((s, dir) => {
       val sig = Dedup.minhashSignature(Tables(s, dir).documents, "text", "doc_id", 8)
-      val cand = Dedup.minhashCandidates(sig, "doc_id", bands = 8, rowsPerBand = 1)
-      Dedup.connectedComponents(cand, "id_a", "id_b")
+      val stars = Dedup.minhashClusterEdges(sig, "doc_id", bands = 8, rowsPerBand = 1)
+      Dedup.connectedComponents(stars, "id_a", "id_b")
         .select(col("node").as("doc_id"), col("cluster_id"))
     }),
 

@@ -75,6 +75,17 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
   }
 
+  test("star edges give identical components to all-pairs candidates") {
+    val sig = Dedup.minhashSignature(corpus, "text", "doc_id", 8)
+    val viaPairs = Dedup.connectedComponents(
+      Dedup.minhashCandidates(sig, "doc_id", 8, 1), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val viaStars = Dedup.connectedComponents(
+      Dedup.minhashClusterEdges(sig, "doc_id", 8, 1), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(viaPairs == viaStars)
+  }
+
   test("connected components on LSH pairs: exact dups land in one cluster") {
     val pairs = Dedup.minhashCandidates(
       Dedup.minhashSignature(corpus, "text", "doc_id", 8), "doc_id", 8, 1)
