@@ -72,4 +72,72 @@ object Text {
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, w) => (acc * 31L + md5Int(w)) % fingerprintMod)
+
+  /** PII redaction: emails, phone-shaped digit groups, then IPv4
+    * literals → placeholder tokens, in that fixed order (order matters
+    * — the phone pattern must not eat IPv4 octets first). Patterns are
+    * deliberately RE2-compatible (no lookaround/backrefs) so the exact
+    * same regexes run in the DuckDB oracle; one codegen'd
+    * regexp_replace chain, single scan at 100 TB.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val phone = regexp_replace(email,
+      "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b", "<PHONE>")
+    regexp_replace(phone,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+  }
+
+  /** Boilerplate removal: drop HTML/XML tags, collapse the whitespace
+    * they leave behind. The crude-but-fast first pass of web-corpus
+    * cleaning (a real extractor handles entities and scripts; this is
+    * the scan-shaped core).
+    */
+  def stripHtml(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, "<[^>]*>", " "), "\\s+", " "))
+
+  /** Deterministic distributed corpus shuffle: a seeded md5 of the id
+    * is the shuffle key, and the global rank under that key order is
+    * assigned WITHOUT a single-task global sort — documents are banded
+    * by the key's first hex byte (256 lexicographic ranges, uniform
+    * under md5), ranked within bands, and offset by the broadcast
+    * cumulative band counts. Every stage is distributed; the only
+    * driver-sized object is the 256-row offset table. Training
+    * pipelines need exactly this: a reproducible global permutation of
+    * a 100 TB corpus with no bottleneck stage.
+    */
+  def corpusShuffle(df: org.apache.spark.sql.DataFrame, idCol: String,
+      seed: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withKey = df.withColumn("shuffle_key",
+        md5(concat_ws("|", lit(seed), col(idCol).cast("string"))))
+      .withColumn("band", substring(col("shuffle_key"), 1, 2))
+    val offsets = withKey.groupBy("band").agg(count(lit(1)).as("n"))
+      .withColumn("band_offset",
+        coalesce(sum("n").over(Window.orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("band", "band_offset")
+    withKey.join(broadcast(offsets), "band")
+      .withColumn("shuffle_rank",
+        col("band_offset") + row_number().over(
+          Window.partitionBy("band")
+            .orderBy(col("shuffle_key"), col(idCol))).cast("bigint"))
+      .drop("band", "band_offset")
+  }
+
+  /** Stratified deterministic sampling: per-stratum keep percentages
+    * over the portable md5 bucket of the id. How a training mix is
+    * rebalanced (downsample the dominant language, keep the rare ones)
+    * — reproducible across runs and engines, no RNG state. Map-only:
+    * the filter is one codegen'd expression, no shuffle.
+    */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, idCol: String,
+      strataCol: String, keepPct: Map[String, Int],
+      defaultPct: Int): org.apache.spark.sql.DataFrame = {
+    val pct = keepPct.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(md5Int(col(idCol).cast("string")) % 100 < pct)
+  }
 }

@@ -157,6 +157,44 @@ object QText {
     // removal -> quality gate) as one oracle-checked pipeline.
     "q_corpus_clean" -> ((s, dir) => {
       graft.pipelines.CorpusClean.run(Tables(s, dir).documents)
+    }),
+
+    // Deterministic distributed corpus shuffle: seeded-md5 global
+    // permutation, rank assigned via 256 lexicographic hash bands +
+    // broadcast cumulative offsets — no single-task global sort.
+    "q_corpus_shuffle" -> ((s, dir) => {
+      Text.corpusShuffle(Tables(s, dir).documents, "doc_id", "seed42")
+        .select(col("doc_id"), col("shuffle_key"), col("shuffle_rank"))
+    }),
+
+    // PII redaction over a deterministic contact-shaped string (the
+    // corpus has no real PII, so the query synthesizes the worst case:
+    // an email, a phone, and an IPv4 per row; same construction in the
+    // oracle).
+    "q_pii_redact" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val contact = concat(
+        lit("mail user"), col("doc_id"), lit("@"), col("source"), lit(".net tel "),
+        lit("555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit("-1234 host 10.0."), (col("doc_id") % 256).cast("string"), lit(".7 ok"))
+      d.select(col("doc_id"), Text.redactPii(contact).as("redacted"))
+    }),
+
+    // HTML boilerplate strip over synthesized markup around real text.
+    "q_html_strip" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val html = concat(lit("<p class=\"b\">"), substring(col("text"), 1, 40),
+        lit("</p> <br/> <a href=\"#x\">more</a>"))
+      d.select(col("doc_id"), Text.stripHtml(html).as("clean"))
+    }),
+
+    // Stratified deterministic sampling: rebalance the training mix
+    // (keep 40% of English, 80% of German, all the rest) with the
+    // portable md5 bucket — reproducible, map-only, no RNG.
+    "q_stratified_sample" -> ((s, dir) => {
+      Text.stratifiedSample(Tables(s, dir).documents, "doc_id", "lang",
+          Map("en" -> 40, "de" -> 80), 100)
+        .select(col("doc_id"), col("lang"), col("source"))
     })
   )
 
@@ -169,6 +207,34 @@ object QText {
          FROM words))"""
 
   val oracles: Map[String, String] = Map(
+    "q_corpus_shuffle" ->
+      """SELECT doc_id,
+                md5('seed42|' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+                CAST(row_number() OVER (
+                  ORDER BY md5('seed42|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+                  AS shuffle_rank
+         FROM documents""",
+    "q_pii_redact" ->
+      """SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(
+                  'mail user' || CAST(doc_id AS VARCHAR) || '@' || source ||
+                  '.net tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                  '-1234 host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 ok',
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g'),
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+         FROM documents""",
+    "q_html_strip" ->
+      """SELECT doc_id,
+                trim(regexp_replace(regexp_replace(
+                  '<p class="b">' || substr(text, 1, 40) ||
+                  '</p> <br/> <a href="#x">more</a>',
+                  '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+         FROM documents""",
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+               < CASE WHEN lang = 'en' THEN 40 WHEN lang = 'de' THEN 80 ELSE 100 END""",
     "q_dedup_text" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY 1""",

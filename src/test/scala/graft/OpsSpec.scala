@@ -196,4 +196,44 @@ class OpsSpec extends SparkSpec {
     assert(Headers.parseBmp("BM".getBytes).isEmpty)
     assert(Headers.parseWav("RIFFxxxxWAVE".getBytes).isEmpty)
   }
+
+  test("corpus shuffle: banded rank is an exact permutation in key order") {
+    import spark.implicits._
+    val df = spark.range(0, 1000).toDF("id")
+    val got = Text.corpusShuffle(df, "id", "s1")
+      .select("id", "shuffle_key", "shuffle_rank")
+      .as[(Long, String, Long)].collect()
+    assert(got.map(_._3).sorted.toSeq == (1L to 1000L)) // permutation, no gaps
+    // rank order must equal global (key, id) lexicographic order
+    val byRank = got.sortBy(_._3).map(r => (r._2, r._1)).toSeq
+    assert(byRank == byRank.sorted)
+    // seeded: a different seed is a different permutation
+    val other = Text.corpusShuffle(df, "id", "s2")
+      .select("id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    assert(got.exists(r => other(r._1) != r._3))
+  }
+
+  test("pii redaction hits emails, phones, IPs; leaves near-misses alone") {
+    import spark.implicits._
+    val rows = Seq(
+      "write bob.smith+x@mail.example.org now",
+      "call 555-0199-1234 or visit 192.168.1.17 today",
+      "v1.2 costs $3.4 at 5pm, no pii here").toDF("t")
+    val got = rows.select(Text.redactPii(col("t")).as("r")).as[String].collect()
+    assert(got(0) == "write <EMAIL> now")
+    assert(got(1) == "call <PHONE> or visit <IP> today")
+    assert(got(2) == "v1.2 costs $3.4 at 5pm, no pii here")
+  }
+
+  test("stratified sample keeps rate-proportional strata, deterministically") {
+    import spark.implicits._
+    val df = spark.range(0, 2000)
+      .select(col("id"), (when(col("id") % 2 === 0, "en").otherwise("zz")).as("lang"))
+    val kept = Text.stratifiedSample(df, "id", "lang", Map("en" -> 40), 100)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept("zz") == 1000L) // default 100% keeps everything
+    assert(kept("en") > 300L && kept("en") < 500L) // ~40% of 1000
+    val again = Text.stratifiedSample(df, "id", "lang", Map("en" -> 40), 100).count()
+    assert(again == kept.values.sum) // no RNG: identical on re-run
+  }
 }
