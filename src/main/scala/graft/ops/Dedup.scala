@@ -63,21 +63,25 @@ object Dedup {
     * band-bucket join is an equi-join on the band digest — shuffle on
     * digest, never all-pairs.
     */
-  def minhashCandidates(sig: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
-    // One pass: explode per-band structs instead of unioning `bands`
-    // selects — a union would inline (and re-execute) the whole
-    // signature pipeline once per band, and the self-join below would
-    // double that again. The exploded band frame is tiny (ids × bands),
-    // so it is cached for the self-join's two sides.
+  /** The (id, band, bucket) frame behind every LSH operator: one pass,
+    * per-band structs exploded (a per-band union would inline and
+    * re-execute the signature pipeline once per band).
+    */
+  private def bandFrame(sig: DataFrame, idCol: String, bands: Int,
+      rowsPerBand: Int): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(i => element_at(col("sig"), i + 1))
       struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bucket"))
     }
-    val banded = sig
-      .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .cache()
+  }
+
+  def minhashCandidates(sig: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    // The band frame is tiny (ids × bands), so it is cached for the
+    // self-join's two sides.
+    val banded = bandFrame(sig, idCol, bands, rowsPerBand).cache()
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
@@ -115,18 +119,33 @@ object Dedup {
     */
   def minhashClusterEdges(sig: DataFrame, idCol: String, bands: Int,
       rowsPerBand: Int): DataFrame = {
-    val bandStructs = (0 until bands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => element_at(col("sig"), i + 1))
-      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bucket"))
-    }
     import org.apache.spark.sql.expressions.Window
-    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    bandFrame(sig, idCol, bands, rowsPerBand)
       .withColumn("hub", min(col(idCol)).over(Window.partitionBy("band", "bucket")))
       .filter(col(idCol) =!= col("hub"))
       .select(col(idCol).as("id_a"), col("hub").as("id_b"))
       .distinct()
+  }
+
+  /** Incremental dedup: which documents of a NEW batch are near-dup of
+    * an EXISTING corpus, given both sides' minhash signatures. A new
+    * document collides if ANY of its band buckets appears in the index
+    * — one semi-join on (band, bucket) finds the collided ids, one
+    * anti-join keeps the clean remainder. This is the production shape
+    * for a growing corpus: the 100 TB index is touched only through
+    * its (id, band, bucket) frame (ideally persisted once), never
+    * rescanned as text, and the work scales with the NEW batch.
+    * Intra-batch duplicates are a separate concern — compose with
+    * [[minhashClusterEdges]] + [[connectedComponents]] on the batch.
+    */
+  def incrementalNewDocs(newSig: DataFrame, indexSig: DataFrame,
+      idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandedNew = bandFrame(newSig, idCol, bands, rowsPerBand)
+    val bandedIdx = bandFrame(indexSig, idCol, bands, rowsPerBand)
+      .select(col("band"), col("bucket"))
+    val collided = bandedNew.join(bandedIdx, Seq("band", "bucket"), "left_semi")
+      .select(col(idCol)).distinct()
+    newSig.select(col(idCol)).join(collided, Seq(idCol), "left_anti")
   }
 
   /** Connected components over an undirected candidate-pair edge list

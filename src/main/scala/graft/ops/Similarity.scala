@@ -46,6 +46,25 @@ object Similarity {
       .withColumn(outCol, transform(col(vecCol), x => x.cast("double") / col("__norm")))
       .drop("__norm")
 
+  /** Symmetric int8 quantization of an embedding column: each vector
+    * is scaled by its own max-|v| to [-127, 127] and rounded half-up
+    * via floor(x + 0.5) — floor is bit-identical across engines where
+    * round() tie-breaking is not. 4× smaller vectors are the standard
+    * storage/bandwidth lever for a 100 TB embedding corpus; dequantize
+    * with the per-vector `scale` column this emits alongside. Zero
+    * vectors quantize to zeros with scale 0.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val mx = array_max(transform(col(vecCol), v => abs(v.cast("double"))))
+    df.withColumn("__mx", mx)
+      .select(col(idCol), (col("__mx") / 127.0).as("scale"),
+        when(col("__mx") === 0.0,
+          transform(col(vecCol), _ => lit(0)))
+          .otherwise(transform(col(vecCol),
+            v => floor(v.cast("double") / col("__mx") * 127.0 + 0.5).cast("int")))
+          .as("qvec"))
+  }
+
   /** Brute-force cosine top-k of `df.vecCol` against one query vector
     * (as a literal array column, e.g. from a collected row — small,
     * broadcast with the plan). Catalyst plans TakeOrderedAndProject:

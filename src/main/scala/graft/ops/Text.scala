@@ -126,6 +126,22 @@ object Text {
       .drop("band", "band_offset")
   }
 
+  /** Context-window chunking: split each document into token windows
+    * of `chunkSize` starting every `stride` tokens (stride < chunkSize
+    * overlaps, the usual shape for embedding/indexing pipelines; the
+    * tail window may be shorter). `sequence` + `slice` build all
+    * windows inside one codegen'd expression — the only row expansion
+    * is the final explode, ~len/stride rows per document.
+    */
+  def chunk(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, chunkSize: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    val starts = sequence(lit(1), greatest(size(toks), lit(1)), lit(stride))
+    df.select(col(idCol),
+        posexplode(transform(starts, s => concat_ws(" ", slice(toks, s, lit(chunkSize))))))
+      .select(col(idCol), col("pos").cast("bigint").as("chunk_id"), col("col").as("chunk"))
+  }
+
   /** Stratified deterministic sampling: per-stratum keep percentages
     * over the portable md5 bucket of the id. How a training mix is
     * rebalanced (downsample the dominant language, keep the rare ones)

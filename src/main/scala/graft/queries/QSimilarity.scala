@@ -43,6 +43,13 @@ object QSimilarity {
     }),
 
     // IVF assignment: nearest of 8 seed centroids (vec_id < 8) by
+    // J2-ext — per-vector symmetric int8 quantization: the 4×
+    // storage/bandwidth lever for an embedding corpus; floor(x+0.5)
+    // rounding keeps the oracle bit-exact where round() ties differ.
+    "q_embed_quantize" -> ((s, dir) => {
+      Similarity.quantizeInt8(Tables(s, dir).embeddings, "embedding", "vec_id")
+    }),
+
     // squared L2; broadcast centroids, per-row argmin.
     "q_ivf_assign" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
@@ -145,6 +152,17 @@ object QSimilarity {
           ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10"""
 
   val oracles: Map[String, String] = Map(
+    "q_embed_quantize" ->
+      """WITH m AS (SELECT vec_id, embedding,
+                list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS mx
+              FROM embeddings)
+         SELECT vec_id, mx / 127.0 AS scale,
+                CASE WHEN mx = 0
+                     THEN list_transform(embedding, v -> 0)
+                     ELSE list_transform(embedding,
+                            v -> CAST(floor(CAST(v AS DOUBLE) / mx * 127.0 + 0.5) AS INT))
+                END AS qvec
+         FROM m""",
     "q_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
           SELECT vec_id,

@@ -188,6 +188,24 @@ object QText {
       d.select(col("doc_id"), Text.stripHtml(html).as("clean"))
     }),
 
+    // Context-window chunking: overlapping 64-token windows every 32
+    // tokens — the embedding/indexing prep shape; row expansion is the
+    // single explode.
+    "q_doc_chunks" -> ((s, dir) => {
+      Text.chunk(Tables(s, dir).documents, "text", "doc_id", 64, 32)
+    }),
+
+    // Incremental dedup: new batch (doc_id % 3 == 0) against the
+    // existing corpus index (the rest) — band-bucket semi-join finds
+    // collisions, anti-join keeps the clean docs. Work scales with the
+    // new batch, not the corpus.
+    "q_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val sigIdx = Dedup.minhashSignature(docs.filter(col("doc_id") % 3 =!= 0), "text", "doc_id", 8)
+      val sigNew = Dedup.minhashSignature(docs.filter(col("doc_id") % 3 === 0), "text", "doc_id", 8)
+      Dedup.incrementalNewDocs(sigNew, sigIdx, "doc_id", 8, 1)
+    }),
+
     // Stratified deterministic sampling: rebalance the training mix
     // (keep 40% of English, 80% of German, all the rest) with the
     // portable md5 bucket — reproducible, map-only, no RNG.
@@ -235,6 +253,27 @@ object QText {
       """SELECT doc_id, lang, source FROM documents
          WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
                < CASE WHEN lang = 'en' THEN 40 WHEN lang = 'de' THEN 80 ELSE 100 END""",
+    "q_doc_chunks" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          st AS (SELECT doc_id, w, unnest(range(1, greatest(len(w), 1) + 1, 32)) AS s
+                 FROM words)
+         SELECT doc_id, CAST((s - 1) // 32 AS BIGINT) AS chunk_id,
+                array_to_string(w[s:s + 63], ' ') AS chunk
+         FROM st""",
+    "q_incremental_dedup" ->
+      s"""WITH $shingleCte,
+          mh AS (SELECT doc_id,
+                        ${(0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")}
+                 FROM sh GROUP BY doc_id),
+          bands AS (${(0 until 8).map(i =>
+            s"SELECT doc_id, $i AS band, md5(mh$i) AS bucket FROM mh").mkString(" UNION ALL ")}),
+          collided AS (SELECT DISTINCT n.doc_id
+                       FROM bands n JOIN bands i
+                         ON n.band = i.band AND n.bucket = i.bucket
+                        AND i.doc_id % 3 <> 0
+                       WHERE n.doc_id % 3 = 0)
+          SELECT doc_id FROM documents
+          WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT doc_id FROM collided)""",
     "q_dedup_text" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY 1""",

@@ -95,6 +95,19 @@ class DedupSpec extends SparkSpec {
     assert(!clusters.contains(3L)) // unrelated doc never entered the pair graph
   }
 
+  test("incremental dedup: indexed near-dups rejected, novel docs kept") {
+    // index: base (1). new batch: exact dup of base (4), near-dup (2),
+    // unrelated (3) — only the unrelated doc should survive.
+    val sigIdx = Dedup.minhashSignature(
+      Seq((1L, base)).toDF("doc_id", "text"), "text", "doc_id", 8)
+    val sigNew = Dedup.minhashSignature(
+      Seq((4L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text"),
+      "text", "doc_id", 8)
+    val kept = Dedup.incrementalNewDocs(sigNew, sigIdx, "doc_id", 8, 1)
+      .as[Long].collect().toSet
+    assert(kept == Set(3L))
+  }
+
   test("ngram jaccard: identical=1.0, near-dup high, unrelated filtered out") {
     val got = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 1, 5)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()

@@ -225,6 +225,31 @@ class OpsSpec extends SparkSpec {
     assert(got(2) == "v1.2 costs $3.4 at 5pm, no pii here")
   }
 
+  test("chunking: stride windows, short tail kept, tiny doc is one chunk") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f g"), (2L, "x")).toDF("doc_id", "text")
+    val got = Text.chunk(df, "text", "doc_id", chunkSize = 3, stride = 2)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, "a b c"), (1L, 1L, "c d e"), (1L, 2L, "e f g"), (1L, 3L, "g"),
+      (2L, 0L, "x")))
+  }
+
+  test("int8 quantize: max maps to ±127, dequantize error within half step") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(0.5f, -1.0f, 0.25f)), (2L, Seq(0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df, "embedding", "vec_id")
+      .as[(Long, Double, Seq[Int])].collect()
+      .map { case (id, sc, q) => id -> ((sc, q)) }.toMap
+    val (s1, q1) = got(1L)
+    assert(q1 == Seq(64, -127, 32)) // floor(0.5*127+0.5)=64, exact -127, floor(.25*127+.5)=32
+    Seq(0.5, -1.0, 0.25).zip(q1).foreach { case (orig, q) =>
+      assert(math.abs(q * s1 - orig) <= s1 / 2 + 1e-12)
+    }
+    assert(got(2L) == ((0.0, Seq(0, 0, 0)))) // zero vector: no NaN division
+  }
+
   test("stratified sample keeps rate-proportional strata, deterministically") {
     import spark.implicits._
     val df = spark.range(0, 2000)
