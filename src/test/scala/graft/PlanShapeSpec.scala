@@ -129,4 +129,15 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"top-k fell back to a global sort:\n$plan")
   }
+
+  test("corpus shuffle ranks in hash bands: no single-partition exchange, offsets broadcast") {
+    val plan = graft.ops.Text.corpusShuffle(Tables(spark, sfDir).documents, "doc_id", "s")
+      .queryExecution.executedPlan.toString
+    // the big side's window must partition by band, never collapse to
+    // one task; only the 256-row offset table may single-partition
+    assert(plan.contains("Window [") && plan.contains("windowspecdefinition(band"),
+      s"rank window should partition by band:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"band offsets should broadcast, not shuffle the corpus:\n$plan")
+  }
 }
