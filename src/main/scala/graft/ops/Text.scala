@@ -142,6 +142,35 @@ object Text {
       .select(col(idCol), col("pos").cast("bigint").as("chunk_id"), col("col").as("chunk"))
   }
 
+  /** Temperature-balanced mixture sampling — allocate a global token
+    * budget across strata (sources, languages) proportionally to
+    * tokens^T and keep a deterministic md5 fraction of each stratum to
+    * hit its allocation. T is fixed at 0.5 (sqrt): the canonical
+    * "flatten the mix" temperature AND the only power IEEE guarantees
+    * correctly rounded, so the per-stratum rates are bit-identical in
+    * the DuckDB oracle (pow() is libm-dependent, sqrt is not). The
+    * stratum-weight frame is tiny (#strata rows) and broadcast; the
+    * corpus side is one map-only filter. Weight sums go through
+    * DECIMAL(38,9) — order-free, and the mantissa stays under 2^53 so
+    * the cast back to double is exact in both engines.
+    */
+  def mixtureSample(df: org.apache.spark.sql.DataFrame, idCol: String,
+      strataCol: String, tokenCol: String, tokenBudget: Long): org.apache.spark.sql.DataFrame = {
+    val stats = df.groupBy(strataCol)
+      .agg(sum(col(tokenCol)).cast("double").as("toks"))
+      .withColumn("w", sqrt(col("toks")).cast("decimal(38,9)"))
+    val tot = stats.agg(sum(col("w")).as("tw"))
+    val rates = stats.crossJoin(broadcast(tot))
+      .withColumn("rate", least(lit(1.0),
+        lit(tokenBudget.toDouble)
+          * (col("w").cast("double") / col("tw").cast("double")) / col("toks")))
+      .select(col(strataCol), col("rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(md5Int(col(idCol).cast("string")) % 10000
+        < floor(col("rate") * 10000.0).cast("bigint"))
+      .drop("rate")
+  }
+
   /** Stratified deterministic sampling: per-stratum keep percentages
     * over the portable md5 bucket of the id. How a training mix is
     * rebalanced (downsample the dominant language, keep the rare ones)

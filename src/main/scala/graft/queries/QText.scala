@@ -188,6 +188,29 @@ object QText {
       d.select(col("doc_id"), Text.stripHtml(html).as("clean"))
     }),
 
+    // Temperature-balanced data mixing: a 50k-char budget allocated
+    // across languages by sqrt weighting, realized as per-stratum
+    // deterministic keep rates. The rare languages keep everything,
+    // the dominant one downsamples.
+    "q_mixture_sample" -> ((s, dir) => {
+      Text.mixtureSample(Tables(s, dir).documents, "doc_id", "lang", "n_chars", 50000L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    // URL decomposition with the codegen'd parse_url builtin (host /
+    // path / one query param / protocol); the oracle reproduces the
+    // fields with anchored regexes.
+    "q_url_parse" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val url = concat(lit("https://"), col("source"), lit(".example.com/d/"),
+        col("doc_id"), lit("?lang="), col("lang"), lit("&v=2"))
+      d.select(col("doc_id"),
+        parse_url(url, lit("PROTOCOL")).as("proto"),
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY"), lit("lang")).as("lang_param"))
+    }),
+
     // Context-window chunking: overlapping 64-token windows every 32
     // tokens — the embedding/indexing prep shape; row expansion is the
     // single explode.
@@ -253,6 +276,29 @@ object QText {
       """SELECT doc_id, lang, source FROM documents
          WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
                < CASE WHEN lang = 'en' THEN 40 WHEN lang = 'de' THEN 80 ELSE 100 END""",
+    "q_mixture_sample" ->
+      """WITH st AS (SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS toks
+                     FROM documents GROUP BY lang),
+          ws AS (SELECT lang, toks, CAST(sqrt(toks) AS DECIMAL(38,9)) AS w FROM st),
+          tot AS (SELECT SUM(w) AS tw FROM ws),
+          rates AS (SELECT lang,
+                           least(1.0, 50000.0 * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)) / toks) AS rate
+                    FROM ws, tot)
+         SELECT d.doc_id, d.lang, d.n_chars
+         FROM documents d JOIN rates r ON d.lang = r.lang
+         WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000
+               < CAST(floor(rate * 10000.0) AS BIGINT)""",
+    "q_url_parse" ->
+      """WITH u AS (SELECT doc_id,
+                'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR) ||
+                '?lang=' || lang || '&v=2' AS url
+              FROM documents)
+         SELECT doc_id,
+                regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+                regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path,
+                regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param
+         FROM u""",
     "q_doc_chunks" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
           st AS (SELECT doc_id, w, unnest(range(1, greatest(len(w), 1) + 1, 32)) AS s

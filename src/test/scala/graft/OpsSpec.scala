@@ -250,6 +250,20 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == ((0.0, Seq(0, 0, 0)))) // zero vector: no NaN division
   }
 
+  test("mixture sample: rare strata keep all, dominant downsamples toward budget") {
+    import spark.implicits._
+    // 'big' has 100k tokens, 'rare' 1k; budget 20k: rare keeps 100%
+    // (its sqrt-share allocation exceeds its size), big downsamples.
+    val df = (0 until 1000).map(i => (i.toLong, "big", 100L)) ++
+      (1000 until 1010).map(i => (i.toLong, "rare", 100L))
+    val got = Text.mixtureSample(df.toDF("id", "s", "toks"), "id", "s", "toks", 20000L)
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(got("rare") == 10L)
+    assert(got("big") < 400L && got("big") > 100L) // ~19k/100k of 1000 docs
+    val again = Text.mixtureSample(df.toDF("id", "s", "toks"), "id", "s", "toks", 20000L).count()
+    assert(again == got.values.sum) // deterministic
+  }
+
   test("stratified sample keeps rate-proportional strata, deterministically") {
     import spark.implicits._
     val df = spark.range(0, 2000)
