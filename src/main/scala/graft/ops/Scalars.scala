@@ -88,4 +88,44 @@ object Scalars {
     */
   val fxScale: Double = 9007199254740992.0 // 2^53
   def fxLong(c: Column): Column = (c.cast("double") * fxScale).cast("bigint")
+
+  /** Morton (Z-order) interleave of two non-negative dimensions,
+    * `bits` bits each: bit i of `a` lands at position 2i, bit i of `b`
+    * at 2i+1. Sorting/range-partitioning a table by this key clusters
+    * BOTH dimensions into every file, so parquet min/max row-group
+    * stats prune selective filters on either column — the multi-column
+    * data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER) as one
+    * codegen'd integer expression. Pure long arithmetic: bit-identical
+    * in the DuckDB oracle.
+    */
+  def mortonCode(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a.cast("bigint"), i).bitwiseAND(1L), 2 * i) +
+        shiftleft(shiftright(b.cast("bigint"), i).bitwiseAND(1L), 2 * i + 1)
+    }.reduce(_ + _) // static unroll: one codegen'd integer expression
+
+  /** Z-order key over two columns with DOMAIN NORMALIZATION: each
+    * dimension is min-max scaled to `bits` bits before interleaving.
+    * Raw interleave of imbalanced domains degenerates to a single-key
+    * sort (the wider column owns every high bit — measured: 16/16
+    * files still matched the narrow-range filter), so real layouts
+    * normalize first, exactly as Delta/Iceberg Z-ORDER rank columns.
+    * One min/max pass (or table stats) broadcast as a 1-row frame;
+    * the bucket math is floor((x−mn)·2^bits/(mx−mn+1)) in doubles that
+    * stay integer-exact, matching DuckDB bit for bit.
+    */
+  def zorderKey(df: org.apache.spark.sql.DataFrame, a: String, b: String,
+      bits: Int = 8): org.apache.spark.sql.DataFrame = {
+    val stats = df.agg(
+      min(col(a)).cast("bigint").as("__mna"), max(col(a)).cast("bigint").as("__mxa"),
+      min(col(b)).cast("bigint").as("__mnb"), max(col(b)).cast("bigint").as("__mxb"))
+    def bucket(x: Column, mn: Column, mx: Column) =
+      floor((x.cast("double") - mn.cast("double")) * (1L << bits).toDouble
+        / (mx.cast("double") - mn.cast("double") + 1.0)).cast("bigint")
+    df.crossJoin(broadcast(stats))
+      .withColumn("zkey", mortonCode(
+        bucket(col(a), col("__mna"), col("__mxa")),
+        bucket(col(b), col("__mnb"), col("__mxb")), bits))
+      .drop("__mna", "__mxa", "__mnb", "__mxb")
+  }
 }

@@ -54,6 +54,17 @@ object QScale {
       Bucketing.bucketedJoin(s, lt, ot, "l_orderkey")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"), sum(col("qty")).cast("double").as("total_qty"))
+    }),
+
+    // Z-order clustering key: min-max-normalize (l_partkey, l_suppkey)
+    // to 8 bits each, then Morton-interleave, so a sort/range-partition
+    // by zkey co-locates BOTH dimensions in every file — parquet
+    // min/max stats then prune filters on either column. The key
+    // itself is the checked output (integer-exact math).
+    "q_zorder_key" -> ((s, dir) => {
+      Scalars.zorderKey(Tables(s, dir).lineitem, "l_partkey", "l_suppkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("zkey"))
     })
   )
 
@@ -71,6 +82,21 @@ object QScale {
       """SELECT o_orderpriority, count(*) AS n_items,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY o_orderpriority"""
+         GROUP BY o_orderpriority""",
+    "q_zorder_key" -> {
+      val terms = (0 until 8).map { i =>
+        s"((ba >> $i) & 1) * ${1L << (2 * i)} + ((bb >> $i) & 1) * ${1L << (2 * i + 1)}"
+      }.mkString(" + ")
+      s"""WITH st AS (SELECT CAST(MIN(l_partkey) AS BIGINT) AS mna, CAST(MAX(l_partkey) AS BIGINT) AS mxa,
+                             CAST(MIN(l_suppkey) AS BIGINT) AS mnb, CAST(MAX(l_suppkey) AS BIGINT) AS mxb
+                      FROM lineitem),
+          bkt AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                         CAST(floor((l_partkey - mna) * 256.0 / (mxa - mna + 1.0)) AS BIGINT) AS ba,
+                         CAST(floor((l_suppkey - mnb) * 256.0 / (mxb - mnb + 1.0)) AS BIGINT) AS bb
+                  FROM lineitem, st)
+          SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                 CAST($terms AS BIGINT) AS zkey
+          FROM bkt"""
+    }
   )
 }

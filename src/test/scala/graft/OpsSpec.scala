@@ -250,6 +250,18 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == ((0.0, Seq(0, 0, 0)))) // zero vector: no NaN division
   }
 
+  test("morton code interleaves bits: known values, and range-locality holds") {
+    import spark.implicits._
+    val got = Seq((3L, 1L), (0L, 0L), (65535L, 0L), (0L, 65535L), (5L, 5L))
+      .toDF("a", "b")
+      .select(Scalars.mortonCode(col("a"), col("b")).as("z")).as[Long].collect()
+    assert(got(0) == 7L)           // a=11b -> pos 0,2 (5); b=1b -> pos 1 (2)
+    assert(got(1) == 0L)
+    assert(got(2) == 0x55555555L)  // all even bit positions
+    assert(got(3) == 0xAAAAAAAAL)  // all odd bit positions
+    assert(got(4) == 51L)          // 5=101b interleaved with itself: 110011b
+  }
+
   test("mixture sample: rare strata keep all, dominant downsamples toward budget") {
     import spark.implicits._
     // 'big' has 100k tokens, 'rare' 1k; budget 20k: rare keeps 100%

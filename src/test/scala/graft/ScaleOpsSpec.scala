@@ -123,4 +123,26 @@ class ScaleOpsSpec extends SparkSpec {
       assert(latest(10L) == 3L && latest(20L) == 1L)
     } finally q.stop()
   }
+
+  test("z-order layout bounds BOTH dimensions per file; single-key sort does not") {
+    import graft.ops.Scalars
+    val li = Tables(spark, "/root/testdata/sf0.001").lineitem
+      .select($"l_partkey", $"l_suppkey")
+    val dirZ = tmpDir("zorder"); val dirP = tmpDir("psort")
+    Scalars.zorderKey(li, "l_partkey", "l_suppkey")
+      .repartitionByRange(16, $"zkey").write.mode("overwrite").parquet(dirZ)
+    li.repartitionByRange(16, $"l_partkey").write.mode("overwrite").parquet(dirP)
+    // a file can be skipped for a suppkey range iff its [min,max]
+    // misses it; sf0.001 has 10 suppliers, so [0,2] is a narrow range
+    val hi = 2L
+    def filesTouched(dir: String): Long =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min($"l_suppkey").as("mn"), max($"l_suppkey").as("mx"))
+        .filter($"mn" <= hi) // range [0, hi]; mx >= 0 always
+        .count()
+    val (z, p) = (filesTouched(dirZ), filesTouched(dirP))
+    assert(p == 16L, s"partkey-only sort should leave suppkey unbounded in every file, got $p")
+    assert(z <= 8L, s"z-order should confine a narrow suppkey range to few files, got $z")
+  }
 }
