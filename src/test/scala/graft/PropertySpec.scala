@@ -112,6 +112,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunking with stride == size reassembles exactly the original text") {
+    forAll(Gen.chooseNum(1, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.alphaLowerStr.suchThat(_.nonEmpty))), n = 15) { words =>
+      val text = words.mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val rejoined = Text.chunk(df, "text", "doc_id", chunkSize = 7, stride = 7)
+        .orderBy($"chunk_id").select($"chunk").as[String].collect().mkString(" ")
+      assert(rejoined == text)
+    }
+  }
+
+  test("morton code is monotone in each dimension when the other is fixed") {
+    forAll(Gen.zip(Gen.chooseNum(0L, 65534L), Gen.chooseNum(0L, 65535L)), n = 15) {
+      case (a, b) =>
+        val df = Seq((a, b), (a + 1, b)).toDF("x", "y")
+        val z = df.select(Scalars.mortonCode($"x", $"y").as("z")).as[Long].collect()
+        assert(z(0) < z(1)) // growing a dimension can only grow the key
+    }
+  }
+
   test("native minhash kernel == declarative min(md5(seed|shingle)) on adversarial text") {
     forAll(textGen, n = 20) { text =>
       val df = Seq((1L, text)).toDF("doc_id", "text")

@@ -124,6 +124,18 @@ class ScaleOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("schema evolution: mergeSchema unions columns across partition generations") {
+    // an evolving ingest lands a new column in later ds partitions —
+    // the union read must surface it, null for the old generation
+    val dir = tmpDir("evolve")
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(s"$dir/ds=20240101")
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score").write.mode("overwrite").parquet(s"$dir/ds=20240102")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "v", "score", "ds"))
+    val rows = merged.select($"id", $"score").as[(Long, Option[Double])].collect().toMap
+    assert(rows(1L).isEmpty && rows(2L).contains(9.5))
+  }
+
   test("z-order layout bounds BOTH dimensions per file; single-key sort does not") {
     import graft.ops.Scalars
     val li = Tables(spark, "/root/testdata/sf0.001").lineitem
