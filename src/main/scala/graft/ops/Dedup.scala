@@ -139,14 +139,38 @@ object Dedup {
     * [[minhashClusterEdges]] + [[connectedComponents]] on the batch.
     */
   def incrementalNewDocs(newSig: DataFrame, indexSig: DataFrame,
+      idCol: String, bands: Int, rowsPerBand: Int): DataFrame =
+    incrementalNewDocsVsBands(newSig,
+      bandFrame(indexSig, idCol, bands, rowsPerBand), idCol, bands, rowsPerBand)
+
+  /** [[incrementalNewDocs]] against a PERSISTED band-frame index (see
+    * [[writeSignatureIndex]]): the corpus side is read as stored
+    * (band, bucket) rows — no signature recompute, no text touched.
+    */
+  def incrementalNewDocsVsBands(newSig: DataFrame, indexBands: DataFrame,
       idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandedNew = bandFrame(newSig, idCol, bands, rowsPerBand)
-    val bandedIdx = bandFrame(indexSig, idCol, bands, rowsPerBand)
-      .select(col("band"), col("bucket"))
-    val collided = bandedNew.join(bandedIdx, Seq("band", "bucket"), "left_semi")
+    // partitionBy-written indexes surface `band` as a string partition
+    // column (type inference is off by engine contract) — normalize
+    val collided = bandedNew
+      .join(indexBands.select(col("band").cast("int").as("band"), col("bucket")),
+        Seq("band", "bucket"), "left_semi")
       .select(col(idCol)).distinct()
     newSig.select(col(idCol)).join(collided, Seq(idCol), "left_anti")
   }
+
+  /** Persist the corpus band frame for incremental dedup: partitioned
+    * by `band` (directory pruning per band) and appendable — ingesting
+    * a verified-clean batch appends ITS band rows, so the index grows
+    * with the corpus and signatures are computed exactly once per
+    * document lifetime. At 100 TB the index is (id, band, bucket) rows
+    * only, a tiny fraction of the text it stands for.
+    */
+  def writeSignatureIndex(sig: DataFrame, idCol: String, bands: Int,
+      rowsPerBand: Int, path: String, append: Boolean = false): Unit =
+    bandFrame(sig, idCol, bands, rowsPerBand)
+      .write.mode(if (append) "append" else "overwrite")
+      .partitionBy("band").parquet(path)
 
   /** Connected components over an undirected candidate-pair edge list
     * — the step that turns pairwise near-dup hits into duplicate

@@ -108,6 +108,27 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(3L))
   }
 
+  test("incremental dedup via persisted index == recompute road; index appends") {
+    val sigIdx = Dedup.minhashSignature(
+      Seq((1L, base)).toDF("doc_id", "text"), "text", "doc_id", 8)
+    val sigNew = Dedup.minhashSignature(
+      Seq((4L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text"),
+      "text", "doc_id", 8)
+    val path = tmpDir("sig-index")
+    Dedup.writeSignatureIndex(sigIdx, "doc_id", 8, 1, path)
+    val stored = spark.read.parquet(path)
+    val viaIndex = Dedup.incrementalNewDocsVsBands(sigNew, stored, "doc_id", 8, 1)
+      .as[Long].collect().toSet
+    assert(viaIndex == Set(3L)) // same verdicts as the recompute road
+    // append the clean doc's bands; it must now collide with itself
+    Dedup.writeSignatureIndex(Dedup.minhashSignature(
+      Seq((3L, unrelated)).toDF("doc_id", "text"), "text", "doc_id", 8),
+      "doc_id", 8, 1, path, append = true)
+    val after = Dedup.incrementalNewDocsVsBands(sigNew,
+      spark.read.parquet(path), "doc_id", 8, 1).as[Long].collect().toSet
+    assert(after.isEmpty)
+  }
+
   test("ngram jaccard: identical=1.0, near-dup high, unrelated filtered out") {
     val got = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 1, 5)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()

@@ -130,6 +130,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k fell back to a global sort:\n$plan")
   }
 
+  test("repo-wide plan hygiene: no accidental cartesian product in any query") {
+    // CartesianProduct multiplies partitions×partitions — at 100 TB an
+    // accidental one is fatal. Only deliberate small-side cross joins
+    // are allowed, and those plan as BroadcastNestedLoopJoin.
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+      } catch { case _: Throwable => None } // side-effecting queries may need dirs; Smoke covers them
+    }
+    assert(bad.isEmpty, s"cartesian products in: $bad")
+  }
+
   test("corpus shuffle ranks in hash bands: no single-partition exchange, offsets broadcast") {
     val plan = graft.ops.Text.corpusShuffle(Tables(spark, sfDir).documents, "doc_id", "s")
       .queryExecution.executedPlan.toString
