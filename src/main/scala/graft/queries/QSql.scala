@@ -42,6 +42,23 @@ object QSql {
       """)
     }),
 
+    // The SQL-only user's road to the native vector kernels: graft_dot
+    // is registered in the session function registry by
+    // GraftExtensions, so plain SQL text drives the codegen'd
+    // expression — no DataFrame API, no imports.
+    "q_sql_vector_topk" -> ((s, dir) => {
+      graft.expressions.VectorExpressions.register(s)
+      Tables(s, dir).embeddings.createOrReplaceTempView("v_embeddings")
+      s.sql("""
+        WITH q AS (SELECT embedding AS qe FROM v_embeddings WHERE vec_id = 1)
+        SELECT vec_id,
+               graft_dot(embedding, qe)
+                 / (sqrt(graft_dot(embedding, embedding)) * sqrt(graft_dot(qe, qe))) AS cos_sim
+        FROM v_embeddings, q
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+      """)
+    }),
+
     // Scalar subquery — a broadcast one-row aggregate in the plan.
     "q_scalar_subquery" -> ((s, dir) => {
       withViews(s, dir)
@@ -60,6 +77,17 @@ object QSql {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sql_vector_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1)
+         SELECT vec_id,
+                list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+                / (sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                     i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(range(1, len(qe) + 1),
+                       i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))) AS cos_sim
+         FROM embeddings, q
+         ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
     "q_sql_grouping_sets" ->
       """SELECT n_name, c_mktsegment, count(*) AS n_customers
          FROM customer JOIN nation ON c_nationkey = n_nationkey
