@@ -159,6 +159,14 @@ object QText {
       graft.pipelines.CorpusClean.run(Tables(s, dir).documents)
     }),
 
+    // The whole training-prep story end to end: clean -> rebalance ->
+    // deterministic shuffle -> chunk; one row per training chunk in
+    // consumption order. Every stage individually verified; this pins
+    // the COMPOSITION.
+    "q_training_prep" -> ((s, dir) => {
+      graft.pipelines.TrainingPrep.run(Tables(s, dir).documents)
+    }),
+
     // Deterministic distributed corpus shuffle: seeded-md5 global
     // permutation, rank assigned via 256 lexicographic hash bands +
     // broadcast cumulative offsets — no single-task global sort.
@@ -276,6 +284,50 @@ object QText {
       """SELECT doc_id, lang, source FROM documents
          WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
                < CASE WHEN lang = 'en' THEN 40 WHEN lang = 'de' THEN 80 ELSE 100 END""",
+    "q_training_prep" ->
+      s"""WITH survivors AS (
+            SELECT d.* FROM documents d
+            JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)) k
+              ON d.doc_id = k.doc_id),
+          words AS (SELECT doc_id, string_split(text, ' ') AS w FROM survivors),
+          sh AS (SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                                         i -> array_to_string(w[i:i+2], ' '))) AS shingle
+            FROM words)),
+          mh AS (SELECT doc_id,
+                        ${(0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")}
+                 FROM sh GROUP BY doc_id),
+          bands AS (${(0 until 8).map(i =>
+            s"SELECT doc_id, $i AS band, md5(mh$i) AS bucket FROM mh").mkString(" UNION ALL ")}),
+          dropped AS (
+            SELECT DISTINCT b.doc_id FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+          kept AS (SELECT * FROM survivors WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+          quality AS (
+            SELECT doc_id, text, lang FROM kept
+            WHERE len(string_split(text, ' ')) BETWEEN 20 AND 1000
+              AND CAST(len(list_filter(string_split(text, ' '),
+                           t -> list_contains(['the','a','of','and','to','in','is','for'], t))) AS DOUBLE)
+                    / len(string_split(text, ' ')) >= 0.02),
+          mixed AS (
+            SELECT doc_id, text FROM quality
+            WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+                  < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 80 ELSE 100 END),
+          ranked AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                     ORDER BY md5('prep|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+                     AS shuffle_rank
+            FROM mixed),
+          rw AS (SELECT m.doc_id, r.shuffle_rank, string_split(m.text, ' ') AS w
+                 FROM mixed m JOIN ranked r ON m.doc_id = r.doc_id),
+          st AS (SELECT doc_id, shuffle_rank, w,
+                        unnest(range(1, greatest(len(w), 1) + 1, 128)) AS s
+                 FROM rw)
+          SELECT doc_id, shuffle_rank, CAST((s - 1) // 128 AS BIGINT) AS chunk_id,
+                 array_to_string(w[s:s + 127], ' ') AS chunk
+          FROM st""",
     "q_mixture_sample" ->
       """WITH st AS (SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS toks
                      FROM documents GROUP BY lang),
