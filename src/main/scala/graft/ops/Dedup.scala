@@ -204,7 +204,10 @@ object Dedup {
       .select(col("src").as("node"), least(col("src"), col("mn")).as("label"))
       .localCheckpoint()
     def checksum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      // SUM over an empty frame is null — an empty edge list (a batch
+      // with no duplicate pairs at all) must converge, not NPE
+      Option(l.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prev = checksum(labels)
     var iter = 1
     var converged = false

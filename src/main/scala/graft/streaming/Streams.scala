@@ -151,4 +151,54 @@ object Streams {
           PartitionedWriter.writePartitionedBy(stamped, path, Seq("ds", "win"), compact = false)
         }
       }
+
+  /** Continuous corpus ingestion with INCREMENTAL near-dup dedup — the
+    * streaming form of the production corpus pipeline: each micro-batch
+    * is deduped within itself (exact digest + LSH star clusters, keep
+    * min id) and against the persisted signature index of everything
+    * already accepted ([[graft.ops.Dedup.incrementalNewDocsVsBands]]),
+    * then accepted docs land under `batch=<id>` (dynamic-overwrite —
+    * replays of a failed batch are idempotent on output) and their band
+    * rows append to the index. The index append is at-least-once on
+    * replay, which is safe: duplicate (band, bucket) rows can only
+    * REJECT more, never accept a duplicate. Work per batch scales with
+    * the batch; the corpus is only ever touched through its band frame.
+    */
+  def corpusIngest(docs: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String, seeds: Int = 8): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          import graft.ops.Dedup
+          val spark = batch.sparkSession
+          // intra-batch: exact dedup then LSH clusters, keep min id
+          val exact = Dedup.exactByHash(batch, "text", "doc_id")
+            .select(col("keep_id").as("doc_id")).join(batch, Seq("doc_id"))
+          val sig = Dedup.minhashSignature(exact, "text", "doc_id", seeds).cache()
+          val clusterDrops = Dedup.connectedComponents(
+            Dedup.minhashClusterEdges(sig, "doc_id", seeds, 1), "id_a", "id_b")
+            .filter(col("node") =!= col("cluster_id"))
+            .select(col("node").as("doc_id"))
+          val batchClean = sig.join(clusterDrops, Seq("doc_id"), "left_anti")
+          // vs the persisted index of everything already accepted
+          val indexExists = new java.io.File(indexPath).exists()
+          val accepted =
+            if (indexExists)
+              Dedup.incrementalNewDocsVsBands(batchClean,
+                spark.read.parquet(indexPath), "doc_id", seeds, 1)
+            else batchClean.select(col("doc_id"))
+          accepted.join(exact, Seq("doc_id"))
+            .withColumn("batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch").parquet(outPath)
+          Dedup.writeSignatureIndex(
+            batchClean.join(accepted.select("doc_id"), Seq("doc_id"), "left_semi"),
+            "doc_id", seeds, 1, indexPath, append = indexExists)
+          sig.unpersist()
+          ()
+        }
+      }
 }

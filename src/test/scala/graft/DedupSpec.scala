@@ -86,6 +86,11 @@ class DedupSpec extends SparkSpec {
     assert(viaPairs == viaStars)
   }
 
+  test("connected components on an empty edge list returns empty, no error") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0L)
+  }
+
   test("connected components on LSH pairs: exact dups land in one cluster") {
     val pairs = Dedup.minhashCandidates(
       Dedup.minhashSignature(corpus, "text", "doc_id", 8), "doc_id", 8, 1)

@@ -121,6 +121,31 @@ class StreamsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming corpus ingest: dedups within batch and against the growing index") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val mem = MemoryStream[(Long, String)]
+    val idx = tmpDir("ingest_idx"); val out = tmpDir("ingest_out"); val ckpt = tmpDir("ingest_ckpt")
+    Seq(idx, out, ckpt).foreach(d => org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    val q = Streams.corpusIngest(
+      mem.toDF().toDF("doc_id", "text"), idx, out, ckpt).start()
+    try {
+      // batch 0: base, an exact in-batch dup of it, and an unrelated doc
+      mem.addData((1L, base), (4L, base),
+        (3L, "completely different words about spark query engines and column pruning"))
+      q.processAllAvailable()
+      // batch 1: exact dup of base, near-dup of base, and a novel doc
+      mem.addData((5L, base), (6L, base.replace("today", "tonight")),
+        (7L, "entirely novel content on partition pruning strategies and shuffle hygiene"))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(out)
+        .select($"batch".cast("long"), $"doc_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(landed(0L) == Set(1L, 3L)) // in-batch exact dup 4 dropped
+      assert(landed(1L) == Set(7L))     // 5 and 6 rejected by the index
+    } finally q.stop()
+  }
+
   test("A8/I5 streaming: foreachBatch sink lands ds-partitioned parquet exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
