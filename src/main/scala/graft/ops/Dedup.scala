@@ -212,6 +212,10 @@ object Dedup {
     var iter = 1
     var converged = false
     while (iter < maxIter && !converged) {
+      // one propagation round per materialization: chaining two rounds
+      // before the checkpoint was measured SLOWER (the unmaterialized
+      // inner round is referenced by both the union and the join of the
+      // outer one, so its whole subtree executes twice)
       val viaNbr = und.join(labels, und("dst") === labels("node"))
         .select(und("src").as("node"), col("label"))
       val next = labels.union(viaNbr)
