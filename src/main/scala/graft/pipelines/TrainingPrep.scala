@@ -27,8 +27,11 @@ object TrainingPrep {
       chunkSize: Int = 128): DataFrame = {
     val cleanedIds = CorpusClean.run(documents).select("doc_id")
     val kept = documents.join(cleanedIds, Seq("doc_id"))
+    // cached: both the rank assignment and the chunker consume it —
+    // without this the whole cleaning subtree executes twice. (At
+    // 100 TB, persist the accepted set to storage here instead.)
     val mixed = Text.stratifiedSample(kept, "doc_id", "lang",
-      Map("en" -> 50, "de" -> 80), 100)
+      Map("en" -> 50, "de" -> 80), 100).cache()
     val ranked = Text.corpusShuffle(mixed, "doc_id", seed)
       .select(col("doc_id"), col("shuffle_rank"))
     Text.chunk(mixed, "text", "doc_id", chunkSize, chunkSize)
