@@ -142,6 +142,24 @@ object Text {
       .select(col(idCol), col("pos").cast("bigint").as("chunk_id"), col("col").as("chunk"))
   }
 
+  /** Corpus-frequency document scoring: each document's mean corpus
+    * term frequency — low means rare-token-heavy (gibberish, boiler ID
+    * strings, foreign scripts), a standard quality signal next to the
+    * ratio features. Two aggregations and one equi-join on the token:
+    * the vocabulary is corpus-global, so this is the one text op here
+    * that genuinely needs a second shuffle; integer counts all the way
+    * keep it engine-exact (no libm log).
+    */
+  def rareTokenScore(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    toks.join(vocab, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg((sum("tf").cast("double") / count(lit(1))).as("avg_tf"),
+        count(lit(1)).as("n_toks"))
+  }
+
   /** Temperature-balanced mixture sampling — allocate a global token
     * budget across strata (sources, languages) proportionally to
     * tokens^T and keep a deterministic md5 fraction of each stratum to

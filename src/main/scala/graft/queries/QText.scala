@@ -196,6 +196,13 @@ object QText {
       d.select(col("doc_id"), Text.stripHtml(html).as("clean"))
     }),
 
+    // Corpus-frequency scoring: mean corpus term frequency per doc —
+    // rare-token-heavy documents (low score) are the usual
+    // gibberish/ID-string suspects next to the ratio features.
+    "q_rare_token_score" -> ((s, dir) => {
+      Text.rareTokenScore(Tables(s, dir).documents, "text", "doc_id")
+    }),
+
     // Temperature-balanced data mixing: a 50k-char budget allocated
     // across languages by sqrt weighting, realized as per-stratum
     // deterministic keep rates. The rare languages keep everything,
@@ -284,6 +291,12 @@ object QText {
       """SELECT doc_id, lang, source FROM documents
          WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
                < CASE WHEN lang = 'en' THEN 40 WHEN lang = 'de' THEN 80 ELSE 100 END""",
+    "q_rare_token_score" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+          v AS (SELECT tok, count(*) AS tf FROM t GROUP BY tok)
+         SELECT doc_id, CAST(SUM(tf) AS DOUBLE) / count(*) AS avg_tf, count(*) AS n_toks
+         FROM t JOIN v USING (tok)
+         GROUP BY doc_id""",
     "q_training_prep" ->
       s"""WITH survivors AS (
             SELECT d.* FROM documents d
