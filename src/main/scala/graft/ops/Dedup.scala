@@ -233,6 +233,30 @@ object Dedup {
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 
+  /** Contrastive training triples: (anchor, positive, negative) where
+    * anchor/positive are LSH near-dup candidates and the negative is a
+    * DETERMINISTIC pseudo-random pick — the pair's md5 indexes into
+    * the corpus through [[Text.corpusShuffle]]'s banded global rank
+    * (dense 1..n by construction, no single-task sort, no RNG state).
+    * The standard embedding-model data op, reproducible across runs
+    * and engines. The rare negative that collides with its own anchor
+    * pair is filtered.
+    */
+  def contrastiveTriples(df: DataFrame, textCol: String, idCol: String,
+      seeds: Int, seed: String): DataFrame = {
+    val sig = minhashSignature(df, textCol, idCol, seeds)
+    val pos = minhashCandidates(sig, idCol, seeds, 1)
+    val ranked = Text.corpusShuffle(df.select(col(idCol)), idCol, seed)
+      .select(col(idCol).as("neg_id"), col("shuffle_rank"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    pos.crossJoin(broadcast(n))
+      .withColumn("__pick",
+        Text.md5Int(concat_ws("|", col("id_a"), col("id_b"))) % col("__n") + 1)
+      .join(ranked, col("__pick") === col("shuffle_rank"))
+      .filter(col("neg_id") =!= col("id_a") && col("neg_id") =!= col("id_b"))
+      .select(col("id_a").as("anchor"), col("id_b").as("positive"), col("neg_id").as("negative"))
+  }
+
   /** SimHash fingerprint over `bits` bits (each bit j: sign of the sum
     * of ±1 votes from every token whose md5-int has bit j set). Native
     * [[graft.expressions.SimHash]] kernel — one md5 per token (the

@@ -196,6 +196,13 @@ object QText {
       d.select(col("doc_id"), Text.stripHtml(html).as("clean"))
     }),
 
+    // Contrastive triples for embedding training: LSH near-dups as
+    // (anchor, positive), a deterministic md5-indexed corpus pick as
+    // the negative — reproducible, no RNG.
+    "q_contrastive_triples" -> ((s, dir) => {
+      Dedup.contrastiveTriples(Tables(s, dir).documents, "text", "doc_id", 8, "cp")
+    }),
+
     // Corpus-frequency scoring: mean corpus term frequency per doc —
     // rare-token-heavy documents (low score) are the usual
     // gibberish/ID-string suspects next to the ratio features.
@@ -291,6 +298,26 @@ object QText {
       """SELECT doc_id, lang, source FROM documents
          WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
                < CASE WHEN lang = 'en' THEN 40 WHEN lang = 'de' THEN 80 ELSE 100 END""",
+    "q_contrastive_triples" ->
+      s"""WITH $shingleCte,
+          mh AS (SELECT doc_id,
+                        ${(0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")}
+                 FROM sh GROUP BY doc_id),
+          bands AS (${(0 until 8).map(i =>
+            s"SELECT doc_id, $i AS band, md5(mh$i) AS bucket FROM mh").mkString(" UNION ALL ")}),
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM bands a JOIN bands b
+                      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+          n AS (SELECT count(*) AS cnt FROM documents),
+          ranked AS (SELECT doc_id,
+                            row_number() OVER (
+                              ORDER BY md5('cp|' || CAST(doc_id AS VARCHAR)), doc_id) AS r
+                     FROM documents)
+          SELECT p.id_a AS anchor, p.id_b AS positive, rk.doc_id AS negative
+          FROM pairs p, n
+          JOIN ranked rk
+            ON rk.r = CAST('0x' || substring(md5(CAST(p.id_a AS VARCHAR) || '|' || CAST(p.id_b AS VARCHAR)), 1, 8) AS BIGINT) % cnt + 1
+          WHERE rk.doc_id <> p.id_a AND rk.doc_id <> p.id_b""",
     "q_rare_token_score" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
           v AS (SELECT tok, count(*) AS tf FROM t GROUP BY tok)
