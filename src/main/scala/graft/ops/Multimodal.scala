@@ -98,6 +98,49 @@ object Multimodal {
       }
       fmt.map { case (ch, rate, bits) => WavMeta(ch, rate, bits, math.max(0L, dataBytes)) }
     }
+
+    /** PNG: 8-byte signature, then the IHDR chunk (first by spec) with
+      * big-endian width/height at offsets 16/20.
+      */
+    def parsePng(b: Array[Byte]): Option[(Int, Int)] = {
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      def be32(off: Int): Int =
+        ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+          ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+      if (b.length >= 24 && (0 until 8).forall(i => b(i) == sig(i)) && tag(b, 12, "IHDR"))
+        Some((be32(16), be32(20)))
+      else None
+    }
+
+    /** REAL audio decode for 16-bit PCM WAV: locate the data chunk and
+      * compute the RMS amplitude of the little-endian samples — actual
+      * signal math in pure JVM, the feature-extraction step the Python
+      * reference would do with an audio lib. Non-PCM/non-16-bit
+      * payloads return None (the stub's territory).
+      */
+    def wavRms16(b: Array[Byte]): Option[Double] = {
+      if (!(tag(b, 0, "RIFF") && tag(b, 8, "WAVE"))) return None
+      parseWav(b).filter(_.bitsPerSample == 16).flatMap { _ =>
+        var off = 12
+        while (off + 8 <= b.length && !tag(b, off, "data"))
+          off += 8 + le32(b, off + 4) + (le32(b, off + 4) & 1)
+        if (off + 8 > b.length) None
+        else {
+          val n = math.min(le32(b, off + 4), b.length - off - 8) / 2
+          if (n == 0) Some(0.0)
+          else {
+            var acc = 0.0
+            var i = 0
+            while (i < n) {
+              val s = le16(b, off + 8 + 2 * i).toShort.toDouble
+              acc += s * s
+              i += 1
+            }
+            Some(math.sqrt(acc / n))
+          }
+        }
+      }
+    }
   }
 
   /** The codec seam. Deterministic fake: "decodes" dimensions from the
@@ -115,7 +158,9 @@ object Multimodal {
     * the rest — the swap point the plumbing was built around.
     */
   def decodeDims(payload: Array[Byte]): (Int, Int) =
-    Headers.parseBmp(payload).getOrElse(DecoderStub.decode(payload))
+    Headers.parseBmp(payload)
+      .orElse(Headers.parsePng(payload))
+      .getOrElse(DecoderStub.decode(payload))
 
   /** Batched partition-level decode — the Scala analogue of a Python
     * `mapInPandas` batch loop: iterate a partition in fixed-size

@@ -197,6 +197,27 @@ class OpsSpec extends SparkSpec {
     assert(Headers.parseWav("RIFFxxxxWAVE".getBytes).isEmpty)
   }
 
+  test("multimodal: PNG IHDR parse and real 16-bit PCM RMS decode") {
+    import Multimodal.Headers
+    // PNG: signature + IHDR length + "IHDR" + 640x360 big-endian
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 2, 0x80, 0, 0, 1, 0x68).map(_.toByte)
+    assert(Headers.parsePng(png).contains((640, 360)))
+    assert(Headers.parsePng("nope".getBytes).isEmpty)
+    // 16-bit PCM WAV with samples [3, -4]: RMS = sqrt((9+16)/2)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val wav = "RIFF".getBytes ++ le32(40) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(4) ++ le16(3) ++ le16(-4 & 0xffff)
+    val rms = Headers.wavRms16(wav).get
+    assert(math.abs(rms - math.sqrt(12.5)) < 1e-12)
+    assert(Headers.wavRms16("RIFFxxxxWAVE".getBytes).isEmpty)
+  }
+
   test("corpus shuffle: banded rank is an exact permutation in key order") {
     import spark.implicits._
     val df = spark.range(0, 1000).toDF("id")
