@@ -49,6 +49,20 @@ object Sources {
   def csvWithSchema(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** A3-robust — schema'd CSV read that QUARANTINES malformed rows
+    * instead of failing the job or silently nulling fields: PERMISSIVE
+    * mode routes each unparseable line whole into `_corrupt`, so a
+    * 100 TB ingest survives the inevitable bad records and keeps them
+    * auditable. The schema passed here should NOT include the corrupt
+    * column; it is appended.
+    */
+  def csvQuarantine(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(schema.add("_corrupt", org.apache.spark.sql.types.StringType))
+      .csv(path)
+
   /** A4 — driver-local rows to a distributed frame, the reference's
     * pandas->Spark hop (`Ingestion Data (XML).py:132`). Small data only:
     * everything ships from the driver.

@@ -101,4 +101,23 @@ class PipelinesSpec extends SparkSpec {
     assert(got == Set((1, "20240101"), (2, "20240101"), (99, "20240102")))
     assert(PartitionedWriter.maxPartition(spark, out).contains("20240102"))
   }
+
+  test("csvQuarantine: malformed rows land whole in _corrupt, clean rows parse") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("csv-quarantine")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/part.csv"),
+      "id,qty\n1,10\nnot-a-number,oops,extra\n3,30\n")
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("qty", IntegerType)))
+    // Spark disallows querying ONLY the corrupt column off the raw
+    // file (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache the parse first
+    val got = graft.io.Sources.csvQuarantine(spark, dir, schema).cache()
+    val clean = got.filter($"_corrupt".isNull).select($"id", $"qty")
+      .as[(Int, Int)].collect().toSet
+    val bad = got.filter($"_corrupt".isNotNull).select($"_corrupt").as[String].collect()
+    assert(clean == Set((1, 10), (3, 30)))
+    assert(bad.toSeq == Seq("not-a-number,oops,extra")) // audit trail, job survived
+  }
 }
