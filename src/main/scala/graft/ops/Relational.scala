@@ -98,4 +98,28 @@ object Relational {
   def unionAll(a: DataFrame, b: DataFrame): DataFrame  = a.unionByName(b)
   def intersect(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
   def except(a: DataFrame, b: DataFrame): DataFrame    = a.except(b)
+
+  /** Bin-accelerated interval join for point-in-range matching with NO
+    * equi key (price bands, IP ranges, calendar windows): Spark plans
+    * the naive inequality join as a nested loop — partitions ×
+    * partitions, fatal at scale. Instead, both sides map to bin ids
+    * (intervals explode into every bin they overlap), the join becomes
+    * an equi-join on the bin, and the exact containment filter runs
+    * post-join. Correctness never depends on the bin math (floor is
+    * monotone, so no qualifying pair can miss its bin; the filter
+    * removes the rest). Pick `binWidth` near the median interval
+    * length: the interval-side row amplification is
+    * (hi−lo)/binWidth + 1 per interval.
+    */
+  def binnedRangeJoin(points: DataFrame, ptCol: String, intervals: DataFrame,
+      loCol: String, hiCol: String, binWidth: Long): DataFrame = {
+    val binnedPts = points.withColumn("__bin",
+      floor(col(ptCol) / binWidth.toDouble).cast("bigint"))
+    val expanded = intervals.withColumn("__bin",
+      explode(sequence(floor(col(loCol) / binWidth.toDouble).cast("bigint"),
+        floor(col(hiCol) / binWidth.toDouble).cast("bigint"))))
+    binnedPts.join(expanded, Seq("__bin"))
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
+      .drop("__bin")
+  }
 }

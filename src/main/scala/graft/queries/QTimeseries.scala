@@ -65,6 +65,21 @@ object QTimeseries {
           date_format(col("purchase_ts"), fmt).as("purchase_ts"))
     }),
 
+    // Keyless interval join, bin-accelerated: price-band lookup with
+    // NO equi column — the naive inequality join is a nested loop;
+    // binning turns it into an equi-join on the bin id plus an exact
+    // containment filter. The oracle states the naive join.
+    "q_interval_bin_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val bands = t.nation.select(col("n_nationkey").as("band_id"),
+        (col("n_nationkey") * 2000).cast("double").as("lo"),
+        ((col("n_nationkey") + 2) * 2000).cast("double").as("hi"))
+      graft.ops.Relational.binnedRangeJoin(
+          t.orders.select(col("o_orderkey"), col("o_totalprice")),
+          "o_totalprice", bands, "lo", "hi", binWidth = 2000L)
+        .select(col("o_orderkey"), col("o_totalprice"), col("band_id"))
+    }),
+
     // I4 — watermark as a batch filter: rows within 1 h of max(ts).
     // Exact nanosecond arithmetic (no double epoch maths).
     "q_watermark_filter" -> ((s, dir) => {
@@ -111,6 +126,11 @@ object QTimeseries {
            ON c.user_id = p.user_id
           AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 15 MINUTE
          WHERE c.event_type = 'click' AND p.event_type = 'purchase'""",
+    "q_interval_bin_join" ->
+      """SELECT o_orderkey, o_totalprice, n_nationkey AS band_id
+         FROM orders JOIN nation
+           ON o_totalprice >= n_nationkey * 2000
+          AND o_totalprice < (n_nationkey + 2) * 2000""",
     "q_watermark_filter" ->
       """SELECT event_id, user_id, event_type FROM events
          WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR"""

@@ -143,6 +143,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(bad.isEmpty, s"cartesian products in: $bad")
   }
 
+  test("binned range join plans as an equi-join, not a nested loop") {
+    val t = Tables(spark, sfDir)
+    val bands = t.nation.select(col("n_nationkey").as("band_id"),
+      (col("n_nationkey") * 2000).cast("double").as("lo"),
+      ((col("n_nationkey") + 2) * 2000).cast("double").as("hi"))
+    val pts = t.orders.select(col("o_orderkey"), col("o_totalprice"))
+    val naive = pts.join(bands,
+      col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .queryExecution.executedPlan.toString
+    val binned = graft.ops.Relational.binnedRangeJoin(
+      pts, "o_totalprice", bands, "lo", "hi", 2000L)
+      .queryExecution.executedPlan.toString
+    assert(naive.contains("NestedLoop") || naive.contains("CartesianProduct"),
+      s"expected the naive inequality join to nested-loop:\n$naive")
+    assert(binned.contains("HashJoin") || binned.contains("SortMergeJoin"),
+      s"binned form should equi-join on the bin:\n$binned")
+    assert(!binned.contains("CartesianProduct"), s"binned plan fell back:\n$binned")
+  }
+
   test("corpus shuffle ranks in hash bands: no single-partition exchange, offsets broadcast") {
     val plan = graft.ops.Text.corpusShuffle(Tables(spark, sfDir).documents, "doc_id", "s")
       .queryExecution.executedPlan.toString
