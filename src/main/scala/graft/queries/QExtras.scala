@@ -96,6 +96,22 @@ object QExtras {
           expr("percentile(l_quantity, 0.9)").as("p90_qty"))
     }),
 
+    // Winsorization: clamp a measure into its group's [P05, P95] band
+    // — the standard outlier treatment before aggregating noisy
+    // telemetry or pricing data. One percentile aggregation broadcast
+    // back over the fact scan; exact interpolated percentiles keep it
+    // engine-identical.
+    "q_winsorize" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+      val bounds = li.groupBy(col("l_returnflag").as("rf"))
+        .agg(expr("percentile(l_extendedprice, 0.05)").as("p05"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      li.join(broadcast(bounds), col("l_returnflag") === col("rf"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          least(greatest(col("l_extendedprice"), col("p05")), col("p95"))
+            .as("price_winsorized"))
+    }),
+
     // Ordered string aggregation (deterministic via WITHIN GROUP order).
     "q_listagg" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -230,6 +246,14 @@ object QExtras {
                 quantile_cont(l_quantity, 0.5) AS median_qty,
                 quantile_cont(l_quantity, 0.9) AS p90_qty
          FROM lineitem GROUP BY l_returnflag""",
+    "q_winsorize" ->
+      """WITH b AS (SELECT l_returnflag AS rf,
+                           quantile_cont(l_extendedprice, 0.05) AS p05,
+                           quantile_cont(l_extendedprice, 0.95) AS p95
+                    FROM lineitem GROUP BY l_returnflag)
+         SELECT l_orderkey, l_linenumber, l_returnflag,
+                least(greatest(l_extendedprice, p05), p95) AS price_winsorized
+         FROM lineitem JOIN b ON l_returnflag = rf""",
     "q_listagg" ->
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
          FROM nation JOIN region ON n_regionkey = r_regionkey
