@@ -112,6 +112,23 @@ object QExtras {
             .as("price_winsorized"))
     }),
 
+    // Group-wise z-score standardization — the feature-prep twin of
+    // winsorization: moments from exact decimal power sums (the
+    // q_agg_stats recipe), broadcast back over the fact scan, per-row
+    // double math identical in both engines.
+    "q_zscore" -> ((s, dir) => {
+      val q = Scalars.dec(col("l_quantity"))
+      val g = Tables(s, dir).lineitem.groupBy(col("l_returnflag").as("rf"))
+        .agg(count(lit(1)).as("n"), sum(q).as("s_q"), sum(q * q).as("s_qq"))
+      val nd = col("n").cast("double")
+      val sx = col("s_q").cast("double"); val sxx = col("s_qq").cast("double")
+      val bounds = g.select(col("rf"), (sx / nd).as("mean_q"),
+        sqrt((nd * sxx - sx * sx) / (nd * (nd - lit(1.0)))).as("sd_q"))
+      Tables(s, dir).lineitem.join(broadcast(bounds), col("l_returnflag") === col("rf"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          ((col("l_quantity") - col("mean_q")) / col("sd_q")).as("z_qty"))
+    }),
+
     // Ordered string aggregation (deterministic via WITHIN GROUP order).
     "q_listagg" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -253,6 +270,19 @@ object QExtras {
                     FROM lineitem GROUP BY l_returnflag)
          SELECT l_orderkey, l_linenumber, l_returnflag,
                 least(greatest(l_extendedprice, p05), p95) AS price_winsorized
+         FROM lineitem JOIN b ON l_returnflag = rf""",
+    "q_zscore" ->
+      """WITH g AS (SELECT l_returnflag AS rf, count(*) AS n,
+                           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s_q,
+                           SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS s_qq
+                    FROM lineitem GROUP BY l_returnflag),
+          b AS (SELECT rf, CAST(s_q AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+                       sqrt((CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE)
+                             - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd_q
+                FROM g)
+         SELECT l_orderkey, l_linenumber, l_returnflag,
+                (l_quantity - mean_q) / sd_q AS z_qty
          FROM lineitem JOIN b ON l_returnflag = rf""",
     "q_listagg" ->
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
