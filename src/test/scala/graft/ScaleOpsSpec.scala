@@ -124,6 +124,33 @@ class ScaleOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
+    // one hot key carrying ~all rows; broadcast disabled so the join
+    // must sort-merge, and the skew threshold lowered so the tiny test
+    // data still trips the optimizer — at real scale the defaults do.
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      val hot = spark.range(0, 200000).select((col("id") * 0 + 1).as("k"), col("id").as("v"))
+        .union(spark.range(0, 50).select((col("id") + 2).as("k"), col("id").as("v")))
+      val dim = spark.range(0, 60).select(col("id").as("k"), col("id").as("w"))
+      val joined = hot.join(dim, Seq("k"))
+      // AQE finalizes the plan on the EXECUTED QueryExecution — count()
+      // would run a different one, so execute this frame itself
+      assert(joined.collect().length == 200050)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE should have split the hot partition:\n${plan.take(4000)}")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("schema evolution: mergeSchema unions columns across partition generations") {
     // an evolving ingest lands a new column in later ds partitions —
     // the union read must surface it, null for the old generation
