@@ -89,6 +89,33 @@ object PartitionedWriter {
     out.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
   }
 
+  /** Row-level upsert (hand-rolled MERGE) on a partitioned parquet
+    * dataset: for the partitions PRESENT in the batch, existing rows
+    * whose key appears in the batch are replaced, other existing rows
+    * survive, and new keys append — all in one dynamic-overwrite
+    * rewrite of only the affected partitions. Untouched partitions are
+    * never read or written. Contract: `keyCol` identifies a row within
+    * its partition (a key that MOVES partitions leaves the old row in
+    * the old partition — that is partition-level CDC's known limit;
+    * full-table merges need a table format with a transaction log).
+    */
+  def upsertByKey(batch: DataFrame, path: String, keyCol: String,
+      partitionCol: String = "ds"): Unit = {
+    val spark = batch.sparkSession
+    val parts = batch.select(partitionCol).distinct()
+      .collect().map(_.get(0).toString) // driver-sized: partitions in ONE batch
+    val existing =
+      if (new java.io.File(path).exists())
+        spark.read.parquet(path)
+          .filter(col(partitionCol).isin(parts.toSeq: _*))
+      else batch.limit(0)
+    val survivors = existing.join(
+      batch.select(col(keyCol), col(partitionCol)),
+      Seq(keyCol, partitionCol), "left_anti")
+    writePartitioned(survivors.unionByName(batch), path, partitionCol,
+      overwritePartitions = true, compact = false)
+  }
+
   /** A9 — high-watermark: max partition value of an existing dataset.
     * The reference's `SHOW PARTITIONS` + sort + collect
     * (`Ingestion Data (MySQL).py:23-31`) becomes a directory listing —

@@ -102,6 +102,20 @@ class PipelinesSpec extends SparkSpec {
     assert(PartitionedWriter.maxPartition(spark, out).contains("20240102"))
   }
 
+  test("upsertByKey: replaces matched keys, keeps the rest, appends new, spares other partitions") {
+    val out = tmpDir("upsert")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    PartitionedWriter.upsertByKey(
+      Seq((1, "a", "d1"), (2, "b", "d1"), (9, "z", "d2")).toDF("id", "v", "ds"),
+      out, "id")
+    // second batch touches only d1: update key 2, add key 3
+    PartitionedWriter.upsertByKey(
+      Seq((2, "b2", "d1"), (3, "c", "d1")).toDF("id", "v", "ds"), out, "id")
+    val got = spark.read.parquet(out).select($"id", $"v", $"ds")
+      .as[(Int, String, String)].collect().toSet
+    assert(got == Set((1, "a", "d1"), (2, "b2", "d1"), (3, "c", "d1"), (9, "z", "d2")))
+  }
+
   test("csvQuarantine: malformed rows land whole in _corrupt, clean rows parse") {
     import org.apache.spark.sql.types._
     val dir = tmpDir("csv-quarantine")
