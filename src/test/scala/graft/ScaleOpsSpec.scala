@@ -124,6 +124,27 @@ class ScaleOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SQL DML road: CTAS, INSERT INTO, INSERT OVERWRITE PARTITION") {
+    import graft.io.CatalogWriter
+    Seq("dml_t", "dml_ctas").foreach { t =>
+      CatalogWriter.drop(spark, t)
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(warehouse, t)
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    spark.sql("CREATE TABLE dml_t (id INT, v STRING) USING parquet PARTITIONED BY (ds STRING)")
+    spark.sql("INSERT INTO dml_t PARTITION (ds='d1') VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO dml_t PARTITION (ds='d2') VALUES (9, 'z')")
+    // static partition overwrite replaces d1 wholesale, spares d2
+    spark.sql("INSERT OVERWRITE TABLE dml_t PARTITION (ds='d1') VALUES (3, 'c')")
+    val got = spark.table("dml_t").as[(Int, String, String)].collect().toSet
+    assert(got == Set((3, "c", "d1"), (9, "z", "d2")))
+    spark.sql("CREATE TABLE dml_ctas USING parquet AS SELECT id, v FROM dml_t WHERE ds = 'd2'")
+    assert(spark.table("dml_ctas").as[(Int, String)].collect().toSeq == Seq((9, "z")))
+    Seq("dml_t", "dml_ctas").foreach(CatalogWriter.drop(spark, _))
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
     // one hot key carrying ~all rows; broadcast disabled so the join
     // must sort-merge, and the skew threshold lowered so the tiny test
