@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+
+/** Scale linting: inspect a query's physical plan for the shapes that
+  * are fine on a laptop and fatal on a 1000-executor cluster, BEFORE
+  * running it. The repo's test suite enforces these invariants on its
+  * own queries ([[graft]] `PlanShapeSpec`); this is the same check as
+  * a library API, for user queries.
+  *
+  * Flags:
+  *  - cartesian products (partitions × partitions work),
+  *  - window functions with an EMPTY partition spec (the whole dataset
+  *    funnels through one task),
+  *  - single-partition shuffle exchanges (a global funnel that is not
+  *    the final collect).
+  */
+object Guard {
+
+  /** Human-readable problems found in `df`'s physical plan; empty when
+    * the plan is scale-clean.
+    */
+  def problems(df: DataFrame): Seq[String] = {
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children.flatMap(walk) ++ (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+        case _ => Seq.empty
+      }))
+    walk(df.queryExecution.executedPlan).flatMap {
+      case _: CartesianProductExec =>
+        Some("cartesian product: every left partition pairs with every right partition")
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        Some("window over the WHOLE dataset (empty PARTITION BY): single-task bottleneck")
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+        Some("single-partition shuffle: the full dataset funnels through one task")
+      case _ => None
+    }.distinct
+  }
+
+  /** Throws `IllegalStateException` listing every problem when the plan
+    * is not scale-clean. Call before `.write`/`.collect` on queries
+    * built from untrusted input.
+    */
+  def assertScalable(df: DataFrame): Unit = {
+    val ps = problems(df)
+    if (ps.nonEmpty)
+      throw new IllegalStateException(
+        s"plan will not scale:\n  - ${ps.mkString("\n  - ")}")
+  }
+}

@@ -143,6 +143,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(bad.isEmpty, s"cartesian products in: $bad")
   }
 
+  test("Guard flags cartesian, global window, single-partition shuffle; passes clean plans") {
+    import graft.ops.Guard
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, sfDir)
+    // clean: partitioned window over a pruned scan
+    assert(Guard.problems(t.lineitem
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("l_returnflag").orderBy("l_orderkey")))).isEmpty)
+    // global window: flagged
+    val globalWin = t.lineitem.withColumn("rn",
+      row_number().over(Window.orderBy("l_orderkey")))
+    assert(Guard.problems(globalWin).exists(_.contains("single-task")))
+    intercept[IllegalStateException](Guard.assertScalable(globalWin))
+    // cartesian product: flagged (non-equi join, broadcast disabled)
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val cart = t.lineitem.join(t.orders,
+        col("l_extendedprice") > col("o_totalprice"))
+      assert(Guard.problems(cart).exists(_.contains("cartesian")))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+  }
+
   test("binned range join plans as an equi-join, not a nested loop") {
     val t = Tables(spark, sfDir)
     val bands = t.nation.select(col("n_nationkey").as("band_id"),
