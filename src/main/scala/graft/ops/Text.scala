@@ -107,23 +107,61 @@ object Text {
     * pipelines need exactly this: a reproducible global permutation of
     * a 100 TB corpus with no bottleneck stage.
     */
+  /** Cumulative offsets of per-band totals, folded on the DRIVER: the
+    * band frame is ≤ a few hundred rows by construction, and a Scala
+    * fold there keeps the distributed plan free of empty-PARTITION-BY
+    * windows — [[Guard]] stays strict with zero exemptions.
+    */
+  private def bandOffsets(banded: org.apache.spark.sql.DataFrame,
+      bandCol: String, totalOf: Column): org.apache.spark.sql.DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    val counts = banded.groupBy(bandCol).agg(totalOf.as("n"))
+      .orderBy(bandCol).collect()
+    var acc = 0L
+    counts.map { r =>
+      val off = acc; acc += r.getLong(1); (r.get(0).toString, off)
+    }.toSeq.toDF(bandCol, "band_offset")
+  }
+
   def corpusShuffle(df: org.apache.spark.sql.DataFrame, idCol: String,
       seed: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val withKey = df.withColumn("shuffle_key",
         md5(concat_ws("|", lit(seed), col(idCol).cast("string"))))
       .withColumn("band", substring(col("shuffle_key"), 1, 2))
-    val offsets = withKey.groupBy("band").agg(count(lit(1)).as("n"))
-      .withColumn("band_offset",
-        coalesce(sum("n").over(Window.orderBy("band")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("band", "band_offset")
-    withKey.join(broadcast(offsets), "band")
+    withKey.join(broadcast(bandOffsets(withKey, "band", count(lit(1)))), "band")
       .withColumn("shuffle_rank",
         col("band_offset") + row_number().over(
           Window.partitionBy("band")
             .orderBy(col("shuffle_key"), col(idCol))).cast("bigint"))
       .drop("band", "band_offset")
+  }
+
+  /** Global running sum of `valueCol` in `orderCol` order WITHOUT the
+    * single-task global window: rows band by the order column's
+    * min-max range (256 buckets — floor is monotone, so band order ==
+    * global order), prefix-sum within bands, and add the driver-folded
+    * band offsets. The distributed work is one stats pass + one
+    * partitioned window.
+    */
+  def orderedCumsum(df: org.apache.spark.sql.DataFrame, orderCol: String,
+      valueCol: String, outCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = df.agg(min(col(orderCol)).cast("double").as("__mn"),
+      max(col(orderCol)).cast("double").as("__mx"))
+    val banded = df.crossJoin(broadcast(stats))
+      .withColumn("__band", lpad(
+        floor((col(orderCol).cast("double") - col("__mn")) * 256.0
+          / (col("__mx") - col("__mn") + 1.0)).cast("bigint").cast("string"),
+        3, "0")) // zero-padded: lexicographic band order == numeric
+      .drop("__mn", "__mx")
+    val wIn = Window.partitionBy("__band").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    banded
+      .join(broadcast(bandOffsets(banded, "__band", sum(col(valueCol)))), "__band")
+      .withColumn(outCol, col("band_offset") + sum(col(valueCol)).over(wIn))
+      .drop("__band", "band_offset")
   }
 
   /** Context-window chunking: split each document into token windows

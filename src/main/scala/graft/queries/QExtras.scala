@@ -149,11 +149,14 @@ object QExtras {
           nth_value(col("c_custkey"), 2).over(w).as("runner_up"))
     }),
 
-    // F — distribution ranks: ntile / percent_rank / cume_dist.
+    // F — distribution ranks: ntile / percent_rank / cume_dist,
+    // PER PRIORITY GROUP (a global ORDER BY window is a single-task
+    // funnel — Guard flags it; grouped ranks are the scale form).
     "q_window_ntile" -> ((s, dir) => {
-      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       Tables(s, dir).orders
-        .select(col("o_orderkey"),
+        .select(col("o_orderkey"), col("o_orderpriority"),
           ntile(4).over(w).cast("bigint").as("quartile"),
           percent_rank().over(w).as("pct_rank"),
           cume_dist().over(w).as("cdist"))
@@ -297,12 +300,13 @@ object QExtras {
          WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
     "q_window_ntile" ->
-      """SELECT o_orderkey,
+      """SELECT o_orderkey, o_orderpriority,
                 CAST(ntile(4) OVER w AS BIGINT) AS quartile,
                 percent_rank() OVER w AS pct_rank,
                 cume_dist() OVER w AS cdist
          FROM orders
-         WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey ASC)""",
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey ASC)""",
     "q_unpivot" ->
       """SELECT l_partkey, flag, qty FROM (
            SELECT l_partkey,

@@ -112,17 +112,14 @@ object QText {
     }),
 
     // Sequence packing: assign documents to ~512-token training bins
-    // by running token cumsum (greedy in doc_id order). One window
-    // pass; at scale the order key is a shard-local sequence so bins
-    // pack within partitions without a global sort.
+    // by running token cumsum (greedy in doc_id order) — via the
+    // banded distributed cumsum, so no single-task global window.
     "q_token_pack" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      Tables(s, dir).documents
+      val counted = Tables(s, dir).documents
         .select(col("doc_id"), size(Text.tokens(col("text"))).cast("bigint").as("n_tokens"))
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      Text.orderedCumsum(counted, "doc_id", "n_tokens", "cum_tokens")
         .withColumn("bin_id", ((col("cum_tokens") - lit(1)) / lit(512)).cast("bigint"))
+        .select("doc_id", "n_tokens", "cum_tokens", "bin_id")
     }),
 
     // Benchmark decontamination: drop training documents sharing ANY

@@ -130,17 +130,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k fell back to a global sort:\n$plan")
   }
 
-  test("repo-wide plan hygiene: no accidental cartesian product in any query") {
-    // CartesianProduct multiplies partitions×partitions — at 100 TB an
-    // accidental one is fatal. Only deliberate small-side cross joins
-    // are allowed, and those plan as BroadcastNestedLoopJoin.
+  test("repo-wide plan hygiene: every query passes the scale-lint Guard") {
+    // cartesians, empty-PARTITION-BY windows, single-partition
+    // shuffles: fatal at 100 TB. The suite's own queries must pass the
+    // same Guard offered to users — zero exemptions (the band-offset
+    // frames fold on the driver precisely so this stays strict).
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-        if (plan.contains("CartesianProduct")) Some(name) else None
+        val ps = graft.ops.Guard.problems(fn(spark, sfDir))
+        if (ps.nonEmpty) Some(s"$name: ${ps.mkString("; ")}") else None
       } catch { case _: Throwable => None } // side-effecting queries may need dirs; Smoke covers them
     }
-    assert(bad.isEmpty, s"cartesian products in: $bad")
+    assert(bad.isEmpty, s"guard violations:\n  ${bad.mkString("\n  ")}")
   }
 
   test("Guard flags cartesian, global window, single-partition shuffle; passes clean plans") {
