@@ -46,6 +46,37 @@ object Similarity {
       .withColumn(outCol, transform(col(vecCol), x => x.cast("double") / col("__norm")))
       .drop("__norm")
 
+  /** Deterministic ±1 hyperplane components for cosine LSH: the sign
+    * of an md5 of (plane, dim) — reproducible anywhere, no RNG state,
+    * and embeddable verbatim in the DuckDB oracle.
+    */
+  def lshPlanes(planes: Int, dims: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(planes, dims) { (p, d) =>
+      val h = md.digest(s"$p|$d".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Random-hyperplane (cosine) LSH bucket of an embedding: bit p is
+    * the sign of the dot product with the p-th ±1 plane, so vectors
+    * within a small angle share buckets with high probability — the
+    * LSH-bucketed ANN family next to IVF (SURVEY §2.J J2): no
+    * training/centroids, one map-only scan, candidates meet in a
+    * bucket equi-join exactly like the text MinHash path. The per-row
+    * fold is a fixed left-to-right double sum, bit-identical to the
+    * oracle's unrolled expression.
+    */
+  def cosineLshBucket(vec: Column, planes: Int, dims: Int): Column = {
+    val pm = lshPlanes(planes, dims)
+    (0 until planes).map { p =>
+      val dot = (0 until dims).map { d =>
+        element_at(vec, d + 1).cast("double") * lit(pm(p)(d))
+      }.reduce(_ + _)
+      when(dot > 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   /** Symmetric int8 quantization of an embedding column: each vector
     * is scaled by its own max-|v| to [-127, 127] and rounded half-up
     * via floor(x + 0.5) — floor is bit-identical across engines where

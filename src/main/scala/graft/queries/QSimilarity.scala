@@ -43,6 +43,24 @@ object QSimilarity {
     }),
 
     // IVF assignment: nearest of 8 seed centroids (vec_id < 8) by
+    // J2 — cosine LSH: 8 deterministic ±1 hyperplanes hash each
+    // embedding to a sign-pattern bucket (map-only scan, no centroids
+    // to train); same-bucket pairs are the ANN candidates, exactly the
+    // MinHash shape but for vectors.
+    "q_embed_lsh" -> ((s, dir) => {
+      Tables(s, dir).embeddings.select(col("vec_id"),
+        Similarity.cosineLshBucket(col("embedding"), 8, 64).as("bucket"))
+    }),
+
+    "q_embed_lsh_pairs" -> ((s, dir) => {
+      val b = Tables(s, dir).embeddings.select(col("vec_id"),
+        Similarity.cosineLshBucket(col("embedding"), 8, 64).as("bucket"))
+      val l = b.select(col("vec_id").as("id_a"), col("bucket"))
+      val r = b.select(col("vec_id").as("id_b"), col("bucket"))
+      l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+        .select("bucket", "id_a", "id_b")
+    }),
+
     // J2-ext — per-vector symmetric int8 quantization: the 4×
     // storage/bandwidth lever for an embedding corpus; floor(x+0.5)
     // rounding keeps the oracle bit-exact where round() ties differ.
@@ -151,7 +169,27 @@ object QSimilarity {
           WHERE a.cluster_id IN (SELECT cid FROM probes)
           ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10"""
 
+  /** Unrolled cosine-LSH bucket expression for DuckDB, from the SAME
+    * Scala-generated ±1 planes the Spark side uses.
+    */
+  private def lshBucketSql(vecExpr: String): String = {
+    val pm = Similarity.lshPlanes(8, 64)
+    (0 until 8).map { p =>
+      val dot = (0 until 64)
+        .map(d => s"CAST($vecExpr[${d + 1}] AS DOUBLE) * (${pm(p)(d)})")
+        .mkString(" + ")
+      s"CASE WHEN ($dot) > 0.0 THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_embed_lsh" ->
+      s"SELECT vec_id, CAST(${lshBucketSql("embedding")} AS BIGINT) AS bucket FROM embeddings",
+    "q_embed_lsh_pairs" ->
+      s"""WITH b AS (SELECT vec_id,
+                CAST(${lshBucketSql("embedding")} AS BIGINT) AS bucket FROM embeddings)
+          SELECT l.bucket, l.vec_id AS id_a, r.vec_id AS id_b
+          FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id""",
     "q_embed_quantize" ->
       """WITH m AS (SELECT vec_id, embedding,
                 list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS mx

@@ -256,6 +256,17 @@ class OpsSpec extends SparkSpec {
       (2L, 0L, "x")))
   }
 
+  test("cosine LSH: duplicates share buckets, negation flips every sign bit") {
+    import spark.implicits._
+    val v = (1 to 64).map(i => (if (i % 3 == 0) -1.0f else 1.0f) * i / 64.0f)
+    val df = Seq((1L, v), (2L, v), (3L, v.map(-_))).toDF("vec_id", "embedding")
+    val got = df.select($"vec_id",
+        Similarity.cosineLshBucket($"embedding", 8, 64).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(2L))        // identical vectors: same bucket
+    assert(got(3L) == (~got(1L) & 0xffL)) // negation: all 8 sign bits flip
+  }
+
   test("int8 quantize: max maps to ±127, dequantize error within half step") {
     import spark.implicits._
     val df = Seq((1L, Seq(0.5f, -1.0f, 0.25f)), (2L, Seq(0f, 0f, 0f)))
