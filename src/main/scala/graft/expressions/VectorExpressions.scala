@@ -199,5 +199,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TextSketchExpressions.simhashBuilder))
     // declarative HOF dot products silently upgrade to the native loop
     e.injectOptimizerRule(_ => RewriteHofDot)
+    // whole-operator tier: plans graft.plans.TopKPerGroup as a
+    // partial/final pair around a group-key exchange
+    e.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
   }
 }

@@ -1,0 +1,118 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Whole-operator extension tier (SURVEY §2.F4 at scale): top-k rows per
+  * group as a first-class logical operator with its own physical
+  * strategy, registered through `SparkSessionExtensions`
+  * (`injectPlannerStrategy`) — the escalation path for semantics the
+  * built-in operators can't express efficiently.
+  *
+  * Why not the window form? `row_number().over(partitionBy(g).orderBy(o))
+  * <= k` shuffles EVERY row to its group's reducer and sorts the whole
+  * group there. At 100 TB that is a full-data shuffle to answer a
+  * question whose output is `k × groups` rows. This operator plans as
+  * TWO physical stages, exactly like partial/final hash aggregation:
+  *
+  *   TopKPerGroupExec(final)            -- k per group, group-clustered
+  *     +- Exchange hashpartitioning(g)  -- inserted by EnsureRequirements
+  *        +- TopKPerGroupExec(partial)  -- ≤ k per (partition, group)
+  *           +- child
+  *
+  * Only the per-partition survivors (≤ k × groups-per-partition rows)
+  * ever reach the exchange; with 1000 executors and k=3 the shuffle
+  * carries ~3000 rows per group instead of the group's full row set.
+  * If the child is already hash-partitioned on the group keys (bucketed
+  * table, prior repartition), `requiredChildDistribution` is satisfied
+  * and NO exchange is inserted at all.
+  *
+  * Memory: each task holds at most k rows per distinct group key seen in
+  * its partition — the same bound as map-side combine in hash
+  * aggregation. For pathological cardinality (every row its own group)
+  * the partial phase degrades to a pass-through copy, never worse than
+  * the input.
+  */
+case class TopKPerGroup(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"top-k needs k > 0, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+/** Physical operator for [[TopKPerGroup]]. `partial = true` runs before
+  * the exchange (any distribution accepted), `partial = false` declares
+  * `ClusteredDistribution(groupExprs)` so EnsureRequirements co-locates
+  * each group — or skips the shuffle when the child already satisfies it.
+  */
+case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val groupE = groupExprs
+    val orderE = order
+    val childOutput = child.output
+    child.execute().mapPartitions({ iter =>
+      // Codegen'd key projection + row ordering, compiled on the executor.
+      val keyProj = UnsafeProjection.create(groupE, childOutput)
+      val ord: Ordering[InternalRow] = new LazilyGeneratedOrdering(orderE, childOutput)
+      // Max-heap per group under the sort order: head is the worst
+      // retained row; a new row replaces it iff it sorts strictly
+      // earlier. Keeps the k FIRST rows of the group's sort order —
+      // identical semantics to row_number() <= k under a total order.
+      val heaps = scala.collection.mutable.HashMap
+        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        heaps.get(key) match {
+          case Some(heap) =>
+            if (heap.size < kLocal) heap.enqueue(row.copy())
+            else if (ord.compare(row, heap.head) < 0) {
+              heap.dequeue(); heap.enqueue(row.copy())
+            }
+          case None =>
+            val heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
+            heap.enqueue(row.copy())
+            heaps.put(key.copy(), heap) // projection reuses its buffer — copy the key
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+/** Planner strategy: [[TopKPerGroup]] → partial + final [[TopKPerGroupExec]].
+  * Injected via `GraftExtensions` (`injectPlannerStrategy`).
+  */
+object GraftStrategies extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(g, o, k, child) =>
+      TopKPerGroupExec(g, o, k, partial = false,
+        TopKPerGroupExec(g, o, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}

@@ -56,6 +56,18 @@ object QScale {
         .agg(count(lit(1)).as("n_items"), sum(col("qty")).cast("double").as("total_qty"))
     }),
 
+    // Native two-phase top-k per group (graft.plans.TopKPerGroup via
+    // injectPlannerStrategy): partial bounded heaps cut each partition
+    // to ≤k rows per group BEFORE the exchange, so the shuffle carries
+    // k×groups-per-partition rows instead of the whole table — the
+    // map-side-combine shape the window form can't plan. Result must
+    // be identical to the plain row_number()<=k oracle.
+    "q_topk_native" -> ((s, dir) => {
+      graft.plans.NativeOps.topKPerGroup(
+        Tables(s, dir).orders.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+    }),
+
     // Z-order clustering key: min-max-normalize (l_partkey, l_suppkey)
     // to 8 bits each, then Morton-interleave, so a sort/range-partition
     // by zkey co-locates BOTH dimensions in every file — parquet
@@ -83,6 +95,13 @@ object QScale {
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority""",
+    "q_topk_native" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM
+           (SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders)
+         WHERE rn <= 3""",
     "q_zorder_key" -> {
       val terms = (0 until 8).map { i =>
         s"((ba >> $i) & 1) * ${1L << (2 * i)} + ((bb >> $i) & 1) * ${1L << (2 * i + 1)}"

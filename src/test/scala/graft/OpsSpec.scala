@@ -308,6 +308,25 @@ class OpsSpec extends SparkSpec {
     assert(again == got.values.sum) // deterministic
   }
 
+  test("native top-k per group: ties, short groups, null keys across partitions") {
+    import spark.implicits._
+    // (group, id, score): group a has 4 rows with a score tie broken by
+    // id; group b is shorter than k; one row's group is null
+    val df = Seq(
+      (Option("a"), 1L, 10.0), (Option("a"), 2L, 10.0),
+      (Option("a"), 3L, 7.0), (Option("a"), 4L, 12.0),
+      (Option("b"), 5L, 1.0),
+      (Option.empty[String], 6L, 99.0)
+    ).toDF("g", "id", "score").repartition(5) // force cross-partition merge
+    val got = graft.plans.NativeOps.topKPerGroup(df, Seq("g"),
+      Seq(("score", false), ("id", true)), 2)
+      .as[(Option[String], Long, Double)].collect().toSet
+    assert(got == Set(
+      (Some("a"), 4L, 12.0), (Some("a"), 1L, 10.0), // tie on 10.0 -> lower id wins
+      (Some("b"), 5L, 1.0),                         // group smaller than k intact
+      (None, 6L, 99.0)))                            // null key is its own group
+  }
+
   test("stratified sample keeps rate-proportional strata, deterministically") {
     import spark.implicits._
     val df = spark.range(0, 2000)

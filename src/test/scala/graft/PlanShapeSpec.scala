@@ -186,6 +186,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(!binned.contains("CartesianProduct"), s"binned plan fell back:\n$binned")
   }
 
+  test("native top-k per group: partial/final pair around one group-key exchange") {
+    val orders = Tables(spark, sfDir).orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val native = graft.plans.NativeOps.topKPerGroup(orders,
+      Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+    native.collect() // finalize AQE before reading the executed plan
+    val plan = native.queryExecution.executedPlan.toString
+    assert("TopKPerGroup".r.findAllIn(plan).length >= 2,
+      s"expected partial+final TopKPerGroupExec:\n$plan")
+    assert(plan.contains("hashpartitioning(o_custkey"),
+      s"expected a group-key exchange between the phases:\n$plan")
+    // the exchange must sit between the two phases: partial runs below it
+    val partialBelowExchange = plan.linesIterator.dropWhile(!_.contains("Exchange"))
+      .exists(_.contains("TopKPerGroup"))
+    assert(partialBelowExchange, s"partial phase should run before the shuffle:\n$plan")
+
+    // result identical to the window form (the oracle's shape)
+    val window = graft.ops.Aggregates.topKPerGroup(orders, Seq("o_custkey"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3).drop("rn")
+    assert(native.exceptAll(window).isEmpty && window.exceptAll(native).isEmpty,
+      "native top-k disagrees with the window form")
+  }
+
+  test("native top-k: pre-clustered input satisfies the distribution - no extra exchange") {
+    val orders = Tables(spark, sfDir).orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .repartition(4, col("o_custkey"))
+    val native = graft.plans.NativeOps.topKPerGroup(orders,
+      Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+    native.collect()
+    // AQE's toString renders the final AND initial plans - count in the
+    // final section only
+    val plan = native.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // exactly the one repartition exchange we asked for: EnsureRequirements
+    // must recognize hashpartitioning(o_custkey) already satisfies the
+    // final phase's ClusteredDistribution
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected only the explicit repartition exchange:\n$plan")
+  }
+
   test("corpus shuffle ranks in hash bands: no single-partition exchange, offsets broadcast") {
     val plan = graft.ops.Text.corpusShuffle(Tables(spark, sfDir).documents, "doc_id", "s")
       .queryExecution.executedPlan.toString
