@@ -24,6 +24,28 @@ object Text {
   def md5Int(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("bigint")
 
+  /** Corpus keyword extraction: top-k terms per document by tf·idf.
+    * Term frequency per (doc, term) and document frequency per term are
+    * both hash aggregates (partial combine before their shuffles); df is
+    * derived FROM the tf frame, so the raw token explosion is scanned
+    * once. Ranking uses tf/df — a single IEEE double division of two
+    * exact integers, monotone in tf·idf for a fixed corpus, and
+    * engine-portable where libm log() is not (oracle-parity rule). The
+    * final window partitions by document, so no group outgrows one task.
+    */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("rn"))
+  }
+
   /** BPE-ish token count: letter runs, digit runs, and single
     * non-alphanumeric marks — a cheap proxy for subword token counts
     * when budgeting LLM training data.

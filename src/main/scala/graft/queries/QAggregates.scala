@@ -47,6 +47,30 @@ object QAggregates {
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
     }),
 
+    // E2-ext — KMV (k-minimum-values) distinct sketch, the
+    // oracle-checkable cousin of HLL: hash every key to a 52-bit md5
+    // prefix, keep the k smallest DISTINCT hashes per group (bounded
+    // heap, O(k) state), estimate distinct = (k-1)/h_k where h_k is
+    // the k-th minimum normalized to [0,1). Every step is integer-exact
+    // except one final IEEE division, so DuckDB reproduces the estimate
+    // bit-for-bit — an estimator whose own math is under the oracle.
+    "q_distinct_kmv" -> ((s, dir) => {
+      val k = 256
+      val h = Tables(s, dir).lineitem
+        .select(col("l_returnflag"),
+          conv(substring(md5(col("l_partkey").cast("string")), 1, 13), 16, 10)
+            .cast("bigint").as("hb"))
+        .distinct()
+      h.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_hashes"),
+          Aggregates.topKValues(-col("hb").cast("double"), k).as("tops"))
+        .select(col("l_returnflag"), col("n_hashes"),
+          when(col("n_hashes") < k, col("n_hashes").cast("double"))
+            .otherwise(lit(((k - 1).toLong << 52).toDouble)
+              / -element_at(col("tops"), k))
+            .as("est_distinct"))
+    }),
+
     // E3 — rollup with grouping-set id so null group keys are
     // distinguishable from genuine nulls on both sides.
     "q_agg_rollup" -> ((s, dir) => {
@@ -334,6 +358,19 @@ object QAggregates {
                 CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS r_qty,
                 count(*) FILTER (WHERE l_returnflag = 'R') AS r_n
          FROM lineitem GROUP BY l_linestatus""",
+    "q_distinct_kmv" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag,
+                           CAST('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 13) AS BIGINT) AS hb
+                    FROM lineitem),
+          r AS (SELECT l_returnflag, hb,
+                       row_number() OVER (PARTITION BY l_returnflag ORDER BY hb ASC) AS rn,
+                       count(*) OVER (PARTITION BY l_returnflag) AS n_hashes
+                FROM h)
+         SELECT l_returnflag, n_hashes,
+                CASE WHEN n_hashes < 256 THEN CAST(n_hashes AS DOUBLE)
+                     ELSE CAST(255 * 4503599627370496 AS DOUBLE) / hb END AS est_distinct
+         FROM r
+         WHERE rn = 256 OR (n_hashes < 256 AND rn = 1)""",
     "q_agg_topk_values" ->
       """SELECT l_returnflag, CAST(rn AS BIGINT) AS rank, price
          FROM (SELECT l_returnflag, l_extendedprice AS price,

@@ -248,6 +248,13 @@ object QText {
       Dedup.incrementalNewDocs(sigNew, sigIdx, "doc_id", 8, 1)
     }),
 
+    // tf-idf keyword extraction: top-3 terms per document, ranked by
+    // tf/df (monotone in tf·idf; no libm log so the oracle matches
+    // bit-for-bit).
+    "q_tfidf_topterms" -> ((s, dir) => {
+      Text.tfidfTopTerms(Tables(s, dir).documents, "doc_id", "text", 3)
+    }),
+
     // Stratified deterministic sampling: rebalance the training mix
     // (keep 40% of English, 80% of German, all the rest) with the
     // portable md5 bucket — reproducible, map-only, no RNG.
@@ -295,6 +302,17 @@ object QText {
       """SELECT doc_id, lang, source FROM documents
          WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
                < CASE WHEN lang = 'en' THEN 40 WHEN lang = 'de' THEN 80 ELSE 100 END""",
+    "q_tfidf_topterms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+          df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         SELECT doc_id, term, tf, df, rn FROM
+           (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   row_number() OVER (PARTITION BY tf.doc_id
+                                      ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC,
+                                               tf.term ASC) AS rn
+            FROM tf JOIN df USING (term)) t
+         WHERE rn <= 3""",
     "q_contrastive_triples" ->
       s"""WITH $shingleCte,
           mh AS (SELECT doc_id,

@@ -227,6 +227,44 @@ class PlanShapeSpec extends SparkSpec {
       s"expected only the explicit repartition exchange:\n$plan")
   }
 
+  test("runtime bloom filter from the selective build side prunes the probe scan") {
+    // At 100 TB the probe side of a shuffle join reads everything it
+    // can't prune; Spark's InjectRuntimeFilter turns the build side's
+    // selective predicate into a bloom filter applied at the probe scan.
+    // Size thresholds gate it off at test scale, so lower them — the
+    // assertion is that the mechanism engages and preserves results.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prior = confs.map { case (key, _) => key -> spark.conf.getOption(key) }
+    confs.foreach { case (key, v) => spark.conf.set(key, v) }
+    try {
+      val t = Tables(spark, sfDir)
+      val joined = t.lineitem.select(col("l_orderkey"), col("l_quantity"))
+        .join(t.orders.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$optimized")
+      // semantics unchanged by the injected filter
+      val n = joined.count()
+      confs.foreach { case (key, _) => spark.conf.unset(key) }
+      prior.foreach { case (key, v) => v.foreach(spark.conf.set(key, _)) }
+      val plain = t.lineitem.select(col("l_orderkey"), col("l_quantity"))
+        .join(t.orders.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(n == plain, s"bloom-filtered join lost rows: $n vs $plain")
+    } finally {
+      confs.foreach { case (key, _) => spark.conf.unset(key) }
+      prior.foreach { case (key, v) => v.foreach(spark.conf.set(key, _)) }
+    }
+  }
+
   test("corpus shuffle ranks in hash bands: no single-partition exchange, offsets broadcast") {
     val plan = graft.ops.Text.corpusShuffle(Tables(spark, sfDir).documents, "doc_id", "s")
       .queryExecution.executedPlan.toString
