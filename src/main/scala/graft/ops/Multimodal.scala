@@ -112,6 +112,34 @@ object Multimodal {
       else None
     }
 
+    /** JPEG: marker walk from SOI; dimensions live in the first SOF
+      * frame header (height/width as BE16 at payload offsets 3/5).
+      * Handles fill bytes and the standalone markers (TEM/RSTn) that
+      * carry no length field; gives up at SOS — a stream whose SOF
+      * didn't precede its scan data is malformed for our purposes.
+      */
+    def parseJpeg(b: Array[Byte]): Option[(Int, Int)] = {
+      def be16(off: Int): Int = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+      var off = 2
+      while (off + 4 <= b.length) {
+        if ((b(off) & 0xff) != 0xff) return None // desynced marker stream
+        var m = b(off + 1) & 0xff
+        while (m == 0xff && off + 2 < b.length) { off += 1; m = b(off + 1) & 0xff }
+        if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) off += 2
+        else if (m == 0xd9 || m == 0xda) return None // EOI / scan before SOF
+        else {
+          val len = be16(off + 2)
+          if (len < 2 || off + 2 + len > b.length) return None
+          val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof)
+            return if (len >= 7) Some((be16(off + 7), be16(off + 5))) else None
+          off += 2 + len
+        }
+      }
+      None
+    }
+
     /** REAL audio decode for 16-bit PCM WAV: locate the data chunk and
       * compute the RMS amplitude of the little-endian samples — actual
       * signal math in pure JVM, the feature-extraction step the Python
@@ -160,6 +188,7 @@ object Multimodal {
   def decodeDims(payload: Array[Byte]): (Int, Int) =
     Headers.parseBmp(payload)
       .orElse(Headers.parsePng(payload))
+      .orElse(Headers.parseJpeg(payload))
       .getOrElse(DecoderStub.decode(payload))
 
   /** Batched partition-level decode — the Scala analogue of a Python

@@ -21,15 +21,21 @@ import org.apache.spark.sql.functions._
   */
 object CorpusClean {
 
+  /** `tap` is the observability seam: each stage's frame passes through
+    * it under a stable name, so callers can attach `observe` counters
+    * (see [[runAudited]]) or lineage hooks without a second pass over
+    * the data. The default is the identity — zero plan change.
+    */
   def run(documents: DataFrame,
       minhashSeeds: Int = 8,
       minWords: Int = 20, maxWords: Int = 1000,
-      minStopwordRatio: Double = 0.02): DataFrame = {
+      minStopwordRatio: Double = 0.02,
+      tap: (String, DataFrame) => DataFrame = (_, df) => df): DataFrame = {
     // 1 — exact dedup; cached: the survivor set feeds shingling, the
     // anti-join, and the final projection (3 consumers)
-    val survivors = Dedup.exactByHash(documents, "text", "doc_id")
+    val survivors = tap("survivors", Dedup.exactByHash(documents, "text", "doc_id")
       .select(col("keep_id").as("doc_id"))
-      .join(documents, Seq("doc_id"))
+      .join(documents, Seq("doc_id")))
       .cache()
 
     // 2 — near-dup candidates among survivors; drop the higher id.
@@ -38,14 +44,37 @@ object CorpusClean {
     val sig = Dedup.minhashSignature(survivors, "text", "doc_id", minhashSeeds)
     val dropIds = Dedup.minhashCandidates(sig, "doc_id", bands = minhashSeeds, rowsPerBand = 1)
       .select(col("id_b").as("doc_id")).distinct()
-    val nearDeduped = survivors.join(dropIds, Seq("doc_id"), "left_anti")
+    val nearDeduped = tap("near_deduped",
+      survivors.join(dropIds, Seq("doc_id"), "left_anti"))
 
     // 3 — quality gate
-    nearDeduped
+    tap("emitted", nearDeduped
       .withColumn("n_words", size(Text.tokens(col("text"))).cast("bigint"))
       .withColumn("stopword_ratio", Text.stopwordRatio(col("text")))
       .filter(col("n_words") >= minWords && col("n_words") <= maxWords
         && col("stopword_ratio") >= minStopwordRatio)
-      .select("doc_id", "lang", "n_words", "stopword_ratio")
+      .select("doc_id", "lang", "n_words", "stopword_ratio"))
+  }
+
+  /** [[run]] with per-stage row counters attached via `observe`: the
+    * counts ride the SAME action that materializes the output (Spark's
+    * CollectMetrics — accumulator-backed, no extra job, exactly what a
+    * production run ships to its metrics sink). After any action on the
+    * returned frame, the second element yields stage -> rows.
+    */
+  def runAudited(documents: DataFrame,
+      minhashSeeds: Int = 8,
+      minWords: Int = 20, maxWords: Int = 1000,
+      minStopwordRatio: Double = 0.02): (DataFrame, () => Map[String, Long]) = {
+    val observations = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.Observation]
+    val out = run(documents, minhashSeeds, minWords, maxWords, minStopwordRatio,
+      tap = (name, df) => {
+        val o = org.apache.spark.sql.Observation(s"corpus_clean_$name")
+        observations(name) = o
+        df.observe(o, count(lit(1)).as("rows"))
+      })
+    (out, () => observations.map { case (name, o) =>
+      name -> o.get("rows").asInstanceOf[Long]
+    }.toMap)
   }
 }

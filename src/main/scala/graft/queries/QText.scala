@@ -255,6 +255,39 @@ object QText {
       Text.tfidfTopTerms(Tables(s, dir).documents, "doc_id", "text", 3)
     }),
 
+    // Count-min sketch term counts: the bounded-memory answer to
+    // "how often does each term occur" at corpus scale. d=4 hash rows
+    // x w=1024 buckets; the cell aggregation map-side combines to at
+    // most d*w rows per partition, so the shuffle carries the SKETCH,
+    // not the token stream. Estimates (min over rows, never under the
+    // true count) are integer-exact -> the estimator itself is under
+    // the oracle, alongside the exact counts for the probe terms.
+    "q_cms_counts" -> ((s, dir) => {
+      import s.implicits._
+      val w = 1024
+      val d = 4
+      val probeTerms = Seq("the", "a", "of", "and", "to", "in", "is", "for", "data", "model")
+      val tok = Tables(s, dir).documents
+        .select(explode(Text.tokens(col("text"))).as("term"))
+      val cells = tok
+        .select(explode(array((0 until d).map(r =>
+          struct(lit(r).as("r"),
+            (Text.md5Int(concat(lit(s"$r|"), col("term"))) % w).as("b"))): _*)).as("rb"))
+        .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val probes = probeTerms.toDF("term")
+        .select(col("term"), explode(array((0 until d).map(r => lit(r)): _*)).as("r"))
+        .withColumn("b",
+          Text.md5Int(concat(col("r").cast("string"), lit("|"), col("term"))) % w)
+      val est = probes.join(cells, Seq("r", "b"), "left")
+        .groupBy(col("term"))
+        .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+      val exact = tok.filter(col("term").isin(probeTerms: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+      est.join(exact, Seq("term"), "left")
+        .select(col("term"), col("est"), coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+    }),
+
     // Stratified deterministic sampling: rebalance the training mix
     // (keep 40% of English, 80% of German, all the rest) with the
     // portable md5 bucket — reproducible, map-only, no RNG.
@@ -302,6 +335,25 @@ object QText {
       """SELECT doc_id, lang, source FROM documents
          WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
                < CASE WHEN lang = 'en' THEN 40 WHEN lang = 'de' THEN 80 ELSE 100 END""",
+    "q_cms_counts" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+          rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+          cells AS (SELECT r,
+                           CAST('0x' || substring(md5(CAST(r AS VARCHAR) || '|' || term), 1, 8) AS BIGINT) % 1024 AS b,
+                           count(*) AS c
+                    FROM tok, rs GROUP BY r, b),
+          probes AS (SELECT term,
+                            r,
+                            CAST('0x' || substring(md5(CAST(r AS VARCHAR) || '|' || term), 1, 8) AS BIGINT) % 1024 AS b
+                     FROM (SELECT unnest(['the','a','of','and','to','in','is','for','data','model']) AS term), rs),
+          est AS (SELECT p.term, min(coalesce(c.c, 0)) AS est
+                  FROM probes p LEFT JOIN cells c ON c.r = p.r AND c.b = p.b
+                  GROUP BY p.term),
+          exact AS (SELECT term, count(*) AS n_exact FROM tok
+                    WHERE term IN ('the','a','of','and','to','in','is','for','data','model')
+                    GROUP BY term)
+         SELECT est.term, est.est, coalesce(exact.n_exact, 0) AS n_exact
+         FROM est LEFT JOIN exact USING (term)""",
     "q_tfidf_topterms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
           tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),

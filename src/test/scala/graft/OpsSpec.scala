@@ -308,6 +308,31 @@ class OpsSpec extends SparkSpec {
     assert(again == got.values.sum) // deterministic
   }
 
+  test("multimodal: JPEG SOF marker walk finds dimensions past APP/DQT segments") {
+    import Multimodal.Headers
+    def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    // SOI, APP0 (JFIF), a DQT segment, then SOF0 with 240x320
+    val jpeg = Array(0xff, 0xd8).map(_.toByte) ++
+      Array(0xff, 0xe0).map(_.toByte) ++ be16(16) ++
+      "JFIF ".getBytes ++ new Array[Byte](9) ++
+      Array(0xff, 0xdb).map(_.toByte) ++ be16(5) ++ new Array[Byte](3) ++
+      Array(0xff, 0xc0).map(_.toByte) ++ be16(17) ++
+      Array(8.toByte) ++ be16(240) ++ be16(320) ++ new Array[Byte](10)
+    assert(Headers.parseJpeg(jpeg).contains((320, 240)))
+    // progressive SOF2 is a frame header too (SOF segment = 2 marker +
+    // 17 length bytes at the tail; flip the marker byte)
+    val sof2 = jpeg.clone(); sof2(jpeg.length - 19 + 1) = 0xc2.toByte
+    assert(Headers.parseJpeg(sof2).contains((320, 240)))
+    // DHT (0xc4) must NOT be mistaken for a frame header
+    val dht = Array(0xff, 0xd8, 0xff, 0xc4).map(_.toByte) ++ be16(5) ++
+      new Array[Byte](3) ++ Array(0xff, 0xd9).map(_.toByte)
+    assert(Headers.parseJpeg(dht).isEmpty)
+    // scan data before any SOF, truncation, and non-JPEG bytes give up cleanly
+    assert(Headers.parseJpeg(Array(0xff, 0xd8, 0xff, 0xda).map(_.toByte) ++ be16(4)).isEmpty)
+    assert(Headers.parseJpeg(Array(0xff, 0xd8, 0xff, 0xc0).map(_.toByte) ++ be16(200)).isEmpty)
+    assert(Headers.parseJpeg("not a jpeg".getBytes).isEmpty)
+  }
+
   test("native top-k per group: ties, short groups, null keys across partitions") {
     import spark.implicits._
     // (group, id, score): group a has 4 rows with a score tie broken by

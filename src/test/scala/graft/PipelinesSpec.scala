@@ -116,6 +116,19 @@ class PipelinesSpec extends SparkSpec {
     assert(got == Set((1, "a", "d1"), (2, "b2", "d1"), (3, "c", "d1"), (9, "z", "d2")))
   }
 
+  test("runAudited: observe counters ride the materializing action, stage counts consistent") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val (out, metrics) = graft.pipelines.CorpusClean.runAudited(docs)
+    val emitted = out.count()
+    val m = metrics()
+    assert(m("emitted") == emitted, s"observed ${m("emitted")} != action count $emitted")
+    assert(m("survivors") >= m("near_deduped"), s"dedup cannot add rows: $m")
+    assert(m("near_deduped") >= m("emitted"), s"quality gate cannot add rows: $m")
+    assert(m("survivors") <= docs.count())
+    // the audited run changes nothing about the data itself
+    assert(emitted == graft.pipelines.CorpusClean.run(docs).count())
+  }
+
   test("csvQuarantine: malformed rows land whole in _corrupt, clean rows parse") {
     import org.apache.spark.sql.types._
     val dir = tmpDir("csv-quarantine")
