@@ -14,23 +14,30 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * (`injectPlannerStrategy`) — the escalation path for semantics the
   * built-in operators can't express efficiently.
   *
-  * Why not the window form? `row_number().over(partitionBy(g).orderBy(o))
-  * <= k` shuffles EVERY row to its group's reducer and sorts the whole
-  * group there. At 100 TB that is a full-data shuffle to answer a
-  * question whose output is `k × groups` rows. This operator plans as
-  * TWO physical stages, exactly like partial/final hash aggregation:
+  * Why not the window form? Since 3.5 Spark's `InferWindowGroupLimit`
+  * already bounds the shuffle of `row_number().over(...) <= k` — a
+  * Partial WindowGroupLimit runs before the exchange (verified on this
+  * build: PlanQ q_topk_per_group). What it CANNOT remove is the pair of
+  * full per-partition SORTS bracketing the exchange (WindowGroupLimit
+  * and WindowExec both demand sorted input): O(n log n) over every map
+  * partition of a 100 TB scan, again over the reduced side, plus a
+  * materialized rank column. This operator plans as TWO physical
+  * stages, exactly like partial/final hash aggregation, and replaces
+  * both sorts with O(n log k) bounded-heap selection:
   *
   *   TopKPerGroupExec(final)            -- k per group, group-clustered
   *     +- Exchange hashpartitioning(g)  -- inserted by EnsureRequirements
   *        +- TopKPerGroupExec(partial)  -- ≤ k per (partition, group)
-  *           +- child
+  *           +- child (UNSORTED — no Sort node anywhere in the plan)
   *
-  * Only the per-partition survivors (≤ k × groups-per-partition rows)
-  * ever reach the exchange; with 1000 executors and k=3 the shuffle
-  * carries ~3000 rows per group instead of the group's full row set.
+  * Shuffle volume matches the group-limited window form (≤ k ×
+  * groups-per-partition rows); the saving is the scan-side n·log(n)
+  * sort work, which dominates when partitions are large and k is small.
   * If the child is already hash-partitioned on the group keys (bucketed
   * table, prior repartition), `requiredChildDistribution` is satisfied
-  * and NO exchange is inserted at all.
+  * and NO exchange is inserted at all. At bench scale (sf0.1) the two
+  * forms measure identically; the sort-vs-heap gap is a large-partition
+  * property.
   *
   * Memory: each task holds at most k rows per distinct group key seen in
   * its partition — the same bound as map-side combine in hash

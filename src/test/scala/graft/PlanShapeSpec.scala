@@ -197,6 +197,10 @@ class PlanShapeSpec extends SparkSpec {
       s"expected partial+final TopKPerGroupExec:\n$plan")
     assert(plan.contains("hashpartitioning(o_custkey"),
       s"expected a group-key exchange between the phases:\n$plan")
+    // the point of the operator: heap selection needs NO sort anywhere,
+    // unlike WindowGroupLimit which sorts both sides of the exchange
+    assert(!plan.contains("+- Sort") && !plan.contains("+- *Sort"),
+      s"native top-k must not sort:\n$plan")
     // the exchange must sit between the two phases: partial runs below it
     val partialBelowExchange = plan.linesIterator.dropWhile(!_.contains("Exchange"))
       .exists(_.contains("TopKPerGroup"))
