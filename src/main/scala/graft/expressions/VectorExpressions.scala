@@ -199,6 +199,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TextSketchExpressions.simhashBuilder))
     // declarative HOF dot products silently upgrade to the native loop
     e.injectOptimizerRule(_ => RewriteHofDot)
+    // discarded-rank row_number()<=k windows upgrade to the native
+    // heap-based top-k operator (no sorts)
+    e.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
     // whole-operator tier: plans graft.plans.TopKPerGroup as a
     // partial/final pair around a group-key exchange
     e.injectPlannerStrategy(_ => graft.plans.GraftStrategies)

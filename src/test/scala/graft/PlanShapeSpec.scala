@@ -213,6 +213,33 @@ class PlanShapeSpec extends SparkSpec {
       "native top-k disagrees with the window form")
   }
 
+  test("RewriteWindowTopK: discarded-rank window idiom upgrades to the native operator") {
+    val orders = Tables(spark, sfDir).orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    // the standard declarative form, rank dropped -> native plan
+    val declarative = graft.ops.Aggregates.topKPerGroup(orders, Seq("o_custkey"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3).drop("rn")
+    declarative.collect()
+    val plan = declarative.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"window idiom not upgraded:\n$plan")
+    assert(!plan.contains("WindowGroupLimit"), s"window path still planned:\n$plan")
+
+    // dedup-keep-first (rn === 1) is top-1: also native
+    val dedup = graft.ops.Aggregates.dedupKeepFirst(orders, Seq("o_custkey"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+    dedup.collect()
+    assert(dedup.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+      "dedupKeepFirst not upgraded to native top-1")
+
+    // a KEPT rank column must stay on the window path
+    val kept = graft.ops.Aggregates.topKPerGroup(orders, Seq("o_custkey"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+    kept.collect()
+    val keptPlan = kept.queryExecution.executedPlan.toString
+    assert(!keptPlan.contains("TopKPerGroup") && keptPlan.contains("Window"),
+      s"rewrite must not fire when rn is consumed:\n$keptPlan")
+  }
+
   test("native top-k: pre-clustered input satisfies the distribution - no extra exchange") {
     val orders = Tables(spark, sfDir).orders
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
