@@ -74,11 +74,21 @@ case class TopKPerGroupExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
 
+  // SQL-UI metrics: how hard the partial phase cut the stream is THE
+  // number an operator like this lives or dies by at scale
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "output rows"),
+    "numDroppedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "rows dropped by the heap cut"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val groupE = groupExprs
     val orderE = order
     val childOutput = child.output
+    val outRows = longMetric("numOutputRows")
+    val droppedRows = longMetric("numDroppedRows")
     child.execute().mapPartitions({ iter =>
       // Codegen'd key projection + row ordering, compiled on the executor.
       val keyProj = UnsafeProjection.create(groupE, childOutput)
@@ -89,8 +99,10 @@ case class TopKPerGroupExec(
       // identical semantics to row_number() <= k under a total order.
       val heaps = scala.collection.mutable.HashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+      var seen = 0L
       while (iter.hasNext) {
         val row = iter.next()
+        seen += 1
         val key = keyProj(row)
         heaps.get(key) match {
           case Some(heap) =>
@@ -104,6 +116,9 @@ case class TopKPerGroupExec(
             heaps.put(key.copy(), heap) // projection reuses its buffer — copy the key
         }
       }
+      val kept = heaps.valuesIterator.map(_.size.toLong).sum
+      outRows += kept
+      droppedRows += seen - kept
       heaps.valuesIterator.flatMap(_.iterator)
     }, preservesPartitioning = true)
   }

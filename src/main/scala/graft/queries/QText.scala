@@ -288,6 +288,16 @@ object QText {
         .select(col("term"), col("est"), coalesce(col("n_exact"), lit(0L)).as("n_exact"))
     }),
 
+    // Per-source quota: cap every source at its 5 longest documents —
+    // the "no single crawl dominates the mix" rule, through the native
+    // heap top-k operator (no sort of the corpus, shuffle carries at
+    // most 5 x sources x partitions rows).
+    "q_source_cap" -> ((s, dir) => {
+      graft.plans.NativeOps.topKPerGroup(
+        Tables(s, dir).documents.select(col("doc_id"), col("source"), col("n_chars")),
+        Seq("source"), Seq(("n_chars", false), ("doc_id", true)), 5)
+    }),
+
     // Stratified deterministic sampling: rebalance the training mix
     // (keep 40% of English, 80% of German, all the rest) with the
     // portable md5 bucket — reproducible, map-only, no RNG.
@@ -335,6 +345,13 @@ object QText {
       """SELECT doc_id, lang, source FROM documents
          WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
                < CASE WHEN lang = 'en' THEN 40 WHEN lang = 'de' THEN 80 ELSE 100 END""",
+    "q_source_cap" ->
+      """SELECT doc_id, source, n_chars FROM
+           (SELECT doc_id, source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM documents)
+         WHERE rn <= 5""",
     "q_cms_counts" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
           rs AS (SELECT unnest([0, 1, 2, 3]) AS r),

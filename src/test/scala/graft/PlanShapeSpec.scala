@@ -187,11 +187,15 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("native top-k per group: partial/final pair around one group-key exchange") {
+    // AQE off for this one test: query stages hide their subtrees from
+    // TreeNode.collect, and here we want the node instances + metrics
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     val orders = Tables(spark, sfDir).orders
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
     val native = graft.plans.NativeOps.topKPerGroup(orders,
       Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
-    native.collect() // finalize AQE before reading the executed plan
+    native.collect()
     val plan = native.queryExecution.executedPlan.toString
     assert("TopKPerGroup".r.findAllIn(plan).length >= 2,
       s"expected partial+final TopKPerGroupExec:\n$plan")
@@ -211,6 +215,17 @@ class PlanShapeSpec extends SparkSpec {
       Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3).drop("rn")
     assert(native.exceptAll(window).isEmpty && window.exceptAll(native).isEmpty,
       "native top-k disagrees with the window form")
+
+    // metrics: final output == query rows; partial must have dropped some
+    val execs = native.queryExecution.executedPlan
+      .collect { case t: graft.plans.TopKPerGroupExec => t }
+    assert(execs.map(_.partial).sorted == Seq(false, true))
+    val finalNode = execs.find(!_.partial).get
+    assert(finalNode.metrics("numOutputRows").value == native.count(),
+      "final numOutputRows metric disagrees with the result size")
+    assert(execs.find(_.partial).get.metrics("numDroppedRows").value > 0,
+      "partial phase should have cut rows on this data")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
   test("RewriteWindowTopK: discarded-rank window idiom upgrades to the native operator") {

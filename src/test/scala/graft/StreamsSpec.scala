@@ -40,6 +40,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("J2 streaming: map-only IVF assignment routes arriving vectors, zero state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    val centroids = Seq((0L, Seq(0f, 0f)), (1L, Seq(10f, 10f)))
+      .toDF("cluster_id", "centroid")
+    // ivfAssign is stateless (inlined centroids, native l2sq kernel), so
+    // the SAME operator runs on a stream: the ingest half of a
+    // continuously maintained ANN index
+    val assigned = graft.ops.Similarity.ivfAssign(
+      mem.toDF().toDF("vec_id", "embedding"),
+      "embedding", "vec_id", centroids, "centroid", "cluster_id")
+    val q = assigned.writeStream.format("memory").queryName("ivf_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, Array(1f, 1f)), (2L, Array(9f, 9f)))
+      q.processAllAvailable()
+      mem.addData((3L, Array(6f, 6f))) // second batch: closer to (10,10)
+      q.processAllAvailable()
+      val got = spark.table("ivf_stream").select($"vec_id", $"cluster_id")
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+      // append mode, no watermark, no agg: the plan must carry NO state store
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"expected a stateless streaming plan: ${q.lastProgress}")
+    } finally q.stop()
+  }
+
   test("I5 streaming: dropDuplicatesWithinWatermark removes the replayed event") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
