@@ -259,6 +259,17 @@ object QScalars {
           get_json_object(col("props"), "$.k").cast("bigint").as("k_value"))
     }),
 
+    // D14-ext — VARIANT (Spark 4's semi-structured type): parse once
+    // into the binary variant encoding, then typed path access. Same
+    // answer as the string-probe get_json_object road, different
+    // engine path (shredded access instead of per-row re-parse) —
+    // the open-format semi-structured story at scale.
+    "q_variant_json" -> ((s, dir) => {
+      Tables(s, dir).events
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k_value"))
+    }),
+
     // D14-ext — schema-bound JSON parse (`from_json` with an explicit
     // StructType) vs the path-probe above: one parse per row yields a
     // typed struct Catalyst can prune and push through — the right
@@ -461,6 +472,9 @@ object QScalars {
                 props IS NOT NULL AS parsed_ok
          FROM events""",
     "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+         FROM events""",
+    "q_variant_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
          FROM events""",
     "q_array_funcs" ->

@@ -31,6 +31,23 @@ object QSql {
       """)
     }),
 
+    // Recursive CTE (Spark 4 WITH RECURSIVE, UNION ALL form): calendar
+    // spine for gap-free daily counts — days with zero orders appear
+    // with 0 instead of vanishing, the standard reporting shape that a
+    // plain GROUP BY o_orderdate cannot produce.
+    "q_sql_recursive" -> ((s, dir) => {
+      withViews(s, dir)
+      s.sql("""
+        WITH RECURSIVE days(d) AS (
+          SELECT DATE '1995-03-01'
+          UNION ALL
+          SELECT date_add(d, 1) FROM days WHERE d < DATE '1995-03-31')
+        SELECT CAST(d AS STRING) AS day, count(o_orderkey) AS n_orders
+        FROM days LEFT JOIN v_orders ON CAST(o_orderdate AS DATE) = d
+        GROUP BY d
+      """)
+    }),
+
     // Correlated EXISTS — decorrelated by Catalyst into a semi-join.
     "q_correlated_exists" -> ((s, dir) => {
       withViews(s, dir)
@@ -88,6 +105,14 @@ object QSql {
                        i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))) AS cos_sim
          FROM embeddings, q
          ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
+    "q_sql_recursive" ->
+      """WITH RECURSIVE days(d) AS (
+           SELECT DATE '1995-03-01'
+           UNION ALL
+           SELECT d + 1 FROM days WHERE d < DATE '1995-03-31')
+         SELECT CAST(d AS VARCHAR) AS day, count(o_orderkey) AS n_orders
+         FROM days LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
+         GROUP BY d""",
     "q_sql_grouping_sets" ->
       """SELECT n_name, c_mktsegment, count(*) AS n_customers
          FROM customer JOIN nation ON c_nationkey = n_nationkey
