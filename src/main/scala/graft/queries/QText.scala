@@ -298,6 +298,30 @@ object QText {
         Seq("source"), Seq(("n_chars", false), ("doc_id", true)), 5)
     }),
 
+    // Deterministic train/val/test split: 80/10/10 by md5 bucket of the
+    // id — reproducible across runs and engines, map-only, and every
+    // doc lands in exactly one split (the property RNG splits lose on
+    // re-partitioning).
+    "q_split3" -> ((s, dir) => {
+      val bucket = Text.md5Int(col("doc_id").cast("string")) % 100
+      Tables(s, dir).documents.select(col("doc_id"), col("lang"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"))
+    }),
+
+    // Exact-n per-group sampling: exactly 3 docs per language, chosen
+    // by md5 order — deterministic reservoir sampling, expressed as the
+    // native heap top-k over the hash ordering (O(n log 3), no sort,
+    // no RNG).
+    "q_sample_exact_n" -> ((s, dir) => {
+      graft.plans.NativeOps.topKPerGroup(
+        Tables(s, dir).documents
+          .select(col("doc_id"), col("lang"),
+            Text.md5Int(col("doc_id").cast("string")).as("hk")),
+        Seq("lang"), Seq(("hk", true), ("doc_id", true)), 3)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // Stratified deterministic sampling: rebalance the training mix
     // (keep 40% of English, 80% of German, all the rest) with the
     // portable md5 bucket — reproducible, map-only, no RNG.
@@ -345,6 +369,20 @@ object QText {
       """SELECT doc_id, lang, source FROM documents
          WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
                < CASE WHEN lang = 'en' THEN 40 WHEN lang = 'de' THEN 80 ELSE 100 END""",
+    "q_split3" ->
+      """SELECT doc_id, lang,
+                CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+                     WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents""",
+    "q_sample_exact_n" ->
+      """SELECT doc_id, lang FROM
+           (SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) ASC,
+                              doc_id ASC) AS rn
+            FROM documents)
+         WHERE rn <= 3""",
     "q_source_cap" ->
       """SELECT doc_id, source, n_chars FROM
            (SELECT doc_id, source, n_chars,

@@ -19,6 +19,33 @@ class PropertySpec extends SparkSpec {
         .foreach(body)
     }
 
+  test("query registry: no key collides across modules, every oracle has a query") {
+    import graft.queries._
+    // mirror of SparkEntry's composition: Map ++ silently keeps the
+    // LAST duplicate, so a collision drops a query without any failure
+    val modules = Seq(
+      "QRelational" -> QRelational.queries.keySet,
+      "QAggregates" -> QAggregates.queries.keySet,
+      "QScalars" -> QScalars.queries.keySet,
+      "QTimeseries" -> QTimeseries.queries.keySet,
+      "QIo" -> QIo.queries.keySet,
+      "QText" -> QText.queries.keySet,
+      "QSimilarity" -> QSimilarity.queries.keySet,
+      "QMultimodal" -> QMultimodal.queries.keySet,
+      "QAsOf" -> QAsOf.queries.keySet,
+      "QExtras" -> QExtras.queries.keySet,
+      "QScale" -> QScale.queries.keySet,
+      "QSql" -> QSql.queries.keySet,
+      "QTpch" -> QTpch.queries.keySet)
+    val dups = modules.flatMap { case (m, ks) => ks.map(_ -> m) }
+      .groupBy(_._1).filter(_._2.length > 1)
+    assert(dups.isEmpty, s"duplicate query keys: ${dups.map { case (k, ms) =>
+      s"$k in ${ms.map(_._2).mkString("+")}" }.mkString(", ")}")
+    assert(modules.map(_._2.size).sum == SparkEntry.queries.size)
+    val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphanOracles.isEmpty, s"oracles without queries: $orphanOracles")
+  }
+
   private val rowsGen = Gen.nonEmptyListOf(for {
     k <- Gen.choose(1, 5)
     o <- Gen.choose(1, 20)

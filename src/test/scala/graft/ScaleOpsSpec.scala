@@ -145,6 +145,55 @@ class ScaleOpsSpec extends SparkSpec {
     Seq("dml_t", "dml_ctas").foreach(CatalogWriter.drop(spark, _))
   }
 
+  test("CBO: ANALYZE stats drive join reordering (small side joins first)") {
+    import graft.io.CatalogWriter
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val names = Seq("cbo_big", "cbo_mid", "cbo_small")
+    names.foreach { t =>
+      CatalogWriter.drop(spark, t)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    spark.range(0, 100000).selectExpr("id % 100 AS k", "id AS payload")
+      .write.saveAsTable("cbo_big")
+    spark.range(0, 5000).selectExpr("id % 100 AS k", "id AS m")
+      .write.saveAsTable("cbo_mid")
+    spark.range(0, 10).selectExpr("id AS k", "id AS s")
+      .write.saveAsTable("cbo_small")
+    names.foreach(t => spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+    val priors = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      // written worst-first: big x mid, then the tiny filter table
+      def query() = spark.sql("""
+        SELECT count(*) AS n FROM cbo_big b
+        JOIN cbo_mid m ON b.k = m.k
+        JOIN cbo_small s ON b.k = s.k""")
+      def innermostTables(df: org.apache.spark.sql.DataFrame): Set[String] = {
+        val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+        val innermost = joins.filter(j => j.collect { case x: Join => x }.length == 1)
+        innermost.flatMap(_.collectLeaves().flatMap(_.toString
+          .split("[^a-z_]").filter(_.startsWith("cbo_")))).toSet
+      }
+      priors.foreach { case (k, _) => spark.conf.set(k, "true") }
+      val reordered = innermostTables(query())
+      assert(reordered == Set("cbo_big", "cbo_small"),
+        s"CBO should join the 10-row table first, got innermost = $reordered")
+      assert(query().head().getLong(0) == 100000L / 100 * 10 * 50) // 500k rows
+      // same syntax without stats-based reorder keeps the written order
+      priors.foreach { case (k, _) => spark.conf.set(k, "false") }
+      val syntactic = innermostTables(query())
+      assert(syntactic == Set("cbo_big", "cbo_mid"),
+        s"without CBO the syntactic order should hold, got $syntactic")
+    } finally {
+      priors.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      names.foreach(CatalogWriter.drop(spark, _))
+    }
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
     // one hot key carrying ~all rows; broadcast disabled so the join
     // must sort-merge, and the skew threshold lowered so the tiny test
