@@ -75,4 +75,32 @@ object Aggregates {
   /** Column form of [[TopKValuesAggregator]]. */
   def topKValues(valueCol: Column, k: Int): Column =
     udaf(new TopKValuesAggregator(k)).apply(valueCol)
+
+  /** E1-ext — INCREMENTAL aggregate maintenance, the 100 TB answer to
+    * "the daily rollup must not rescan history": keep a partials table
+    * of ALGEBRAIC state (sum / count / min / max — every state merges
+    * associatively) keyed by (batch keys ++ group keys); each arriving
+    * batch appends only ITS partial rows, and the serving aggregate is
+    * a re-merge of states — work scales with the number of stored
+    * partials (groups × batches), never with the raw history. Measures
+    * must be decimal-cast upstream (see [[Scalars.dec]]) so partial
+    * sums merge exactly; `avg` is served as merged-sum / merged-count
+    * rather than stored (averages don't merge, their components do).
+    */
+  def algebraicPartial(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(
+      sum(col(valueCol)).as("p_sum"),
+      count(col(valueCol)).as("p_cnt"),
+      min(col(valueCol)).as("p_min"),
+      max(col(valueCol)).as("p_max"))
+
+  /** Merge [[algebraicPartial]] states down to `keys` — exact for any
+    * batch split because each stored state is itself a sum/count/min/max.
+    */
+  def mergePartials(partials: DataFrame, keys: Seq[String]): DataFrame =
+    partials.groupBy(keys.map(col): _*).agg(
+      sum(col("p_sum")).as("sum_val"),
+      sum(col("p_cnt")).as("n_val"),
+      min(col("p_min")).as("min_val"),
+      max(col("p_max")).as("max_val"))
 }

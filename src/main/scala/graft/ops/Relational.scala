@@ -122,4 +122,33 @@ object Relational {
       .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
       .drop("__bin")
   }
+
+  /** Fuzzy self-linkage at edit distance ≤ 1, EXACT via FastSS
+    * deletion-neighborhood blocking (Bocek et al. 2007): every string
+    * emits itself plus its |s| single-deletion variants as block keys;
+    * two strings within one edit ALWAYS share a key (substitution →
+    * both delete that position; insert/delete → the longer side's
+    * deletion hits the shorter), so the equi-join on the key is a
+    * complete candidate generator and the final `levenshtein ≤ 1`
+    * filter only removes false positives (distinct-position deletions
+    * that collide). Contrast with a naive similarity join — a
+    * quadratic nested loop Spark would refuse via [[Guard]]: here the
+    * work is |s|+1 key rows per record and a shuffle on short string
+    * keys, so record-linkage at 100 TB rides an ordinary equi-join.
+    * Variant generation is one codegen'd transform+explode (no UDF).
+    */
+  def fuzzyLinkageD1(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val s = col(textCol)
+    val keyed = df.select(col(idCol), s,
+      explode(array_distinct(concat(array(s),
+        transform(sequence(lit(1), length(s)),
+          i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))))).as("__key"))
+    val a = keyed.select(col("__key"), col(idCol).as("id_a"), s.as("s_a"))
+    val b = keyed.select(col("__key"), col(idCol).as("id_b"), s.as("s_b"))
+    a.join(b, Seq("__key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b")).distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= 1)
+  }
 }

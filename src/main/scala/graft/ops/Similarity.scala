@@ -291,6 +291,39 @@ object Similarity {
       .drop("__rn")
   }
 
+  /** J2-ext — SemDeDup-style SEMANTIC deduplication: two documents are
+    * duplicates when their embeddings are τ-close in cosine, and the
+    * corpus keeps one representative per near-dup neighborhood.
+    * Composition of the proven scale pieces:
+    *  - candidate pairs form ONLY inside an IVF cluster (map-only
+    *    [[ivfAssign]] + equi-join on `cluster_id` — never all-pairs);
+    *  - vectors are normalized once ([[withNormalized]]) so each pair
+    *    costs a single native dot fold;
+    *  - keep policy is greedy smallest-id: a document is dropped iff
+    *    some SMALLER id in its cluster is τ-close. Deterministic, one
+    *    pass, no transitive chaining — a chained near-dup that slips
+    *    through is caught on the next index rebuild, the standard
+    *    production trade (SemDeDup itself dedups per-cluster only).
+    * The drop set ships ids only; the final anti-join shuffles ids,
+    * never vectors or text.
+    */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+      centroids: DataFrame, cVecCol: String, cIdCol: String, tau: Double): DataFrame = {
+    graft.expressions.VectorExpressions.register(df.sparkSession)
+    val assigned = ivfAssign(df, vecCol, idCol, centroids, cVecCol, cIdCol)
+      .select(col(idCol), col("cluster_id"))
+      .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+    val normed = withNormalized(assigned, vecCol, "__ne")
+      .select(col("cluster_id"), col(idCol), col("__ne"))
+    val a = normed.select(col("cluster_id"), col(idCol).as("__id_a"), col("__ne").as("__na"))
+    val b = normed.select(col("cluster_id"), col(idCol).as("__id_b"), col("__ne").as("__nb"))
+    val drops = a.join(b, Seq("cluster_id"))
+      .filter(col("__id_a") < col("__id_b"))
+      .filter(graft.expressions.VectorExpressions.dot(col("__na"), col("__nb")) >= tau)
+      .select(col("__id_b").as(idCol)).distinct()
+    df.select(col(idCol)).join(drops, Seq(idCol), "left_anti")
+  }
+
   /** E5 — typed Aggregator: element-wise mean of embedding vectors
     * (cluster centroid). Buffer is (sums, count); merge is element-wise.
     * Exposed via `udaf` for DataFrame use; unit-tested (float summation

@@ -272,6 +272,48 @@ object QAggregates {
         sqrt((nd * sxx - sx * sx) / (nd * (nd - lit(1.0)))).as("stddev_qty"),
         ((nd * sxy - sx * sy) /
           (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))).as("corr_qty_disc"))
+    }),
+
+    // E1-ext — incremental aggregate maintenance: history arrives as
+    // three batches (by ship year), each contributes only its ALGEBRAIC
+    // partial (sum/count/min/max), and the serving rollup is a re-merge
+    // of stored states. The oracle is the one-shot aggregate over the
+    // whole table — merged-partials == full-recompute is exactly the
+    // property that lets a 100 TB daily rollup never rescan history.
+    "q_incremental_agg" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_shipdate"),
+          Scalars.dec(col("l_quantity")).as("qty"))
+      val partials = Seq(
+        li.filter(year(col("l_shipdate")) <= 1994),
+        li.filter(year(col("l_shipdate")) === 1995),
+        li.filter(year(col("l_shipdate")) >= 1996))
+        .map(b => Aggregates.algebraicPartial(b, Seq("l_returnflag", "l_linestatus"), "qty"))
+        .reduce(_ unionByName _)
+      Aggregates.mergePartials(partials, Seq("l_returnflag", "l_linestatus"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sum_val").cast("double").as("sum_qty"),
+          col("n_val").as("n_qty"),
+          col("min_val").cast("double").as("min_qty"),
+          col("max_val").cast("double").as("max_qty"),
+          (col("sum_val").cast("double") / col("n_val")).as("avg_qty"))
+    }),
+
+    // E2-ext — MERGEABLE distinct-count sketches (Apache DataSketches
+    // HLL via Spark's hll_sketch_agg): one sketch per (flag, ship
+    // year) "batch", unioned down to per-flag estimates — the
+    // incremental-distinct analogue of q_incremental_agg (exact
+    // distinct does not merge; sketches do). Estimator output, so no
+    // cross-engine oracle (driver records rows-only); the merge==direct
+    // equality is asserted in ScaleOpsSpec.
+    "q_hll_mergeable" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_returnflag"), year(col("l_shipdate")).as("yr"), col("l_partkey"))
+      li.groupBy(col("l_returnflag"), col("yr"))
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+        .groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_parts"),
+          count(lit(1)).as("n_batches"))
     })
   )
 
@@ -414,6 +456,15 @@ object QAggregates {
                 (CAST(n AS DOUBLE) * CAST(s_qd AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_d AS DOUBLE))
                   / (sqrt(CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
                      * sqrt(CAST(n AS DOUBLE) * CAST(s_dd AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))) AS corr_qty_disc
-         FROM g"""
+         FROM g""",
+    "q_incremental_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                count(l_quantity) AS n_qty,
+                CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+                CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty
+         FROM lineitem
+         GROUP BY l_returnflag, l_linestatus"""
   )
 }

@@ -79,6 +79,19 @@ object QAsOf {
         .withColumn("cos_sim", graft.expressions.VectorExpressions.dot(col("na"), col("nb")))
         .filter(col("cos_sim") >= 0.3)
         .select("cluster_id", "id_a", "id_b", "cos_sim")
+    }),
+
+    // J2-ext — SemDeDup: semantic dedup over the SAME cluster-bucketed
+    // pair generation as q_embed_neardup, resolved to survivors by the
+    // greedy smallest-id keep policy (drop a vector iff a smaller
+    // τ-close id shares its cluster). The query returns the surviving
+    // corpus ids — what a production pipeline joins back on to delete.
+    "q_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.semanticDedup(emb.select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", centroids, "cvec", "cid", tau = 0.3)
     })
   )
 
@@ -129,6 +142,31 @@ object QAsOf {
                    ${dDot("a.ne", "b.ne")} AS cos_sim
             FROM normed a JOIN normed b
               ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
-          SELECT cluster_id, id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3"""
+          SELECT cluster_id, id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3""",
+    "q_semantic_dedup" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+          dists AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   list_sum(list_transform(range(1, len(e.embedding) + 1),
+                     i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                        * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))) AS dist2
+            FROM embeddings e CROSS JOIN c),
+          assigned AS (
+            SELECT vec_id, embedding, cid AS cluster_id FROM (
+              SELECT vec_id, embedding, cid, dist2,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+              FROM dists) WHERE rn = 1),
+          normed AS (
+            SELECT cluster_id, vec_id,
+                   list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) / sqrt(${dDot("embedding", "embedding")})) AS ne
+            FROM assigned),
+          drops AS (
+            SELECT DISTINCT b.vec_id
+            FROM normed a JOIN normed b
+              ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+            WHERE ${dDot("a.ne", "b.ne")} >= 0.3)
+          SELECT e.vec_id FROM embeddings e
+          WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)"""
   )
 }

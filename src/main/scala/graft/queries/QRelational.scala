@@ -205,6 +205,18 @@ object QRelational {
       cn.intersectAll(sn).withColumn("op", lit("intersect_all"))
         .unionByName(cn.exceptAll(sn).withColumn("op", lit("except_all")))
         .groupBy(col("op"), col("nationkey")).agg(count(lit(1)).as("n"))
+    }),
+
+    // C-ext — fuzzy record linkage at edit distance ≤ 1 via FastSS
+    // deletion-neighborhood blocking: exact result of the quadratic
+    // "all pairs within one edit" join, computed as an ordinary
+    // equi-join on deletion-variant keys (|s|+1 keys per record).
+    // The oracle IS the naive quadratic form — completeness of the
+    // blocking is what's being gate-checked.
+    "q_fuzzy_join_d1" -> ((s, dir) => {
+      Relational.fuzzyLinkageD1(
+        Tables(s, dir).customer.select(col("c_custkey"), col("c_name")),
+        "c_name", "c_custkey")
     })
   )
 
@@ -295,6 +307,12 @@ object QRelational {
            (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
          UNION ALL
          SELECT nationkey, 'except' AS op FROM
-           (SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier)"""
+           (SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier)""",
+    "q_fuzzy_join_d1" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                a.c_name AS s_a, b.c_name AS s_b,
+                levenshtein(a.c_name, b.c_name) AS dist
+         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 1"""
   )
 }

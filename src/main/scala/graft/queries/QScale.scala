@@ -77,6 +77,23 @@ object QScale {
       Scalars.zorderKey(Tables(s, dir).lineitem, "l_partkey", "l_suppkey")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
           col("zkey"))
+    }),
+
+    // A-ext — manifest-driven FILE skipping: data written range-laid-out
+    // by l_shipdate with a per-file [min,max] sidecar; the date-range
+    // read consults the manifest and opens only overlapping files
+    // (ScaleOpsSpec asserts the skip count). Result must equal the
+    // plain filtered aggregate over the whole table.
+    "q_manifest_skip" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"))
+      val path = s"target/tmp/q_manifest_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      graft.io.Manifest.writeWithManifest(li, path, "l_shipdate")
+      graft.io.Manifest.readPruned(s, path, "l_shipdate",
+        lit("1995-03-01").cast("timestamp_ntz"), lit("1995-06-30").cast("timestamp_ntz"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(Scalars.dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_items"))
     })
   )
 
@@ -116,6 +133,13 @@ object QScale {
           SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
                  CAST($terms AS BIGINT) AS zkey
           FROM bkt"""
-    }
+    },
+    "q_manifest_skip" ->
+      """SELECT l_orderkey,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                count(*) AS n_items
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-03-01' AND l_shipdate <= TIMESTAMP '1995-06-30'
+         GROUP BY l_orderkey"""
   )
 }

@@ -363,4 +363,35 @@ class OpsSpec extends SparkSpec {
     val again = Text.stratifiedSample(df, "id", "lang", Map("en" -> 40), 100).count()
     assert(again == kept.values.sum) // no RNG: identical on re-run
   }
+
+  test("FastSS fuzzy linkage finds exactly the edit-distance<=1 pairs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "kitten"), (2L, "mitten"),   // substitution
+      (3L, "kittens"),                  // insertion vs 1
+      (4L, "kitte"),                    // deletion vs 1
+      (5L, "sitting"),                  // dist 2 from nothing here
+      (6L, "mitten")                    // exact duplicate of 2
+    ).toDF("id", "name")
+    val got = graft.ops.Relational.fuzzyLinkageD1(df, "name", "id")
+      .select($"id_a", $"id_b", $"dist")
+      .as[(Long, Long, Int)].collect().toSet
+    // ground truth from the naive quadratic form
+    val names = Map(1L -> "kitten", 2L -> "mitten", 3L -> "kittens",
+      4L -> "kitte", 5L -> "sitting", 6L -> "mitten")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- names.keys; b <- names.keys if a < b
+      dist = lev(names(a), names(b)) if dist <= 1
+    } yield (a, b, dist)).toSet
+    assert(got == want, s"got=$got want=$want")
+    assert(want.contains((2L, 6L, 0)) && want.contains((1L, 2L, 1)) &&
+      want.contains((1L, 3L, 1)) && want.contains((1L, 4L, 1)))
+  }
 }

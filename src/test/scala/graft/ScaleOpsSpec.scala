@@ -254,4 +254,68 @@ class ScaleOpsSpec extends SparkSpec {
     assert(p == 16L, s"partkey-only sort should leave suppkey unbounded in every file, got $p")
     assert(z <= 8L, s"z-order should confine a narrow suppkey range to few files, got $z")
   }
+
+  test("manifest read opens only the files whose [min,max] overlaps the range") {
+    import graft.io.Manifest
+    val li = Tables(spark, "/root/testdata/sf0.001").lineitem
+      .select($"l_orderkey", $"l_shipdate", $"l_quantity")
+    val dir = tmpDir("manifest")
+    Manifest.writeWithManifest(li, dir, "l_shipdate", numFiles = 8)
+    val total = spark.read.parquet(s"$dir/data").inputFiles.length
+    val lo = lit("1995-03-01").cast("timestamp_ntz")
+    val hi = lit("1995-06-30").cast("timestamp_ntz")
+    val cand = Manifest.candidateFiles(spark, dir, lo, hi)
+    // ~4 months of a 7-year domain range-laid across 8 files → 1-2 files
+    assert(total == 8, s"expected 8 data files, got $total")
+    assert(cand.nonEmpty && cand.length <= 2,
+      s"expected the range to survive in <=2 of 8 files, got ${cand.length}")
+    // pruned read == unpruned filter, exactly
+    val pruned = Manifest.readPruned(spark, dir, "l_shipdate", lo, hi)
+    val full = li.filter($"l_shipdate" >= lo && $"l_shipdate" <= hi)
+    assert(pruned.count() == full.count())
+    assert(pruned.agg(sum($"l_quantity")).head().getDouble(0)
+      == full.agg(sum($"l_quantity")).head().getDouble(0))
+    // and the files the pruned plan actually reads are the candidates
+    assert(pruned.inputFiles.toSet == cand.toSet)
+  }
+
+  test("HLL sketches: per-batch sketches unioned == one-shot sketch estimate") {
+    val li = Tables(spark, "/root/testdata/sf0.001").lineitem
+      .select($"l_returnflag", year($"l_shipdate").as("yr"), $"l_partkey")
+    val direct = li.groupBy($"l_returnflag")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"l_partkey")).as("est"))
+      .as[(String, Long)].collect().toMap
+    val merged = li.groupBy($"l_returnflag", $"yr")
+      .agg(hll_sketch_agg($"l_partkey").as("sk"))
+      .groupBy($"l_returnflag")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+      .as[(String, Long)].collect().toMap
+    // the sketch is mergeable by construction: batch-wise union must
+    // give the identical estimate (same registers), not merely a close one
+    assert(merged == direct, s"merged=$merged direct=$direct")
+  }
+
+  test("incremental agg: appending a late batch's partial re-merges to the full recompute") {
+    import graft.ops.Aggregates
+    val li = Tables(spark, "/root/testdata/sf0.001").lineitem
+      .select($"l_returnflag", $"l_shipdate", graft.ops.Scalars.dec($"l_quantity").as("qty"))
+    val dir = tmpDir("partials")
+    // day 1: history arrives in two batches; partials persisted
+    val old = li.filter(year($"l_shipdate") <= 1995)
+    Aggregates.algebraicPartial(old.filter(year($"l_shipdate") <= 1993), Seq("l_returnflag"), "qty")
+      .write.mode("overwrite").parquet(dir)
+    Aggregates.algebraicPartial(old.filter(year($"l_shipdate") > 1993), Seq("l_returnflag"), "qty")
+      .write.mode("append").parquet(dir)
+    // day 2: a late batch appends ITS partial only — no history rescan
+    Aggregates.algebraicPartial(li.filter(year($"l_shipdate") > 1995), Seq("l_returnflag"), "qty")
+      .write.mode("append").parquet(dir)
+    val served = Aggregates.mergePartials(spark.read.parquet(dir), Seq("l_returnflag"))
+      .select($"l_returnflag", $"sum_val".cast("string"), $"n_val", $"min_val".cast("string"), $"max_val".cast("string"))
+      .collect().toSet
+    val full = Aggregates.mergePartials(
+      Aggregates.algebraicPartial(li, Seq("l_returnflag"), "qty"), Seq("l_returnflag"))
+      .select($"l_returnflag", $"sum_val".cast("string"), $"n_val", $"min_val".cast("string"), $"max_val".cast("string"))
+      .collect().toSet
+    assert(served == full)
+  }
 }
