@@ -107,6 +107,39 @@ object TextSketch {
     new GenericArrayData(out)
   }
 
+  /** Distinct 60-bit hashes of `text` and its single-CHARACTER-deletion
+    * variants — the FastSS (Bocek et al. 2007) candidate keys for
+    * edit-distance-1 linkage ([[graft.ops.Relational.fuzzyLinkageD1]]).
+    * Hashes, not variant strings: candidate generation only needs
+    * EQUALITY of variants, and the exact `levenshtein` filter
+    * downstream removes any md5-collision false positive — so the join
+    * can shuffle 8-byte longs instead of near-full-length strings.
+    * Strings longer than `maxLen` chars emit only the self-hash (the
+    * O(|s|²) variant bytes are a scan cost, and d=1 linkage is a
+    * short-key operation — names, codes, ids; cap documented in the
+    * operator contract).
+    */
+  def deletionHash64(text: UTF8String, maxLen: Int): GenericArrayData = {
+    val s = text.toString
+    val seen = new java.util.LinkedHashSet[java.lang.Long]
+    seen.add(first60(md5(s.getBytes("UTF-8"))))
+    if (s.length <= maxLen) {
+      val sb = new java.lang.StringBuilder(s.length - 1)
+      var i = 0
+      while (i < s.length) {
+        sb.setLength(0)
+        sb.append(s, 0, i).append(s, i + 1, s.length)
+        seen.add(first60(md5(sb.toString.getBytes("UTF-8"))))
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   private val hexChars = "0123456789abcdef".toCharArray
 
   private def toHex(d: Array[Byte]): UTF8String = {
@@ -236,6 +269,20 @@ case class MinHashSig(child: Expression, n: Int, seeds: Int) extends TextSketchE
     copy(child = newChild)
 }
 
+/** `graft_del_hash64(text, maxLen)` → array<bigint> FastSS deletion-
+  * neighborhood hashes (see [[TextSketch.deletionHash64]]).
+  */
+case class DeletionHash64(child: Expression, maxLen: Int) extends TextSketchExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = TextSketchExpressions.delHashName
+  override def nullSafeEval(t: Any): Any =
+    TextSketch.deletionHash64(t.asInstanceOf[UTF8String], maxLen)
+  override protected def staticCall(c: String): String =
+    s"graft.expressions.TextSketch.deletionHash64($c, $maxLen)"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_simhash(text, bits)` → bigint SimHash fingerprint. */
 case class SimHash(child: Expression, bits: Int) extends TextSketchExpression {
   override def dataType: DataType = LongType
@@ -252,6 +299,7 @@ object TextSketchExpressions {
   val shingleName = "graft_shingle_hash64"
   val minhashName = "graft_minhash"
   val simhashName = "graft_simhash"
+  val delHashName = "graft_del_hash64"
 
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
@@ -271,6 +319,10 @@ object TextSketchExpressions {
     require(exprs.length == 2, s"$simhashName expects (text, bits)")
     SimHash(exprs.head, intLit(exprs(1), "bits"))
   }
+  val delHashBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"$delHashName expects (text, maxLen)")
+    DeletionHash64(exprs.head, intLit(exprs(1), "maxLen"))
+  }
 
   /** Column-API access; requires the extensions (or [[register]]). */
   def shingleHash64(text: Column, n: Int): Column =
@@ -280,6 +332,8 @@ object TextSketchExpressions {
       org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(seeds))
   def simhash(text: Column, bits: Int): Column =
     call_function(simhashName, text, org.apache.spark.sql.functions.lit(bits))
+  def deletionHash64(text: Column, maxLen: Int): Column =
+    call_function(delHashName, text, org.apache.spark.sql.functions.lit(maxLen))
 
   /** Imperative per-session registration (idempotent); the extensions
     * hook in [[GraftExtensions]] is the standard path.
@@ -289,5 +343,6 @@ object TextSketchExpressions {
     r.createOrReplaceTempFunction(shingleName, shingleBuilder, "built-in")
     r.createOrReplaceTempFunction(minhashName, minhashBuilder, "built-in")
     r.createOrReplaceTempFunction(simhashName, simhashBuilder, "built-in")
+    r.createOrReplaceTempFunction(delHashName, delHashBuilder, "built-in")
   }
 }

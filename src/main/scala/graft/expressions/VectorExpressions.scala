@@ -197,6 +197,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier(TextSketchExpressions.simhashName),
       new ExpressionInfo(classOf[SimHash].getName, TextSketchExpressions.simhashName),
       TextSketchExpressions.simhashBuilder))
+    e.injectFunction((FunctionIdentifier(TextSketchExpressions.delHashName),
+      new ExpressionInfo(classOf[DeletionHash64].getName, TextSketchExpressions.delHashName),
+      TextSketchExpressions.delHashBuilder))
+    e.injectFunction((FunctionIdentifier(NormalizeExpressions.canonName),
+      new ExpressionInfo(classOf[CanonicalizeText].getName, NormalizeExpressions.canonName),
+      { exprs: Seq[Expression] => CanonicalizeText(exprs.head) }))
+    e.injectFunction((FunctionIdentifier(NormalizeExpressions.withinEdit1Name),
+      new ExpressionInfo(classOf[WithinEdit1].getName, NormalizeExpressions.withinEdit1Name),
+      { exprs: Seq[Expression] => WithinEdit1(exprs.head, exprs(1)) }))
     // declarative HOF dot products silently upgrade to the native loop
     e.injectOptimizerRule(_ => RewriteHofDot)
     // discarded-rank row_number()<=k windows upgrade to the native

@@ -129,6 +129,39 @@ object QExtras {
           ((col("l_quantity") - col("mean_q")) / col("sd_q")).as("z_qty"))
     }),
 
+    // Robust (MAD-based) outlier counting per group: median and the
+    // median absolute deviation are exact interpolated percentiles
+    // (two aggregations, each broadcast back), so unlike mean/stddev a
+    // few wild rows cannot drag the threshold. Output is the per-group
+    // audit summary a data-quality monitor alerts on.
+    "q_mad_outliers" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+      val med = li.groupBy(col("l_returnflag").as("rf"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+      val dev = li.join(broadcast(med), col("l_returnflag") === col("rf"))
+        .withColumn("dev", abs(col("l_extendedprice") - col("med")))
+      val mad = dev.groupBy(col("rf").as("rf2"))
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), col("rf") === col("rf2"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("dev") > lit(1.5) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+    }),
+
+    // Row-level expectations: contract rules checked on the ingest
+    // scan, violating rows ROUTED to a labeled quarantine (which rules
+    // broke, not just that something did) instead of silently dropped.
+    "q_expectations" -> ((s, dir) => {
+      import graft.ops.Expectations.Rule
+      graft.ops.Expectations.quarantine(
+        Tables(s, dir).lineitem,
+        Seq(
+          Rule("qty_le_45", col("l_quantity") <= 45),
+          Rule("disc_le_5pct", col("l_discount") <= 0.05),
+          Rule("tax_lt_8pct", col("l_tax") < 0.08)))
+        .select(col("l_orderkey"), col("l_linenumber"), col("violations"))
+    }),
+
     // Ordered string aggregation (deterministic via WITHIN GROUP order).
     "q_listagg" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -230,6 +263,25 @@ object QExtras {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_mad_outliers" ->
+      """WITH m AS (SELECT l_returnflag AS rf, quantile_cont(l_extendedprice, 0.5) AS med
+                    FROM lineitem GROUP BY l_returnflag),
+          d AS (SELECT l_returnflag, abs(l_extendedprice - med) AS dev
+                FROM lineitem JOIN m ON l_returnflag = rf),
+          md AS (SELECT l_returnflag AS rf2, quantile_cont(dev, 0.5) AS mad
+                 FROM d GROUP BY l_returnflag)
+          SELECT l_returnflag, count(*) AS n_rows,
+                 CAST(SUM(CASE WHEN dev > 1.5 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          FROM d JOIN md ON l_returnflag = rf2
+          GROUP BY l_returnflag""",
+    "q_expectations" ->
+      """SELECT l_orderkey, l_linenumber,
+                concat_ws(',',
+                  CASE WHEN NOT (l_quantity <= 45) THEN 'qty_le_45' END,
+                  CASE WHEN NOT (l_discount <= 0.05) THEN 'disc_le_5pct' END,
+                  CASE WHEN NOT (l_tax < 0.08) THEN 'tax_lt_8pct' END) AS violations
+         FROM lineitem
+         WHERE NOT (l_quantity <= 45) OR NOT (l_discount <= 0.05) OR NOT (l_tax < 0.08)""",
     "q_grouping_id" ->
       """SELECT n_name, c_mktsegment, count(*) AS n,
                 CAST(GROUPING(n_name, c_mktsegment) AS BIGINT) AS gid

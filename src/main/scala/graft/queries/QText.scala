@@ -329,6 +329,18 @@ object QText {
       Text.stratifiedSample(Tables(s, dir).documents, "doc_id", "lang",
           Map("en" -> 40, "de" -> 80), 100)
         .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // J3-ext — Unicode canonicalization ahead of every byte-keyed
+    // dedup/hash stage: NFC + accent folding + casefold as ONE native
+    // codegen'd expression. The corpus is ASCII, so an accented prefix
+    // is injected to make the oracle comparison exercise the actual
+    // normalization tables (JVM Normalizer vs DuckDB utf8proc).
+    "q_unicode_canon" -> ((s, dir) => {
+      Tables(s, dir).documents.select(col("doc_id"),
+        graft.expressions.NormalizeExpressions.canon(
+          concat(lit("Héllo Wörld ÆØÅ ñ Çédille STRASSE ß "), col("text")))
+          .as("canon_text"))
     })
   )
 
@@ -696,6 +708,10 @@ object QText {
           WHERE len(string_split(text, ' ')) BETWEEN 20 AND 1000
             AND CAST(len(list_filter(string_split(text, ' '),
                          t -> list_contains(['the','a','of','and','to','in','is','for'], t))) AS DOUBLE)
-                  / len(string_split(text, ' ')) >= 0.02"""
+                  / len(string_split(text, ' ')) >= 0.02""",
+    "q_unicode_canon" ->
+      """SELECT doc_id,
+                lower(strip_accents(nfc_normalize('Héllo Wörld ÆØÅ ñ Çédille STRASSE ß ' || text))) AS canon_text
+         FROM documents"""
   )
 }

@@ -364,6 +364,35 @@ class OpsSpec extends SparkSpec {
     assert(again == kept.values.sum) // no RNG: identical on re-run
   }
 
+  test("canon expression: NFC + accent fold + casefold, composed == decomposed") {
+    import spark.implicits._
+    val composed = "Héllo" // precomposed U+00E9
+    val decomposed = "Héllo"           // e + combining acute
+    val rows = Seq((1L, composed), (2L, decomposed), (3L, "STRASSE ß Ñoño"), (4L, "plain"))
+      .toDF("id", "s")
+      .select($"id", graft.expressions.NormalizeExpressions.canon($"s").as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(rows(1L) == "hello")
+    assert(rows(2L) == "hello")      // byte-distinct spellings converge
+    assert(rows(1L) == rows(2L))
+    assert(rows(3L) == "strasse ß ñoño".replace("ñ", "n")) // marks stripped, ß kept
+    assert(rows(4L) == "plain")
+  }
+
+  test("within-edit-1 predicate matches full Levenshtein on boundary cases") {
+    import spark.implicits._
+    val cases = Seq(
+      ("abc", "abc"), ("abc", "abd"), ("abc", "xbc"), ("abc", "ab"),
+      ("abc", "abcd"), ("abc", "zabc"), ("abc", "acb"), ("abc", "a"),
+      ("", ""), ("", "x"), ("", "xy"), ("ab", "ba"), ("aaa", "aba"),
+      ("kitten", "sitting"), ("abcd", "abdc"))
+    val got = cases.toDF("a", "b")
+      .select(graft.expressions.NormalizeExpressions.withinEdit1($"a", $"b").as("w"),
+        levenshtein($"a", $"b").as("d"))
+      .as[(Boolean, Int)].collect()
+    got.foreach { case (w, d) => assert(w == (d <= 1), s"within1=$w but lev=$d") }
+  }
+
   test("FastSS fuzzy linkage finds exactly the edit-distance<=1 pairs") {
     import spark.implicits._
     val df = Seq(
