@@ -291,6 +291,92 @@ object Similarity {
       .drop("__rn")
   }
 
+  /** Product quantization (Jégou et al. 2011) — the ANN family that
+    * COMPRESSES the index: each vector becomes `m` small codes (one
+    * byte-sized code per subspace), 64 float dims → 8 codes ≈ 32×
+    * smaller, and queries scan codes with a per-query distance TABLE
+    * instead of touching raw vectors. Deterministic "training" by the
+    * same contract as IVF's seed centroids: subspace j's codebook is
+    * the j-th subvector of the first `k` corpus vectors (id < k) —
+    * reproducible anywhere, embeddable in the DuckDB oracle.
+    *
+    * Scale shape: codebooks are m×k subvectors, driver-sized by
+    * contract (the [[collectCentroids]] precedent); encoding is a
+    * MAP-ONLY argmin per subspace (zero joins/shuffles — the ivfAssign
+    * shape, once per subspace); ADC search is a map-only scan of the
+    * CODES table summing m table lookups per row, never reading the
+    * raw embedding.
+    *
+    * Determinism note: ADC sums m per-subspace doubles; to keep the
+    * total independent of addition order (and bit-identical to the
+    * oracle's SUM over join rows), each term is floored to 2^-40
+    * fixed-point and summed in LONGS, exact in any order.
+    */
+  private val pqFx = 1099511627776L // 2^40
+
+  /** Codebooks[j][c] = subvector j of training vector c (id < k). */
+  def pqCodebooks(df: DataFrame, vecCol: String, idCol: String,
+      m: Int, k: Int): Array[Array[Seq[Float]]] = {
+    val train = df.filter(col(idCol) < k)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    require(train.length == k, s"need the $k training vectors id<$k, got ${train.length}")
+    val d = train.head._2.length / m
+    Array.tabulate(m, k)((j, c) => train(c)._2.slice(j * d, (j + 1) * d))
+  }
+
+  /** (id, codes array<int>): per-subspace nearest-codeword ids —
+    * map-only, native l2sq per candidate, ties to the lower code.
+    */
+  def pqEncode(df: DataFrame, vecCol: String, idCol: String,
+      codebooks: Array[Array[Seq[Float]]]): DataFrame = {
+    val m = codebooks.length
+    val d = codebooks(0)(0).length
+    val l2 = graft.expressions.VectorExpressions.l2sq _
+    val codeCols = (0 until m).map { j =>
+      val sub = slice(col(vecCol), j * d + 1, d)
+      val cands = codebooks(j).zipWithIndex.map { case (cw, c) =>
+        struct(l2(sub, typedlit(cw)).as("d2"), lit(c).as("c"))
+      }
+      array_min(array(cands: _*)).getField("c")
+    }
+    df.select(col(idCol), array(codeCols: _*).as("codes"))
+  }
+
+  /** Driver-side per-query distance table dt[j][c] — the same
+    * sequential double fold the native kernel runs (bit-identical).
+    */
+  def pqDistTable(codebooks: Array[Array[Seq[Float]]], queryVec: Seq[Float]): Array[Array[Double]] = {
+    val m = codebooks.length
+    val d = codebooks(0)(0).length
+    Array.tabulate(m, codebooks(0).length) { (j, c) =>
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        val diff = queryVec(j * d + i).toDouble - codebooks(j)(c)(i).toDouble
+        acc += diff * diff
+        i += 1
+      }
+      acc
+    }
+  }
+
+  /** Approximate top-k by ADC over an encoded frame: m fixed-point
+    * table lookups + a long sum per row, TakeOrdered for the top-k.
+    */
+  def pqAdcTopK(encoded: DataFrame, idCol: String,
+      codebooks: Array[Array[Seq[Float]]], queryVec: Seq[Float], topK: Int): DataFrame = {
+    val dt = pqDistTable(codebooks, queryVec)
+    val terms = dt.indices.map { j =>
+      val fx = dt(j).map(v => math.floor(v * pqFx).toLong).toSeq
+      element_at(typedlit(fx), element_at(col("codes"), j + 1) + 1)
+    }
+    encoded.select(col(idCol),
+      (terms.reduce(_ + _).cast("double") / lit(pqFx.toDouble)).as("approx_d2"))
+      .orderBy(col("approx_d2").asc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** J2-ext — SemDeDup-style SEMANTIC deduplication: two documents are
     * duplicates when their embeddings are τ-close in cosine, and the
     * corpus keeps one representative per near-dup neighborhood.

@@ -129,6 +129,34 @@ object QSimilarity {
         queries, "embedding", "vec_id", centroids, "cvec", "cid", nprobe = 2, k = 5)
     }),
 
+    // J2-ext — product quantization, encode side: 64 float dims → 8
+    // codes (32× smaller index). Deterministic codebooks (subvectors
+    // of vec_id < 16, the IVF seed-centroid contract); encoding is a
+    // map-only per-subspace argmin. Exploded to (vec_id, subspace,
+    // code) rows for the oracle.
+    "q_pq_encode" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val cb = Similarity.pqCodebooks(emb, "embedding", "vec_id", m = 8, k = 16)
+      Similarity.pqEncode(emb.select(col("vec_id"), col("embedding")), "embedding", "vec_id", cb)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("subspace", "code")))
+        .select(col("vec_id"), col("subspace").cast("bigint").as("subspace"), col("code"))
+    }),
+
+    // J2-ext — PQ ADC search: approximate top-10 for the vec_id=0
+    // query by summing 8 distance-TABLE lookups per row over the CODES
+    // frame — the raw embeddings are never read at query time. Terms
+    // are 2^-40 fixed-point longs so the sum is order-independent and
+    // oracle-exact.
+    "q_pq_adc" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val cb = Similarity.pqCodebooks(emb, "embedding", "vec_id", m = 8, k = 16)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head()
+        .getSeq[Float](0)
+      val encoded = Similarity.pqEncode(
+        emb.select(col("vec_id"), col("embedding")), "embedding", "vec_id", cb)
+      Similarity.pqAdcTopK(encoded, "vec_id", cb, q, topK = 10)
+    }),
+
     // E5 — per-label centroid, exploded to (label, dim, value) rows;
     // fixed-point longs make the cross-row sum exact.
     "q_vector_centroid" -> ((s, dir) => {
@@ -182,7 +210,44 @@ object QSimilarity {
     }.mkString(" + ")
   }
 
+  /** Shared PQ oracle CTEs: deterministic codebooks (vec_id < 16),
+    * per-(vector, subspace) nearest codeword — sequential list_sum
+    * folds, bit-identical to the native l2sq kernel.
+    */
+  private val pqCodesCte: String =
+    """jj AS (SELECT unnest(range(8)) AS j),
+       cw AS (SELECT jj.j, e.vec_id AS c, e.embedding[jj.j*8+1 : jj.j*8+8] AS cv
+              FROM embeddings e, jj WHERE e.vec_id < 16),
+       sub AS (SELECT v.vec_id, jj.j, v.embedding[jj.j*8+1 : jj.j*8+8] AS sv
+               FROM embeddings v, jj),
+       d AS (SELECT s.vec_id, s.j, cw.c,
+                    list_sum(list_transform(range(1, 9),
+                      i -> (CAST(sv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+                         * (CAST(sv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))) AS d2
+             FROM sub s JOIN cw ON s.j = cw.j),
+       codes AS (SELECT vec_id, j, c FROM (
+                   SELECT vec_id, j, c,
+                          row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, c ASC) AS rn
+                   FROM d) WHERE rn = 1)"""
+
   val oracles: Map[String, String] = Map(
+    "q_pq_encode" ->
+      s"""WITH $pqCodesCte
+          SELECT vec_id, CAST(j AS BIGINT) AS subspace, CAST(c AS INT) AS code FROM codes""",
+    "q_pq_adc" ->
+      s"""WITH $pqCodesCte,
+          q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          qd AS (SELECT cw.j, cw.c,
+                        list_sum(list_transform(range(1, 9),
+                          i -> (CAST(qe[cw.j*8+i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+                             * (CAST(qe[cw.j*8+i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))) AS d2
+                 FROM cw, q),
+          fx AS (SELECT codes.vec_id,
+                        SUM(CAST(floor(qd.d2 * 1099511627776) AS BIGINT)) AS f
+                 FROM codes JOIN qd ON codes.j = qd.j AND codes.c = qd.c
+                 GROUP BY codes.vec_id)
+          SELECT vec_id, CAST(f AS DOUBLE) / 1099511627776.0 AS approx_d2
+          FROM fx ORDER BY approx_d2 ASC, vec_id ASC LIMIT 10""",
     "q_embed_lsh" ->
       s"SELECT vec_id, CAST(${lshBucketSql("embedding")} AS BIGINT) AS bucket FROM embeddings",
     "q_embed_lsh_pairs" ->

@@ -70,6 +70,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"IVF assignment should not shuffle:\n$plan")
   }
 
+  test("PQ encode and ADC search are map-only; ADC ranks the true neighborhood first") {
+    val emb = Tables(spark, sfDir).embeddings
+    val cb = Similarity.pqCodebooks(emb, "embedding", "vec_id", m = 8, k = 16)
+    val encoded = Similarity.pqEncode(
+      emb.select(col("vec_id"), col("embedding")), "embedding", "vec_id", cb)
+    val encPlan = encoded.queryExecution.executedPlan.toString
+    assert(!encPlan.contains("Exchange"), s"PQ encode should not shuffle:\n$encPlan")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+    // production shape: codes PERSISTED once, queries scan codes only
+    val codesDir = tmpDir("pq_codes")
+    encoded.write.mode("overwrite").parquet(codesDir)
+    val codes = spark.read.parquet(codesDir)
+    val adc = Similarity.pqAdcTopK(codes, "vec_id", cb, q, topK = 10)
+    val adcPlan = adc.queryExecution.executedPlan.toString
+    assert(adcPlan.contains("TakeOrderedAndProject"),
+      s"ADC top-k should plan as TakeOrdered:\n$adcPlan")
+    assert(!adcPlan.contains("graft_l2sq") && !adcPlan.contains("embedding"),
+      "ADC over stored codes must score from the distance table, never raw vectors")
+    // quantization quality: the query's own vector (d2=0 exactly, and
+    // vec_id=0 is codeword 0 of every codebook) must rank first
+    val ids = adc.select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    assert(ids.head == 0L, s"query vector itself should be the ADC top hit, got $ids")
+    // and the approximate top-10 must overlap the exact L2 top-10
+    val l2 = graft.expressions.VectorExpressions.l2sq _
+    val qv = org.apache.spark.sql.functions.typedlit(q)
+    val exact = emb.select(col("vec_id"), l2(col("embedding"), qv).as("d2"))
+      .orderBy(col("d2").asc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val overlap = ids.toSet.intersect(exact).size
+    assert(overlap >= 3, s"ADC top-10 overlaps exact top-10 on only $overlap ids")
+  }
+
   test("IVF probe search on a built index prunes non-probe partitions (directory-level skip)") {
     val dir = tmpDir("plan_ivf_prune")
     val emb = Tables(spark, sfDir).embeddings
