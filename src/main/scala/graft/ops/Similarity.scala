@@ -325,23 +325,26 @@ object Similarity {
     Array.tabulate(m, k)((j, c) => train(c)._2.slice(j * d, (j + 1) * d))
   }
 
-  /** (id, codes array<int>): per-subspace nearest-codeword ids —
-    * map-only, native l2sq per candidate, ties to the lower code.
+  /** array<int> codes column: per-subspace nearest-codeword argmin —
+    * native l2sq per candidate, ties to the lower code.
     */
-  def pqEncode(df: DataFrame, vecCol: String, idCol: String,
-      codebooks: Array[Array[Seq[Float]]]): DataFrame = {
+  private def pqCodesExpr(vecCol: String, codebooks: Array[Array[Seq[Float]]]): Column = {
     val m = codebooks.length
     val d = codebooks(0)(0).length
     val l2 = graft.expressions.VectorExpressions.l2sq _
-    val codeCols = (0 until m).map { j =>
+    array((0 until m).map { j =>
       val sub = slice(col(vecCol), j * d + 1, d)
       val cands = codebooks(j).zipWithIndex.map { case (cw, c) =>
         struct(l2(sub, typedlit(cw)).as("d2"), lit(c).as("c"))
       }
       array_min(array(cands: _*)).getField("c")
-    }
-    df.select(col(idCol), array(codeCols: _*).as("codes"))
+    }: _*)
   }
+
+  /** (id, codes array<int>) — map-only, see [[pqCodesExpr]]. */
+  def pqEncode(df: DataFrame, vecCol: String, idCol: String,
+      codebooks: Array[Array[Seq[Float]]]): DataFrame =
+    df.select(col(idCol), pqCodesExpr(vecCol, codebooks).as("codes"))
 
   /** Driver-side per-query distance table dt[j][c] — the same
     * sequential double fold the native kernel runs (bit-identical).
@@ -375,6 +378,43 @@ object Similarity {
       (terms.reduce(_ + _).cast("double") / lit(pqFx.toDouble)).as("approx_d2"))
       .orderBy(col("approx_d2").asc, col(idCol).asc)
       .limit(topK)
+  }
+
+  /** IVF+PQ — the composed production ANN index (the FAISS `IVFx,PQy`
+    * shape): coarse IVF assignment is the PARTITION key, PQ codes are
+    * the PAYLOAD. A query then (a) prunes to nprobe directories
+    * without listing the rest, and (b) scores survivors from m
+    * distance-table lookups per row — so at 100 TB a query touches
+    * ~nprobe/k of a corpus that is itself ~32× smaller than the raw
+    * vectors, and never reads an embedding. Build is one scan (both
+    * the assignment argmin and the per-subspace encode are map-only)
+    * plus the partitioned write.
+    */
+  def ivfPqBuild(df: DataFrame, vecCol: String, idCol: String,
+      centroids: DataFrame, cVecCol: String, cIdCol: String,
+      codebooks: Array[Array[Seq[Float]]], path: String): Unit = {
+    val cents = collectCentroids(centroids, cVecCol, cIdCol)
+    // ONE map-only projection computes both the coarse assignment and
+    // the codes — no self-join, one pass over the corpus
+    graft.io.PartitionedWriter.writePartitionedBy(
+      df.select(col(idCol), pqCodesExpr(vecCol, codebooks).as("codes"),
+        assignExpr(vecCol, cents).getField("cid").as("cluster_id")),
+      path, Seq("cluster_id"))
+  }
+
+  /** ADC search over a built IVF+PQ index: driver-side probe pick,
+    * directory-pruned scan of (id, codes), fixed-point table-lookup
+    * scoring, top-k. No raw vector is read at query time.
+    */
+  def ivfPqSearch(spark: org.apache.spark.sql.SparkSession, path: String, idCol: String,
+      centroids: DataFrame, cVecCol: String, cIdCol: String,
+      codebooks: Array[Array[Seq[Float]]],
+      queryVec: Seq[Float], nprobe: Int, k: Int): DataFrame = {
+    val cents = collectCentroids(centroids, cVecCol, cIdCol)
+    val probes = probeClusters(cents, queryVec, nprobe)
+    val pruned = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probes.map(_.toString): _*))
+    pqAdcTopK(pruned, idCol, codebooks, queryVec, k)
   }
 
   /** J2-ext — SemDeDup-style SEMANTIC deduplication: two documents are

@@ -157,6 +157,25 @@ object QSimilarity {
       Similarity.pqAdcTopK(encoded, "vec_id", cb, q, topK = 10)
     }),
 
+    // J2-ext — IVF+PQ composed (the FAISS IVFx,PQy production shape):
+    // coarse cluster as the PARTITION key, PQ codes as the payload.
+    // The search prunes to nprobe=2 of 8 directories AND scores from
+    // table lookups — neither the unprobed clusters nor any raw
+    // embedding is ever read.
+    "q_ivfpq_search" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cb = Similarity.pqCodebooks(emb, "embedding", "vec_id", m = 8, k = 16)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head()
+        .getSeq[Float](0)
+      val path = s"target/tmp/q_ivfpq_index_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      Similarity.ivfPqBuild(emb.select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", centroids, "cvec", "cid", cb, path)
+      Similarity.ivfPqSearch(s, path, "vec_id", centroids, "cvec", "cid", cb,
+        q, nprobe = 2, k = 10)
+    }),
+
     // E5 — per-label centroid, exploded to (label, dim, value) rows;
     // fixed-point longs make the cross-row sum exact.
     "q_vector_centroid" -> ((s, dir) => {
@@ -245,6 +264,41 @@ object QSimilarity {
           fx AS (SELECT codes.vec_id,
                         SUM(CAST(floor(qd.d2 * 1099511627776) AS BIGINT)) AS f
                  FROM codes JOIN qd ON codes.j = qd.j AND codes.c = qd.c
+                 GROUP BY codes.vec_id)
+          SELECT vec_id, CAST(f AS DOUBLE) / 1099511627776.0 AS approx_d2
+          FROM fx ORDER BY approx_d2 ASC, vec_id ASC LIMIT 10""",
+    "q_ivfpq_search" ->
+      s"""WITH $pqCodesCte,
+          c2 AS (SELECT vec_id AS cid, embedding AS cvec2 FROM embeddings WHERE vec_id < 8),
+          q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          probes AS (
+            SELECT cid FROM c2, q
+            ORDER BY list_sum(list_transform(range(1, len(cvec2) + 1),
+                       i -> (CAST(qe[i] AS DOUBLE) - CAST(cvec2[i] AS DOUBLE))
+                          * (CAST(qe[i] AS DOUBLE) - CAST(cvec2[i] AS DOUBLE)))) ASC, cid ASC
+            LIMIT 2),
+          adist AS (
+            SELECT e.vec_id, c2.cid,
+                   list_sum(list_transform(range(1, len(e.embedding) + 1),
+                     i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c2.cvec2[i] AS DOUBLE))
+                        * (CAST(e.embedding[i] AS DOUBLE) - CAST(c2.cvec2[i] AS DOUBLE)))) AS dist2
+            FROM embeddings e CROSS JOIN c2),
+          assigned AS (
+            SELECT vec_id, cid AS cluster_id FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+              FROM adist) WHERE rn = 1),
+          qd AS (SELECT cw.j, cw.c,
+                        list_sum(list_transform(range(1, 9),
+                          i -> (CAST(qe[cw.j*8+i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+                             * (CAST(qe[cw.j*8+i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))) AS d2
+                 FROM cw, q),
+          fx AS (SELECT codes.vec_id,
+                        SUM(CAST(floor(qd.d2 * 1099511627776) AS BIGINT)) AS f
+                 FROM codes
+                 JOIN assigned a ON codes.vec_id = a.vec_id
+                 JOIN qd ON codes.j = qd.j AND codes.c = qd.c
+                 WHERE a.cluster_id IN (SELECT cid FROM probes)
                  GROUP BY codes.vec_id)
           SELECT vec_id, CAST(f AS DOUBLE) / 1099511627776.0 AS approx_d2
           FROM fx ORDER BY approx_d2 ASC, vec_id ASC LIMIT 10""",

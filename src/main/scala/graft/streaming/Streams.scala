@@ -152,6 +152,35 @@ object Streams {
         }
       }
 
+  /** Streaming data-contract router: every micro-batch splits into a
+    * clean sink and a labeled quarantine ([[graft.ops.Expectations]]),
+    * both landed `batch=<id>` dynamic-overwrite so replays are
+    * idempotent. `Trigger.AvailableNow` is the operational mode for
+    * catch-up runs: drain the whole backlog in rate-limited batches,
+    * then STOP — the batch-job-over-a-stream-source shape (a cron'd
+    * ingest at 100 TB is exactly this, not a always-on cluster).
+    */
+  def expectationsRouter(rows: DataFrame, rules: Seq[graft.ops.Expectations.Rule],
+      cleanPath: String, quarantinePath: String, checkpoint: String): DataStreamWriter[Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.cache() // one source scan feeds both routes
+          val (clean, quar) = graft.ops.Expectations.split(b, rules)
+          clean.withColumn("batch", lit(batchId))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch").parquet(cleanPath)
+          quar.withColumn("batch", lit(batchId))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch").parquet(quarantinePath)
+          b.unpersist()
+          ()
+        }
+      }
+
   /** Continuous corpus ingestion with INCREMENTAL near-dup dedup — the
     * streaming form of the production corpus pipeline: each micro-batch
     * is deduped within itself (exact digest + LSH star clusters, keep

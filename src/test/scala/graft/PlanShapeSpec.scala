@@ -102,6 +102,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(overlap >= 3, s"ADC top-10 overlaps exact top-10 on only $overlap ids")
   }
 
+  test("IVF+PQ search prunes to probe directories AND scores codes only") {
+    val dir = tmpDir("plan_ivfpq")
+    val emb = Tables(spark, sfDir).embeddings
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head()
+      .getSeq[Float](0)
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Similarity.pqCodebooks(emb, "embedding", "vec_id", m = 8, k = 16)
+    Similarity.ivfPqBuild(emb.select(col("vec_id"), col("embedding")),
+      "embedding", "vec_id", centroids, "cvec", "cid", cb, dir)
+    val searched = Similarity.ivfPqSearch(spark, dir, "vec_id",
+      centroids, "cvec", "cid", cb, q, nprobe = 2, k = 10)
+    val plan = searched.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster_id"),
+      s"probe filter did not become a partition filter:\n$plan")
+    assert(!plan.contains("graft_l2sq") && !plan.contains("embedding"),
+      "IVF+PQ query must never read raw embeddings")
+    val scans = searched.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.head.selectedPartitions.partitionCount == 2,
+      "scan should touch exactly the nprobe=2 cluster directories")
+  }
+
   test("IVF probe search on a built index prunes non-probe partitions (directory-level skip)") {
     val dir = tmpDir("plan_ivf_prune")
     val emb = Tables(spark, sfDir).embeddings

@@ -196,6 +196,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("AvailableNow expectations router: drains the backlog, splits sinks, then stops") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Expectations.Rule
+    val mem = MemoryStream[Ev]
+    val cleanDir = tmpDir("router_clean"); val quarDir = tmpDir("router_quar")
+    val ckpt = tmpDir("router_ckpt")
+    Seq(cleanDir, quarDir, ckpt).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    mem.addData(evs: _*) // backlog BEFORE start — AvailableNow must drain it
+    val rules = Seq(
+      Rule("value_le_3", col("value") <= 3.0),
+      Rule("known_type", col("event_type").isin("click", "view")))
+    val q = Streams.expectationsRouter(mem.toDF(), rules, cleanDir, quarDir, ckpt).start()
+    try {
+      // AvailableNow terminates on its own once the backlog is drained
+      assert(q.awaitTermination(60000), "AvailableNow query should stop by itself")
+      val clean = spark.read.parquet(cleanDir)
+      val quar = spark.read.parquet(quarDir)
+      // evs: values 1,2,3 pass; value=4 breaks value_le_3; the replayed
+      // duplicate (value=2) passes — streaming dedup is a separate stage
+      assert(clean.count() == 4L)
+      val labels = quar.select($"event_id", $"violations").as[(Long, String)].collect().toMap
+      assert(labels == Map(4L -> "value_le_3"))
+    } finally q.stop()
+  }
+
   test("I3 streaming: session windows close once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
