@@ -326,7 +326,11 @@ object Similarity {
   }
 
   /** array<int> codes column: per-subspace nearest-codeword argmin —
-    * native l2sq per candidate, ties to the lower code.
+    * native l2sq per candidate, ties to the lower code. The codebook
+    * is a LITERAL array folded by one `transform` per subspace (the
+    * [[assignExpr]] shape) — unrolling k×m inline argmin structs
+    * generates past the JVM's 64 KB method limit and kicks the whole
+    * stage out of codegen.
     */
   private def pqCodesExpr(vecCol: String, codebooks: Array[Array[Seq[Float]]]): Column = {
     val m = codebooks.length
@@ -334,10 +338,10 @@ object Similarity {
     val l2 = graft.expressions.VectorExpressions.l2sq _
     array((0 until m).map { j =>
       val sub = slice(col(vecCol), j * d + 1, d)
-      val cands = codebooks(j).zipWithIndex.map { case (cw, c) =>
-        struct(l2(sub, typedlit(cw)).as("d2"), lit(c).as("c"))
-      }
-      array_min(array(cands: _*)).getField("c")
+      val cands: Seq[(Int, Seq[Float])] = codebooks(j).zipWithIndex.map { case (cw, c) => (c, cw) }
+      array_min(transform(typedlit(cands), t =>
+        struct(l2(sub, t.getField("_2")).as("d2"), t.getField("_1").as("c"))))
+        .getField("c")
     }: _*)
   }
 

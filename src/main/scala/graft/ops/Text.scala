@@ -263,4 +263,39 @@ object Text {
     }
     df.filter(md5Int(col(idCol).cast("string")) % 100 < pct)
   }
+
+  /** J1-ext — duplicate-PASSAGE signal (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): document-level dedup
+    * misses boilerplate passages repeated ACROSS distinct documents, so
+    * per doc this reports how much of it is span-duplicated — the
+    * fraction of its word `n`-gram spans whose hash occurs in at least
+    * one OTHER document. Pipelines drop or down-weight high-ratio docs
+    * (or escalate to span excision).
+    *
+    * Scale shape: spans explode to (doc_id, hash) — bounded by corpus
+    * word count, the same budget as tokenization; the cross-doc test is
+    * one aggregation on the span hash (shuffle carries hashes, never
+    * text) and a semi-join shaped count. Documents shorter than `n`
+    * words have no spans and drop out (no span can be duplicated).
+    */
+  def duplicatePassages(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val words = tokens(col(textCol))
+    val spans = when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - (n - 1)),
+        i => md5(concat_ws(" ", slice(words, i, lit(n))))))
+      .otherwise(array())
+    val grams = df.select(col(idCol), explode(spans).as("h"))
+    // hashes seen in >1 distinct doc — the only cross-doc state
+    val dup = grams.distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select(col("h"), lit(1).as("is_dup"))
+    grams.join(dup, Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("is_dup"), lit(0))).cast("bigint").as("n_dup_spans"))
+      .withColumn("dup_ratio",
+        col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+  }
 }

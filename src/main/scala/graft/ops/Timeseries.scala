@@ -44,4 +44,54 @@ object Timeseries {
       .filter(tsNs >= col("__max_ts") - lit(latenessNs))
       .drop("__max_ts")
   }
+
+  /** I-ext — gap-fill RESAMPLING with linear interpolation: project an
+    * irregular per-key series onto a fixed `stepNs` grid, each grid
+    * point linearly interpolated between its neighboring observations
+    * (null outside the observed range — extrapolation is a policy, not
+    * a default). The telemetry-prep op the reference's 5-min wall-clock
+    * loops approximate by polling.
+    *
+    * Scale shape: one groupBy for per-(key, t) point collapse (min
+    * tie-break — deterministic under duplicate timestamps), one tiny
+    * per-key bounds aggregate whose grid EXPLODES from a sequence
+    * (rows ≈ span/step per key, no driver loop), and two windows over
+    * (key, t) — everything shuffles on the series key once. All grid
+    * arithmetic is exact LONG math (`div`; ts_ns exceeds double's 2^53
+    * integer range, so floor(x / step) would corrupt the grid).
+    */
+  def resampleInterpolate(df: DataFrame, keyCol: String, tNsCol: String,
+      vCol: String, stepNs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.groupBy(col(keyCol), col(tNsCol).as("t"))
+      .agg(min(col(vCol).cast("double")).as("v"))
+    val step = lit(stepNs)
+    val kMin = expr(s"min(t) div ${stepNs}L") +
+      when(expr(s"min(t) % ${stepNs}L") === 0, 0).otherwise(1)
+    val kMax = expr(s"max(t) div ${stepNs}L")
+    val grid = pts.groupBy(col(keyCol)).agg(kMin.as("k0"), kMax.as("k1"))
+      .select(col(keyCol),
+        explode(when(col("k0") <= col("k1"), sequence(col("k0"), col("k1")))
+          .otherwise(array())).as("k"))
+      .select(col(keyCol), (col("k") * step).as("t"),
+        lit(null).cast("double").as("v"), lit(1).as("is_grid"))
+    val u = pts.withColumn("is_grid", lit(0)).unionByName(grid)
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col("t"), col("is_grid"))
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val after = ord.rowsBetween(1, Window.unboundedFollowing)
+    val obsT = when(col("v").isNotNull, col("t"))
+    val interp = u
+      .withColumn("prev_v", last(col("v"), ignoreNulls = true).over(before))
+      .withColumn("prev_t", last(obsT, ignoreNulls = true).over(before))
+      .withColumn("next_v", first(col("v"), ignoreNulls = true).over(after))
+      .withColumn("next_t", first(obsT, ignoreNulls = true).over(after))
+      .filter(col("is_grid") === 1)
+    interp.select(col(keyCol), col("t"),
+      when(col("prev_v").isNull || col("next_v").isNull, lit(null).cast("double"))
+        .when(col("next_t") === col("prev_t"), col("prev_v"))
+        .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) *
+          ((col("t") - col("prev_t")).cast("double") /
+            (col("next_t") - col("prev_t")).cast("double")))
+        .as("v_interp"))
+  }
 }

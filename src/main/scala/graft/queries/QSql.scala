@@ -90,6 +90,35 @@ object QSql {
                           DIV count(*)
                    FROM v_orders)
       """)
+    }),
+
+    // SQL PIVOT clause — the declarative form of the reference's
+    // in/out full-outer-join pivot (PROC:190-207); one hash aggregate
+    // with per-cell conditional sums, no self-join.
+    "q_sql_pivot" -> ((s, dir) => {
+      withViews(s, dir)
+      s.sql("""
+        SELECT * FROM (
+          SELECT n_name, c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+          FROM v_customer JOIN v_nation ON c_nationkey = n_nationkey)
+        PIVOT (CAST(SUM(bal) AS DOUBLE)
+               FOR c_mktsegment IN ('BUILDING' AS building, 'MACHINERY' AS machinery,
+                                    'AUTOMOBILE' AS automobile))
+      """)
+    }),
+
+    // LATERAL correlated subquery — per-order top line item without a
+    // window: Catalyst decorrelates the lateral into a join + agg.
+    "q_sql_lateral" -> ((s, dir) => {
+      withViews(s, dir)
+      s.sql("""
+        SELECT o_orderkey, t.max_qty, t.n_items
+        FROM v_orders,
+        LATERAL (SELECT CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+                        count(l_quantity) AS n_items
+                 FROM v_lineitem WHERE l_orderkey = o_orderkey) t
+        WHERE o_orderkey < 2000
+      """)
     })
   )
 
@@ -128,6 +157,23 @@ object QSql {
          WHERE 2 * CAST(CAST(o_totalprice * 100 AS DECIMAL(20,0)) AS BIGINT) >
                3 * (SELECT CAST(SUM(CAST(CAST(o_totalprice * 100 AS DECIMAL(20,0)) AS BIGINT)) AS BIGINT)
                             // count(*)
-                    FROM orders)"""
+                    FROM orders)""",
+    "q_sql_pivot" ->
+      """SELECT n_name,
+                CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                              THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS building,
+                CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY'
+                              THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS machinery,
+                CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                              THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS automobile
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "q_sql_lateral" ->
+      """SELECT o_orderkey, t.max_qty, t.n_items
+         FROM orders,
+         LATERAL (SELECT CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+                         count(l_quantity) AS n_items
+                  FROM lineitem WHERE l_orderkey = o_orderkey) t
+         WHERE o_orderkey < 2000"""
   )
 }

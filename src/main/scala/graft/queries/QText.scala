@@ -331,6 +331,13 @@ object QText {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // J1-ext — duplicate-passage fraction per document: 15-gram span
+    // hashes shared with ANY other document / total spans (boilerplate
+    // detection beyond document-level dedup).
+    "q_dup_passages" -> ((s, dir) => {
+      Text.duplicatePassages(Tables(s, dir).documents, "text", "doc_id", 15)
+    }),
+
     // J3-ext — Unicode canonicalization ahead of every byte-keyed
     // dedup/hash stage: NFC + accent folding + casefold as ONE native
     // codegen'd expression. The corpus is ASCII, so an accented prefix
@@ -712,6 +719,19 @@ object QText {
     "q_unicode_canon" ->
       """SELECT doc_id,
                 lower(strip_accents(nfc_normalize('Héllo Wörld ÆØÅ ñ Çédille STRASSE ß ' || text))) AS canon_text
-         FROM documents"""
+         FROM documents""",
+    "q_dup_passages" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          g AS (SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(w) - 14, 0) + 1),
+                              i -> md5(array_to_string(w[i:i+14], ' ')))) AS h
+                FROM w),
+          dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM g)
+                  GROUP BY h HAVING count(*) > 1)
+          SELECT doc_id, count(*) AS n_spans,
+                 CAST(SUM(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+                 CAST(SUM(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS dup_ratio
+          FROM g GROUP BY doc_id"""
   )
 }

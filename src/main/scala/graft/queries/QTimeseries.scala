@@ -85,6 +85,18 @@ object QTimeseries {
     "q_watermark_filter" -> ((s, dir) => {
       Timeseries.watermarkFilter(Tables(s, dir).events, col("ts_ns"), 3600L * 1000000000L)
         .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
+
+    // I-ext — per-user hourly gap-fill resample with linear
+    // interpolation between neighboring observations (null outside the
+    // observed span); duplicate-timestamp observations collapse by min.
+    // Microsecond resolution: DuckDB timestamps truncate parquet NANOS
+    // to µs, so the oracle-facing time axis is ts_ns div 1000.
+    "q_resample_interp" -> ((s, dir) => {
+      Timeseries.resampleInterpolate(
+        Tables(s, dir).events
+          .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"), col("value")),
+        "user_id", "ts_us", "value", stepNs = 3600L * 1000000L)
     })
   )
 
@@ -133,6 +145,40 @@ object QTimeseries {
           AND o_totalprice < (n_nationkey + 2) * 2000""",
     "q_watermark_filter" ->
       """SELECT event_id, user_id, event_type FROM events
-         WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR"""
+         WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR""",
+    "q_resample_interp" ->
+      """WITH pts AS (SELECT user_id, epoch_us(ts) AS t, min(CAST(value AS DOUBLE)) AS v
+                      FROM events GROUP BY user_id, epoch_us(ts)),
+          b AS (SELECT user_id,
+                       min(t) // 3600000000 +
+                         CASE WHEN min(t) % 3600000000 = 0 THEN 0 ELSE 1 END AS k0,
+                       max(t) // 3600000000 AS k1
+                FROM pts GROUP BY user_id),
+          grid AS (SELECT user_id, unnest(range(k0, k1 + 1)) * 3600000000 AS t
+                   FROM b WHERE k0 <= k1),
+          u AS (SELECT user_id, t, v, 0 AS is_grid FROM pts
+                UNION ALL
+                SELECT user_id, t, NULL, 1 FROM grid),
+          w AS (SELECT user_id, t, is_grid,
+                       last_value(v IGNORE NULLS) OVER
+                         (PARTITION BY user_id ORDER BY t, is_grid
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v,
+                       last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER
+                         (PARTITION BY user_id ORDER BY t, is_grid
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_t,
+                       first_value(v IGNORE NULLS) OVER
+                         (PARTITION BY user_id ORDER BY t, is_grid
+                          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_v,
+                       first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER
+                         (PARTITION BY user_id ORDER BY t, is_grid
+                          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_t
+                FROM u)
+          SELECT user_id, t,
+                 CASE WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+                      WHEN next_t = prev_t THEN prev_v
+                      ELSE prev_v + (next_v - prev_v)
+                             * (CAST(t - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
+                 END AS v_interp
+          FROM w WHERE is_grid = 1"""
   )
 }
