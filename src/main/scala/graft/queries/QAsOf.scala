@@ -81,6 +81,31 @@ object QAsOf {
         .select("cluster_id", "id_a", "id_b", "cos_sim")
     }),
 
+    // J2-ext — semantic duplicate CLUSTERS: connected components over
+    // the IVF-bucketed cosine pairs — the embedding-space twin of
+    // q_dedup_clusters (which clusters MinHash text pairs), proving
+    // the CC machinery composes across candidate generators.
+    "q_semantic_clusters" -> ((s, dir) => {
+      graft.expressions.VectorExpressions.register(s)
+      val emb = Tables(s, dir).embeddings
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val assigned = Similarity.ivfAssign(emb.select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", centroids, "cvec", "cid")
+        .select(col("vec_id"), col("cluster_id"))
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      val normed = Similarity.withNormalized(assigned, "embedding", "ne")
+        .select(col("cluster_id"), col("vec_id"), col("ne"))
+      val a = normed.select(col("cluster_id"), col("vec_id").as("id_a"), col("ne").as("na"))
+      val b = normed.select(col("cluster_id"), col("vec_id").as("id_b"), col("ne").as("nb"))
+      val pairs = a.join(b, Seq("cluster_id"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(graft.expressions.VectorExpressions.dot(col("na"), col("nb")) >= 0.3)
+        .select(col("id_a"), col("id_b"))
+      graft.ops.Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("node").as("vec_id"), col("cluster_id"))
+    }),
+
     // J2-ext — SemDeDup: semantic dedup over the SAME cluster-bucketed
     // pair generation as q_embed_neardup, resolved to survivors by the
     // greedy smallest-id keep policy (drop a vector iff a smaller
@@ -143,6 +168,36 @@ object QAsOf {
             FROM normed a JOIN normed b
               ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
           SELECT cluster_id, id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3""",
+    "q_semantic_clusters" ->
+      s"""WITH RECURSIVE c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+          dists AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   list_sum(list_transform(range(1, len(e.embedding) + 1),
+                     i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                        * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))) AS dist2
+            FROM embeddings e CROSS JOIN c),
+          assigned AS (
+            SELECT vec_id, embedding, cid AS cluster_id FROM (
+              SELECT vec_id, embedding, cid, dist2,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+              FROM dists) WHERE rn = 1),
+          normed AS (
+            SELECT cluster_id, vec_id,
+                   list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) / sqrt(${dDot("embedding", "embedding")})) AS ne
+            FROM assigned),
+          pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM normed a JOIN normed b
+              ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+            WHERE ${dDot("a.ne", "b.ne")} >= 0.3),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+          reach(node, label) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, r.label FROM edges e JOIN reach r ON r.node = e.src)
+          SELECT node AS vec_id, min(label) AS cluster_id FROM reach GROUP BY node""",
     "q_semantic_dedup" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
           dists AS (
