@@ -211,6 +211,13 @@ object Dedup {
     var prev = checksum(labels)
     var iter = 1
     var converged = false
+    // a superseded round's localCheckpoint blocks are only freed when
+    // the RDD is GC'd — on a long-lived session the rounds accumulate
+    // in the block store, so free each one as soon as its successor is
+    // materialized (the checksum action above guarantees that)
+    def cpBlocks(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
     while (iter < maxIter && !converged) {
       // one propagation round per materialization: chaining two rounds
       // before the checkpoint was measured SLOWER (the unmaterialized
@@ -224,6 +231,7 @@ object Dedup {
       val cur = checksum(next)
       converged = cur.compareTo(prev) == 0
       prev = cur
+      cpBlocks(labels).foreach(_.unpersist(blocking = false))
       labels = next
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
