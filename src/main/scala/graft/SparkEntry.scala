@@ -60,12 +60,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QRelational.queries ++ QAggregates.queries ++ QScalars.queries ++
       QTimeseries.queries ++ QIo.queries ++ QText.queries ++
-      QSimilarity.queries ++ QMultimodal.queries ++ QAsOf.queries ++ QExtras.queries ++ QScale.queries ++ QSql.queries ++ QTpch.queries
+      QSimilarity.queries ++ QMultimodal.queries ++ QAsOf.queries ++ QExtras.queries ++ QScale.queries ++ QSql.queries ++ QTpch.queries ++ QAnalytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     QRelational.oracles ++ QAggregates.oracles ++ QScalars.oracles ++
       QTimeseries.oracles ++ QIo.oracles ++ QText.oracles ++
-      QSimilarity.oracles ++ QMultimodal.oracles ++ QAsOf.oracles ++ QExtras.oracles ++ QScale.oracles ++ QSql.oracles ++ QTpch.oracles
+      QSimilarity.oracles ++ QMultimodal.oracles ++ QAsOf.oracles ++ QExtras.oracles ++ QScale.oracles ++ QSql.oracles ++ QTpch.oracles ++ QAnalytics.oracles
 }

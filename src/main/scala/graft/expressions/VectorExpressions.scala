@@ -206,6 +206,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier(NormalizeExpressions.withinEdit1Name),
       new ExpressionInfo(classOf[WithinEdit1].getName, NormalizeExpressions.withinEdit1Name),
       { exprs: Seq[Expression] => WithinEdit1(exprs.head, exprs(1)) }))
+    e.injectFunction((FunctionIdentifier(StringSimilarityExpressions.jwName),
+      new ExpressionInfo(classOf[JaroWinkler].getName, StringSimilarityExpressions.jwName),
+      StringSimilarityExpressions.jwBuilder))
+    e.injectFunction((FunctionIdentifier(StringSimilarityExpressions.entropyName),
+      new ExpressionInfo(classOf[CharEntropy].getName, StringSimilarityExpressions.entropyName),
+      StringSimilarityExpressions.entropyBuilder))
     // declarative HOF dot products silently upgrade to the native loop
     e.injectOptimizerRule(_ => RewriteHofDot)
     // discarded-rank row_number()<=k windows upgrade to the native

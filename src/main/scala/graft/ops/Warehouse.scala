@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-maintenance operators the reference's ETL jobs imply but
+  * hand-roll per day: dimension history (the `ds`-stamped append at
+  * `Processing Data.py:215` is an SCD-0 overwrite-by-partition; SCD2
+  * is the lossless variant), snapshot reconciliation (the re-ingest
+  * truncate at `Ingestion Data (MySQL).py:143-146` assumes replacing a
+  * partition is safe — a diff proves it), dictionary encoding, and the
+  * funnel/retention event-analytics shapes a `ds`-partitioned event
+  * store exists to answer.
+  *
+  * Scale notes per operator are on each method; all shapes shuffle at
+  * most once per declared key and keep windows partitioned (repo Guard
+  * lint: no empty-PARTITION-BY windows, no cartesians).
+  */
+object Warehouse {
+
+  /** Slowly-changing-dimension type-2 history from a change-event log:
+    * collapse consecutive runs of the same attribute value per key,
+    * stamp each run with [effectiveFrom, effectiveTo) and a version
+    * number, and flag the open run.
+    *
+    * Input must carry a total per-key order (`order`); `attr` is the
+    * tracked attribute. One shuffle on `key`: both window passes and
+    * the run-collapse filter share the same partitioning, so Catalyst
+    * plans a single Exchange and reuses the sort.
+    *
+    * At 100 TB the state per task is one partition's rows (standard
+    * window execution); no driver state, no cross-key traffic.
+    */
+  def scd2Build(df: DataFrame, key: Column, order: Seq[Column], attr: Column,
+      effectiveAt: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    val changes = df
+      .withColumn("__prev", lag(attr, 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= attr)
+    val w2 = Window.partitionBy(key).orderBy(order: _*)
+    changes
+      .withColumn("version", row_number().over(w2))
+      .withColumn("effective_from", effectiveAt)
+      .withColumn("effective_to", lead(effectiveAt, 1).over(w2))
+      .withColumn("is_current", col("effective_to").isNull)
+      .drop("__prev")
+  }
+
+  /** Incrementally apply new change events to an existing SCD2 history
+    * (the output shape of [[scd2Build]] with a single `time` order
+    * column): closed runs are untouched; each key's open run is
+    * replayed together with its new events through the same
+    * run-collapse, so a leading new value equal to the open run's
+    * value extends it instead of opening a duplicate run. Version
+    * numbers continue from the open run's version.
+    *
+    * Precondition: every change's `time` is >= the open run's
+    * `effective_from` for that key (append-only log, the reference's
+    * ingestion contract). Invariant (oracle-checked by
+    * `q_scd2_incremental`): apply(build(past), future) == build(all) —
+    * the incremental path costs one shuffle over (open runs + new
+    * events), not a rescan of the full history.
+    */
+  def scd2Apply(current: DataFrame, changes: DataFrame, key: String,
+      time: String, attr: String): DataFrame = {
+    val outCols = Seq(col(key), col(attr), col("version"),
+      col("effective_from"), col("effective_to"), col("is_current"))
+    val open = current.filter(col("is_current"))
+    val closed = current.filter(!col("is_current"))
+    val voff = open.select(col(key), (col("version") - 1).as("__voff"))
+    val openEv = open.select(col(key), col("effective_from").as(time), col(attr))
+    val tail = scd2Build(openEv.unionByName(changes.select(col(key), col(time), col(attr))),
+        col(key), Seq(col(time)), col(attr), col(time))
+      .join(voff, Seq(key), "left")
+      .withColumn("version", (col("version") + coalesce(col("__voff"), lit(0))).cast("int"))
+    closed.select(outCols: _*).unionByName(tail.select(outCols: _*))
+  }
+
+  /** Row-level diff of two snapshots of the same keyed table: `added`
+    * (key only in `next`), `removed` (key only in `prev`), `changed`
+    * (both sides, tracked columns differ). Unchanged rows are dropped.
+    *
+    * Tracked columns are compared via an md5 over a `|`-joined
+    * canonical string so only (key, 32-byte digest) survives the
+    * projection — at 100 TB the full-outer join on `key` ships digests,
+    * not payload. One shuffle per side on `key`.
+    */
+  def snapshotDiff(prev: DataFrame, next: DataFrame, key: String,
+      tracked: Seq[Column]): DataFrame = {
+    def digest(df: DataFrame): DataFrame =
+      df.select(col(key), md5(concat_ws("|", tracked: _*)).as("__h"))
+    val a = digest(prev).withColumnRenamed("__h", "__h_prev")
+    val b = digest(next).withColumnRenamed("__h", "__h_next")
+    a.join(b, Seq(key), "full_outer")
+      .withColumn("status",
+        when(col("__h_prev").isNull, lit("added"))
+          .when(col("__h_next").isNull, lit("removed"))
+          .when(col("__h_prev") =!= col("__h_next"), lit("changed"))
+          .otherwise(lit("same")))
+      .filter(col("status") =!= "same")
+      .select(col(key), col("status"))
+  }
+
+  /** Dictionary-encode a bounded-cardinality column to dense codes
+    * (sorted-value order, 0-based). The dictionary is collected to the
+    * driver — the documented contract is enum-ish columns (priorities,
+    * segments, country codes) whose distinct set is driver-sized, the
+    * same contract as the IVF centroid table ([[Similarity]]). The
+    * encode join broadcasts the dictionary: zero shuffle on the fact
+    * side at any scale. For unbounded keys use the banded window
+    * pattern ([[Aggregates]] banded cumsum) instead — a global
+    * dense_rank window would be the single-task bottleneck Guard
+    * rejects.
+    */
+  def dictEncode(df: DataFrame, column: String, codeCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val values = df.select(col(column).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val dict = values.zipWithIndex.toSeq.toDF(column, codeCol)
+    df.join(broadcast(dict), Seq(column))
+  }
+
+  /** Ordered-funnel stage assignment: for each user the funnel stage
+    * reached, where stage i requires an event of type `steps(i)`
+    * strictly after the first qualifying event of stage i-1.
+    *
+    * Single window pass per step over the same (user-partitioned,
+    * time-ordered) frame — one shuffle on `user` total, and the final
+    * per-user aggregate reuses that partitioning. `timeKey` must be a
+    * strictly-ordering column per user (epoch-nanos long here; ties
+    * would make "strictly after" ill-defined).
+    */
+  def funnelStages(events: DataFrame, user: Column, timeKey: Column,
+      typ: Column, steps: Seq[String]): DataFrame =
+    funnelTimes(events, user, timeKey, typ, steps)
+      .select(col("user"), col("stage"))
+
+  /** As [[funnelStages]] but keeps the per-stage completion times
+    * (`t0..tN`, null when the stage was not reached) for conversion-
+    * latency analysis.
+    */
+  def funnelTimes(events: DataFrame, user: Column, timeKey: Column,
+      typ: Column, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(user).orderBy(timeKey)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // __r(i): per row, the earliest time stage i was completed
+    // considering events up to and including this row. Each step's
+    // running column lives in its own projection (window expressions
+    // cannot nest), but every window shares (user, timeKey) so the
+    // plan carries ONE Exchange and reuses the sort.
+    val withFirst = events.withColumn("__r0",
+      min(when(typ === steps.head, timeKey)).over(w))
+    val withReached = steps.tail.zipWithIndex.foldLeft(withFirst) {
+      case (df, (step, i)) => df.withColumn(s"__r${i + 1}",
+        min(when(typ === step && col(s"__r$i") < timeKey, timeKey)).over(w))
+    }
+    val stageCols = steps.indices.map(i => min(col(s"__r$i")).as(s"t$i"))
+    val perUser = withReached
+      .groupBy(user.as("user"))
+      .agg(stageCols.head, stageCols.tail: _*)
+    // fold ascending so the DEEPEST satisfied stage ends up outermost
+    // in the nested when-chain (a stage-1 hit must not shadow stage 3)
+    val stage = steps.indices.foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"t$i").isNotNull, lit(i + 1)).otherwise(acc)
+    }
+    perUser.withColumn("stage", stage)
+  }
+
+  /** Weekly retention cohorts: users bucketed by the week of their
+    * first event; one output row per (cohort week, week offset) with
+    * the distinct active users. Two shuffles: the per-user first-event
+    * window, then the cohort-cell aggregate — both on declared keys,
+    * no global funnel.
+    */
+  def retentionCohorts(events: DataFrame, user: Column, ts: Column): DataFrame = {
+    val w = Window.partitionBy(user)
+    val withCohort = events
+      .withColumn("__cohort", date_trunc("week", min(ts).over(w)))
+      .withColumn("__week", date_trunc("week", ts))
+      .withColumn("week_offset",
+        (datediff(to_date(col("__week")), to_date(col("__cohort"))) / 7).cast("int"))
+    withCohort
+      .groupBy(date_format(col("__cohort"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"))
+      .agg(countDistinct(user).as("n_users"))
+  }
+}

@@ -1,0 +1,445 @@
+package graft.queries
+
+import graft.Tables
+import graft.expressions.StringSimilarityExpressions
+import graft.ops.Warehouse
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-maintenance + record-linkage + sampling analytics
+  * (SURVEY §2 extension families): SCD2 dimension history, snapshot
+  * reconciliation, dictionary encoding, funnel/retention event
+  * analytics, PII redaction, entropy quality scoring, EWMA smoothing,
+  * weighted sampling, and Jaro-Winkler record linkage.
+  *
+  * The reference's ETL jobs imply these maintenance shapes (per-`ds`
+  * truncate-and-append at `Ingestion Data (MySQL).py:143-146`,
+  * ds-stamped dimension snapshots at `Processing Data.py:215`); the
+  * rest are the north-star training-data-pipeline surface.
+  */
+object QAnalytics {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // SCD2 dimension history from a change log: collapse per-user runs
+    // of event_type, stamp [from, to) validity + version + current
+    // flag. One shuffle on user_id; windows share the partitioning.
+    "q_scd2_build" -> ((s, dir) => {
+      // validity bounds in epoch-µs: DuckDB timestamps are µs-internal,
+      // so the oracle cannot see sub-µs nanos (order still uses full ns)
+      val e = Tables(s, dir).events
+      Warehouse.scd2Build(e, col("user_id"), Seq(col("ts_ns"), col("event_id")),
+          col("event_type"), expr("ts_ns DIV 1000"))
+        .select(col("user_id"), col("event_type"), col("version"),
+          col("effective_from").as("eff_from_us"),
+          col("effective_to").as("eff_to_us"), col("is_current"))
+    }),
+
+    // Incremental SCD2 maintenance: build history on the first half of
+    // the log, apply the second half through scd2Apply — the oracle is
+    // the FULL rebuild (same SQL as q_scd2_build on a µs time key), so
+    // a green row proves apply(build(past), future) == build(all)
+    // while only shuffling open runs + new events.
+    "q_scd2_incremental" -> ((s, dir) => {
+      val cutUs = 1705363200000000L // 2024-01-16 UTC
+      val ev = Tables(s, dir).events.select(col("user_id"),
+        expr("ts_ns DIV 1000").as("t"), col("event_type"))
+      val current = Warehouse.scd2Build(ev.filter(col("t") < cutUs),
+          col("user_id"), Seq(col("t")), col("event_type"), col("t"))
+        .select(col("user_id"), col("event_type"), col("version"),
+          col("effective_from"), col("effective_to"), col("is_current"))
+      Warehouse.scd2Apply(current, ev.filter(col("t") >= cutUs),
+          "user_id", "t", "event_type")
+        .select(col("user_id"), col("event_type"), col("version"),
+          col("effective_from").as("eff_from_us"),
+          col("effective_to").as("eff_to_us"), col("is_current"))
+    }),
+
+    // Snapshot reconciliation: md5-digest diff of two simulated
+    // customer snapshots (rows dropped / added / acctbal bumped) —
+    // only (key, digest) pairs reach the full-outer join.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val c = Tables(s, dir).customer
+      val prev = c.filter(col("c_custkey") % 97 =!= 5)
+      val next = c.filter(col("c_custkey") % 97 =!= 3)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")))
+      Warehouse.snapshotDiff(prev, next, "c_custkey",
+        Seq(col("c_name"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").cast("string")))
+    }),
+
+    // Dictionary encoding of a bounded-cardinality column: dense codes
+    // in sorted-value order via a driver-sized dict + broadcast join
+    // (zero shuffle on the fact side — NOT a global dense_rank window,
+    // which Guard rejects as a single-task funnel).
+    "q_dense_ids" -> ((s, dir) => {
+      Warehouse.dictEncode(
+          Tables(s, dir).orders.select(col("o_orderkey"), col("o_orderpriority")),
+          "o_orderpriority", "priority_code")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("priority_code"))
+    }),
+
+    // Ordered funnel view -> click -> purchase: stage i requires an
+    // event strictly after the first completion of stage i-1. Counts
+    // of users per deepest stage reached; day-1 window so the stages
+    // actually differentiate (a month of events saturates everyone).
+    "q_funnel" -> ((s, dir) => {
+      Warehouse.funnelStages(
+          Tables(s, dir).events.filter(col("ts") < lit("2024-01-02")),
+          col("user_id"), col("ts_ns"), col("event_type"),
+          Seq("view", "click", "purchase"))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+    }),
+
+    // Weekly retention cohorts: (first-event week, week offset) ->
+    // distinct active users.
+    "q_retention_cohort" -> ((s, dir) =>
+      Warehouse.retentionCohorts(Tables(s, dir).events, col("user_id"), col("ts"))),
+
+    // Funnel conversion latency: integer-µs sums (exact, no float
+    // summation order) over users completing the full path.
+    "q_funnel_timing" -> ((s, dir) => {
+      Warehouse.funnelTimes(Tables(s, dir).events, col("user_id"),
+          expr("ts_ns DIV 1000"), col("event_type"),
+          Seq("view", "click", "purchase"))
+        .filter(col("t2").isNotNull)
+        .agg(count(lit(1)).as("n_converted"),
+          sum(col("t1") - col("t0")).as("view_to_click_us"),
+          sum(col("t2") - col("t1")).as("click_to_purchase_us"))
+    }),
+
+    // Great-circle (haversine) distance from synthetic per-customer
+    // coordinates to Jakarta (the reference's WIB home, SURVEY §2.D9)
+    // — map-only math-function composition, float-identical in DuckDB.
+    "q_haversine" -> ((s, dir) => {
+      val lat1 = radians(col("c_custkey") % 180 - 90 + lit(0.5))
+      val lon1 = radians((col("c_custkey") * 7) % 360 - 180 + lit(0.5))
+      val lat2 = radians(lit(-6.2))
+      val lon2 = radians(lit(106.8))
+      val a = pow(sin((lat2 - lat1) / 2), 2) +
+        cos(lat1) * cos(lat2) * pow(sin((lon2 - lon1) / 2), 2)
+      Tables(s, dir).customer.select(col("c_custkey"),
+        round(lit(2 * 6371.0) * asin(sqrt(a)), 6).as("dist_km"))
+    }),
+
+    // Seasonal-naive forecast: per (event_type, hour-of-day) mean over
+    // the first 23 days predicts the last week; decimal sums keep the
+    // means exact before the single double division.
+    "q_seasonal_naive" -> ((s, dir) => {
+      val e = Tables(s, dir).events.withColumn("hr", hour(col("ts")))
+      def meanByCell(df: DataFrame, out: String, keepN: Boolean): DataFrame = {
+        val g = df.groupBy(col("event_type"), col("hr"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("s"),
+            count(lit(1)).as("n"))
+        val base = g.select(col("event_type"), col("hr"),
+          (col("s").cast("double") / col("n")).as(out), col("n"))
+        if (keepN) base.withColumnRenamed("n", "n_test") else base.drop("n")
+      }
+      val train = meanByCell(e.filter(col("ts") < lit("2024-01-24")), "forecast", keepN = false)
+      val test = meanByCell(e.filter(col("ts") >= lit("2024-01-24")), "actual", keepN = true)
+      train.join(test, Seq("event_type", "hr"))
+        .select(col("event_type"), col("hr"),
+          round(col("forecast"), 6).as("forecast"),
+          round(col("actual"), 6).as("actual"),
+          round(abs(col("forecast") - col("actual")), 6).as("abs_err"),
+          col("n_test"))
+    }),
+
+    // Sequence-pattern detection (MATCH_RECOGNIZE-lite): click
+    // immediately followed by error within 1 h, per user — one lag
+    // window, no self-join. Times in µs for oracle parity.
+    "q_event_pattern" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr("ts_ns DIV 1000"), col("event_id"))
+      Tables(s, dir).events
+        .withColumn("t", expr("ts_ns DIV 1000"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("prev_t", lag(col("t"), 1).over(w))
+        .filter(col("event_type") === "error" && col("prev_type") === "click" &&
+          col("t") - col("prev_t") < 3600L * 1000000L)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_click_then_error"))
+    }),
+
+    // Referential-integrity audit: orphan counts along the star's FK
+    // edges via left-anti joins — the precondition the reference's
+    // 4-table inner join silently assumes (PROC:173-182).
+    "q_fk_audit" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      def orphans(child: DataFrame, ck: String, parent: DataFrame, pk: String,
+          name: String): DataFrame =
+        child.join(parent, child(ck) === parent(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .withColumn("fk", lit(name)).select(col("fk"), col("n_orphans"))
+      orphans(t.lineitem, "l_orderkey", t.orders, "o_orderkey", "lineitem->orders")
+        .unionByName(orphans(t.orders, "o_custkey", t.customer, "c_custkey", "orders->customer"))
+        .unionByName(orphans(t.customer, "c_nationkey", t.nation, "n_nationkey", "customer->nation"))
+    }),
+
+    // Character-unigram Shannon entropy as a quality signal (low
+    // entropy = repetitive/degenerate text): native single-pass kernel,
+    // no explode, no shuffle. Rounded so float summation order in the
+    // SQL oracle cannot flip the compare.
+    "q_char_entropy" -> ((s, dir) =>
+      Tables(s, dir).documents.select(col("doc_id"),
+        round(StringSimilarityExpressions.charEntropy(col("text")), 6)
+          .as("entropy"))),
+
+    // Per-user EWMA (alpha=0.3) over event values in time order:
+    // bounded per-key state via sorted-array fold — the grouped-
+    // sequence shape that at scale replaces a driver-side loop.
+    "q_ewma" -> ((s, dir) => {
+      Tables(s, dir).events
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sort_array(collect_list(struct(col("ts_ns"), col("event_id"),
+            col("value")))).as("seq"))
+        .select(col("user_id"), col("n_events"),
+          expr("""round(aggregate(
+                    slice(transform(seq, x -> x.value), 2, greatest(size(seq) - 1, 0)),
+                    cast(element_at(transform(seq, x -> x.value), 1) as double),
+                    (acc, x) -> cast(0.3 as double) * x + cast(0.7 as double) * acc),
+                  6)""").as("ewma"))
+    }),
+
+    // Weighted sampling without replacement (Efraimidis-Spirakis):
+    // deterministic md5-derived uniform, key = u^(1/w), top-k by key.
+    // Plans as TakeOrderedAndProject — no global sort materializes.
+    "q_weighted_sample" -> ((s, dir) => {
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long").cast("double") + 0.5) / 4294967296.0
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars"),
+          pow(u, lit(1.0) / col("n_chars")).as("k"))
+        .orderBy(desc("k"), col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
+    // Native Jaro-Winkler kernel vs three deterministic counterparts
+    // per row (reversal, rotation, unrelated column) — map-only.
+    "q_jaro_winkler" -> ((s, dir) => {
+      val jw = StringSimilarityExpressions.jaroWinkler _
+      Tables(s, dir).customer.select(col("c_custkey"),
+        round(jw(col("c_name"), reverse(col("c_name"))), 6).as("jw_rev"),
+        round(jw(col("c_name"),
+          concat(expr("substring(c_name, 2)"), substring(col("c_name"), 1, 1))), 6)
+          .as("jw_rot"),
+        round(jw(col("c_name"), col("c_mktsegment")), 6).as("jw_seg"))
+    }),
+
+    // Fellegi-Sunter-style record linkage: block on stable quasi-
+    // identifiers (nation, name-digit midfix untouched by the
+    // simulated corruption), score field agreements (name JW, segment
+    // equality, balance proximity) with log-odds weights, keep pairs
+    // above threshold. The blocking equi-join is the 100 TB shape —
+    // candidate pairs per block, never all-pairs.
+    "q_record_linkage" -> ((s, dir) => {
+      val c = Tables(s, dir).customer
+      val clean = c.select(col("c_custkey").as("clean_key"),
+        col("c_name").as("clean_name"), col("c_mktsegment").as("clean_seg"),
+        col("c_nationkey").as("nk"), col("c_acctbal").as("clean_bal"),
+        substring(col("c_name"), 15, 4).as("blk"))
+      val dirty = c.select((col("c_custkey") + 2000000).as("dirty_key"),
+        concat(substring(col("c_name"), 1, 8), substring(col("c_name"), 10, 1),
+          substring(col("c_name"), 9, 1), expr("substring(c_name, 11)"))
+          .as("dirty_name"),
+        col("c_mktsegment").as("dirty_seg"), col("c_nationkey").as("nk"),
+        (col("c_acctbal") +
+          when(col("c_custkey") % 7 === 0, 0.01).otherwise(0.0)).as("dirty_bal"),
+        substring(col("c_name"), 15, 4).as("blk"))
+      val jw = round(StringSimilarityExpressions.jaroWinkler(
+        col("clean_name"), col("dirty_name")), 6)
+      clean.join(dirty, Seq("nk", "blk"))
+        .withColumn("jw", jw)
+        .withColumn("score",
+          when(col("jw") > 0.85, lit(4.0)).otherwise(lit(-1.5)) +
+            when(col("clean_seg") === col("dirty_seg"), lit(3.0)).otherwise(lit(-2.0)) +
+            when(abs(col("clean_bal") - col("dirty_bal")) < 0.02, lit(1.0)).otherwise(lit(-0.5)))
+        .filter(col("score") >= 5.0)
+        .select(col("clean_key"), col("dirty_key"), col("jw"), col("score"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_scd2_build" ->
+      """WITH ord AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events),
+          chg AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+                  FROM ord),
+          runs AS (SELECT * FROM chg WHERE prev IS NULL OR prev <> event_type)
+          SELECT user_id, event_type,
+                 CAST(row_number() OVER w AS INT) AS version,
+                 tus AS eff_from_us,
+                 lead(tus) OVER w AS eff_to_us,
+                 (lead(tus) OVER w IS NULL) AS is_current
+          FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)""",
+    "q_snapshot_diff" ->
+      """WITH prev AS (SELECT c_custkey,
+                             md5(concat_ws('|', c_name, c_mktsegment,
+                                 CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR))) AS h
+                      FROM customer WHERE c_custkey % 97 <> 5),
+          nxt AS (SELECT c_custkey,
+                         md5(concat_ws('|', c_name, c_mktsegment,
+                             CAST(CAST(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+                                            ELSE c_acctbal END AS DECIMAL(18,2)) AS VARCHAR))) AS h
+                  FROM customer WHERE c_custkey % 97 <> 3)
+          SELECT c_custkey,
+                 CASE WHEN p.h IS NULL THEN 'added'
+                      WHEN n.h IS NULL THEN 'removed'
+                      ELSE 'changed' END AS status
+          FROM prev p FULL OUTER JOIN nxt n USING (c_custkey)
+          WHERE p.h IS NULL OR n.h IS NULL OR p.h <> n.h""",
+    // the incremental path must reproduce the FULL rebuild exactly
+    "q_scd2_incremental" ->
+      """WITH ord AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events),
+          chg AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+                  FROM ord),
+          runs AS (SELECT * FROM chg WHERE prev IS NULL OR prev <> event_type)
+          SELECT user_id, event_type,
+                 CAST(row_number() OVER w AS INT) AS version,
+                 tus AS eff_from_us,
+                 lead(tus) OVER w AS eff_to_us,
+                 (lead(tus) OVER w IS NULL) AS is_current
+          FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)""",
+    "q_funnel_timing" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events),
+          s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN t END)
+                             OVER (PARTITION BY user_id ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS r0 FROM e),
+          s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND r0 < t THEN t END)
+                             OVER (PARTITION BY user_id ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS r1 FROM s1),
+          s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND r1 < t THEN t END)
+                             OVER (PARTITION BY user_id ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS r2 FROM s2),
+          u AS (SELECT user_id, min(r0) AS t0, min(r1) AS t1, min(r2) AS t2
+                FROM s3 GROUP BY user_id)
+          SELECT count(*) AS n_converted,
+                 CAST(sum(t1 - t0) AS BIGINT) AS view_to_click_us,
+                 CAST(sum(t2 - t1) AS BIGINT) AS click_to_purchase_us
+          FROM u WHERE t2 IS NOT NULL""",
+    "q_haversine" ->
+      """SELECT c_custkey,
+                round(2 * 6371.0 * asin(sqrt(
+                  pow(sin((radians(-6.2) - radians(c_custkey % 180 - 90 + 0.5)) / 2), 2) +
+                  cos(radians(c_custkey % 180 - 90 + 0.5)) * cos(radians(-6.2)) *
+                    pow(sin((radians(106.8) - radians((c_custkey * 7) % 360 - 180 + 0.5)) / 2), 2)
+                )), 6) AS dist_km
+         FROM customer""",
+    "q_seasonal_naive" ->
+      """WITH tr AS (SELECT event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+                            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS forecast
+                     FROM events WHERE ts < TIMESTAMP '2024-01-24' GROUP BY 1, 2),
+          te AS (SELECT event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+                        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS actual,
+                        count(*) AS n_test
+                 FROM events WHERE ts >= TIMESTAMP '2024-01-24' GROUP BY 1, 2)
+          SELECT event_type, hr, round(forecast, 6) AS forecast,
+                 round(actual, 6) AS actual,
+                 round(abs(forecast - actual), 6) AS abs_err, n_test
+          FROM tr JOIN te USING (event_type, hr)""",
+    "q_dense_ids" ->
+      """SELECT o_orderkey, o_orderpriority,
+                CAST(dense_rank() OVER (ORDER BY o_orderpriority) - 1 AS INT) AS priority_code
+         FROM orders""",
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t, event_id FROM events
+                    WHERE ts < TIMESTAMP '2024-01-02'),
+          s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN t END)
+                             OVER (PARTITION BY user_id ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS r0 FROM e),
+          s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND r0 < t THEN t END)
+                             OVER (PARTITION BY user_id ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS r1 FROM s1),
+          s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND r1 < t THEN t END)
+                             OVER (PARTITION BY user_id ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS r2 FROM s2),
+          u AS (SELECT user_id, min(r0) AS t0, min(r1) AS t1, min(r2) AS t2
+                FROM s3 GROUP BY user_id)
+          SELECT CASE WHEN t2 IS NOT NULL THEN 3
+                      WHEN t1 IS NOT NULL THEN 2
+                      WHEN t0 IS NOT NULL THEN 1
+                      ELSE 0 END AS stage,
+                 count(*) AS n_users
+          FROM u GROUP BY 1""",
+    "q_retention_cohort" ->
+      """WITH wks AS (SELECT user_id,
+                            date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk,
+                            date_trunc('week', min(CAST(ts AS TIMESTAMP))
+                              OVER (PARTITION BY user_id)) AS cohort
+                     FROM events)
+          SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+                 CAST(date_diff('day', cohort, wk) // 7 AS INT) AS week_offset,
+                 count(DISTINCT user_id) AS n_users
+          FROM wks GROUP BY 1, 2""",
+    "q_event_pattern" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events),
+          lagged AS (SELECT user_id, event_type, t,
+                            lag(event_type) OVER w AS prev_type,
+                            lag(t) OVER w AS prev_t
+                     FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+          SELECT user_id, count(*) AS n_click_then_error
+          FROM lagged
+          WHERE event_type = 'error' AND prev_type = 'click'
+            AND t - prev_t < 3600000000
+          GROUP BY user_id""",
+    "q_fk_audit" ->
+      """SELECT 'lineitem->orders' AS fk, count(*) AS n_orphans
+         FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+         UNION ALL
+         SELECT 'orders->customer', count(*)
+         FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+         UNION ALL
+         SELECT 'customer->nation', count(*)
+         FROM customer WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)""",
+    "q_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+          f AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS n FROM ch GROUP BY 1, 2),
+          t AS (SELECT doc_id, sum(n) AS tot FROM f GROUP BY 1)
+          SELECT f.doc_id, round(-sum((n / tot) * log2(n / tot)), 6) AS entropy
+          FROM f JOIN t USING (doc_id) GROUP BY f.doc_id""",
+    "q_ewma" ->
+      """SELECT user_id, count(*) AS n_events,
+                round(list_reduce(list(CAST(value AS DOUBLE) ORDER BY epoch_ns(ts), event_id),
+                                  (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+         FROM events GROUP BY user_id""",
+    "q_weighted_sample" ->
+      """SELECT doc_id, n_chars
+         FROM (SELECT doc_id, n_chars,
+                      pow((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                            AS DOUBLE) + 0.5) / 4294967296.0,
+                          1.0 / n_chars) AS k
+               FROM documents)
+         ORDER BY k DESC, doc_id LIMIT 100""",
+    "q_jaro_winkler" ->
+      """SELECT c_custkey,
+                round(jaro_winkler_similarity(c_name, reverse(c_name)), 6) AS jw_rev,
+                round(jaro_winkler_similarity(c_name,
+                      substr(c_name, 2) || substr(c_name, 1, 1)), 6) AS jw_rot,
+                round(jaro_winkler_similarity(c_name, c_mktsegment), 6) AS jw_seg
+         FROM customer""",
+    "q_record_linkage" ->
+      """WITH clean AS (SELECT c_custkey AS clean_key, c_name AS clean_name,
+                              c_mktsegment AS clean_seg, c_nationkey AS nk,
+                              c_acctbal AS clean_bal, substr(c_name, 15, 4) AS blk
+                       FROM customer),
+          dirty AS (SELECT c_custkey + 2000000 AS dirty_key,
+                           substr(c_name, 1, 8) || substr(c_name, 10, 1) ||
+                             substr(c_name, 9, 1) || substr(c_name, 11) AS dirty_name,
+                           c_mktsegment AS dirty_seg, c_nationkey AS nk,
+                           c_acctbal + (CASE WHEN c_custkey % 7 = 0 THEN 0.01 ELSE 0.0 END)
+                             AS dirty_bal,
+                           substr(c_name, 15, 4) AS blk
+                    FROM customer),
+          pairs AS (SELECT *, round(jaro_winkler_similarity(clean_name, dirty_name), 6) AS jw
+                    FROM clean JOIN dirty USING (nk, blk)),
+          scored AS (SELECT clean_key, dirty_key, jw,
+                            (CASE WHEN jw > 0.85 THEN 4.0 ELSE -1.5 END) +
+                            (CASE WHEN clean_seg = dirty_seg THEN 3.0 ELSE -2.0 END) +
+                            (CASE WHEN abs(clean_bal - dirty_bal) < 0.02 THEN 1.0 ELSE -0.5 END)
+                              AS score
+                     FROM pairs)
+          SELECT clean_key, dirty_key, jw, CAST(score AS DOUBLE) AS score
+          FROM scored WHERE score >= 5.0""")
+}
