@@ -42,14 +42,17 @@ object QAnalytics {
     // a green row proves apply(build(past), future) == build(all)
     // while only shuffling open runs + new events.
     "q_scd2_incremental" -> ((s, dir) => {
-      val cutUs = 1705363200000000L // 2024-01-16 UTC
-      val ev = Tables(s, dir).events.select(col("user_id"),
-        expr("ts_ns DIV 1000").as("t"), col("event_type"))
-      val current = Warehouse.scd2Build(ev.filter(col("t") < cutUs),
+      // split on the RAW ns column so the predicate pushes into the
+      // parquet scan (a filter on the derived µs key would not)
+      val cutNs = 1705363200000000000L // 2024-01-16 UTC
+      def half(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        Tables(s, dir).events.filter(f(col("ts_ns")))
+          .select(col("user_id"), expr("ts_ns DIV 1000").as("t"), col("event_type"))
+      val current = Warehouse.scd2Build(half(_ < cutNs),
           col("user_id"), Seq(col("t")), col("event_type"), col("t"))
         .select(col("user_id"), col("event_type"), col("version"),
           col("effective_from"), col("effective_to"), col("is_current"))
-      Warehouse.scd2Apply(current, ev.filter(col("t") >= cutUs),
+      Warehouse.scd2Apply(current, half(_ >= cutNs),
           "user_id", "t", "event_type")
         .select(col("user_id"), col("event_type"), col("version"),
           col("effective_from").as("eff_from_us"),
@@ -87,8 +90,10 @@ object QAnalytics {
     // of users per deepest stage reached; day-1 window so the stages
     // actually differentiate (a month of events saturates everyone).
     "q_funnel" -> ((s, dir) => {
+      // raw-ns predicate -> parquet row-group pruning (the derived
+      // timestamp column would block pushdown)
       Warehouse.funnelStages(
-          Tables(s, dir).events.filter(col("ts") < lit("2024-01-02")),
+          Tables(s, dir).events.filter(col("ts_ns") < 1704153600000000000L),
           col("user_id"), col("ts_ns"), col("event_type"),
           Seq("view", "click", "purchase"))
         .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
@@ -138,8 +143,9 @@ object QAnalytics {
           (col("s").cast("double") / col("n")).as(out), col("n"))
         if (keepN) base.withColumnRenamed("n", "n_test") else base.drop("n")
       }
-      val train = meanByCell(e.filter(col("ts") < lit("2024-01-24")), "forecast", keepN = false)
-      val test = meanByCell(e.filter(col("ts") >= lit("2024-01-24")), "actual", keepN = true)
+      val cutNs = 1706054400000000000L // 2024-01-24 UTC; raw-ns pushdown
+      val train = meanByCell(e.filter(col("ts_ns") < cutNs), "forecast", keepN = false)
+      val test = meanByCell(e.filter(col("ts_ns") >= cutNs), "actual", keepN = true)
       train.join(test, Seq("event_type", "hr"))
         .select(col("event_type"), col("hr"),
           round(col("forecast"), 6).as("forecast"),
