@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.expressions.StringSimilarityExpressions
-import graft.ops.Warehouse
+import graft.ops.{Graph, Warehouse}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -167,6 +167,20 @@ object QAnalytics {
         .filter(col("event_type") === "error" && col("prev_type") === "click" &&
           col("t") - col("prev_t") < 3600L * 1000000L)
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_click_then_error"))
+    }),
+
+    // Fixed-iteration PageRank over the bipartite part <-> supplier
+    // co-occurrence graph (which suppliers anchor the catalog): two
+    // shuffles per iteration, both on declared keys; the oracle
+    // unrolls the same three iterations in SQL.
+    "q_pagerank" -> ((s, dir) => {
+      val pairs = Tables(s, dir).lineitem.select(
+        concat(lit("p"), col("l_partkey")).as("p"),
+        concat(lit("s"), col("l_suppkey")).as("sup")).distinct()
+      val edges = pairs.select(col("p").as("src"), col("sup").as("dst"))
+        .unionByName(pairs.select(col("sup").as("src"), col("p").as("dst")))
+      Graph.pageRank(edges, 3)
+        .select(col("node"), round(col("pr"), 6).as("pr"))
     }),
 
     // Referential-integrity audit: orphan counts along the star's FK
@@ -390,6 +404,35 @@ object QAnalytics {
           WHERE event_type = 'error' AND prev_type = 'click'
             AND t - prev_t < 3600000000
           GROUP BY user_id""",
+    "q_pagerank" ->
+      """WITH pairs AS (SELECT DISTINCT 'p' || l_partkey AS p, 's' || l_suppkey AS s FROM lineitem),
+          e AS (SELECT p AS src, s AS dst FROM pairs UNION ALL SELECT s, p FROM pairs),
+          nodes AS (SELECT DISTINCT src AS node FROM e),
+          prm AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+          od AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
+          pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM prm) AS pr FROM nodes),
+          it1 AS (SELECT n2.node,
+                         CAST(0.15 AS DOUBLE) / (SELECT n FROM prm) +
+                           CAST(0.85 AS DOUBLE) * COALESCE(c.inc, 0.0) AS pr
+                  FROM nodes n2 LEFT JOIN (
+                    SELECT e.dst AS node, sum(p.pr / od.outdeg) AS inc
+                    FROM e JOIN pr0 p ON p.node = e.src JOIN od ON od.src = e.src
+                    GROUP BY e.dst) c ON c.node = n2.node),
+          it2 AS (SELECT n2.node,
+                         CAST(0.15 AS DOUBLE) / (SELECT n FROM prm) +
+                           CAST(0.85 AS DOUBLE) * COALESCE(c.inc, 0.0) AS pr
+                  FROM nodes n2 LEFT JOIN (
+                    SELECT e.dst AS node, sum(p.pr / od.outdeg) AS inc
+                    FROM e JOIN it1 p ON p.node = e.src JOIN od ON od.src = e.src
+                    GROUP BY e.dst) c ON c.node = n2.node),
+          it3 AS (SELECT n2.node,
+                         CAST(0.15 AS DOUBLE) / (SELECT n FROM prm) +
+                           CAST(0.85 AS DOUBLE) * COALESCE(c.inc, 0.0) AS pr
+                  FROM nodes n2 LEFT JOIN (
+                    SELECT e.dst AS node, sum(p.pr / od.outdeg) AS inc
+                    FROM e JOIN it2 p ON p.node = e.src JOIN od ON od.src = e.src
+                    GROUP BY e.dst) c ON c.node = n2.node)
+          SELECT node, round(pr, 6) AS pr FROM it3""",
     "q_fk_audit" ->
       """SELECT 'lineitem->orders' AS fk, count(*) AS n_orphans
          FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)

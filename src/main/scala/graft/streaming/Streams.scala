@@ -23,6 +23,9 @@ import org.apache.spark.sql.Row
 final case class UserEvent(event_id: Long, user_id: Long, value: Double)
 final case class UserCount(user_id: Long, n: Long)
 final case class UserTotal(user_id: Long, total: Double)
+final case class TypedEvent(event_id: Long, user_id: Long, t: Long, event_type: String)
+final case class FunnelState(stage: Int, reachedAt: Long)
+final case class FunnelStage(user_id: Long, stage: Int)
 
 object Streams {
 
@@ -92,6 +95,49 @@ object Streams {
       total.update(sum)
       Iterator(UserTotal(key, sum))
     }
+  }
+
+  /** Streaming twin of `Warehouse.funnelStages` (batch oracle:
+    * `q_funnel`): per-user deepest funnel stage as a monotone
+    * ValueState, advanced by events of type `steps(stage)` strictly
+    * after the previous stage's completion time. Rows are sorted by
+    * (t, event_id) within each micro-batch (the iterator carries no
+    * order guarantee); cross-batch order is the state itself — a
+    * stage can only advance, so late stragglers older than the
+    * reached-at time are correctly ignored.
+    */
+  class FunnelProcessor(steps: Seq[String])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, FunnelStage] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[FunnelState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState]("funnel",
+        org.apache.spark.sql.Encoders.product[FunnelState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+        timers: TimerValues): Iterator[FunnelStage] = {
+      var cur = if (st.exists()) st.get() else FunnelState(0, Long.MinValue)
+      rows.toSeq.sortBy(e => (e.t, e.event_id)).foreach { e =>
+        if (cur.stage < steps.length && e.event_type == steps(cur.stage) &&
+            (cur.stage == 0 || e.t > cur.reachedAt))
+          cur = FunnelState(cur.stage + 1, e.t)
+      }
+      st.update(cur)
+      Iterator(FunnelStage(key, cur.stage))
+    }
+  }
+
+  /** Per-user funnel stages over a stream — emits each key's deepest
+    * stage once per micro-batch that touches it.
+    */
+  def funnelStages(events: org.apache.spark.sql.Dataset[TypedEvent],
+      steps: Seq[String]): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(steps),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      .toDF()
   }
 
   /** Per-user running value totals via `transformWithState`. */

@@ -107,6 +107,43 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming funnel: stage state advances across batches, ignores late stragglers") {
+    import graft.streaming.{FunnelStage, TypedEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[TypedEvent]
+    val q = Streams.funnelStages(mem.toDS(), Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_out").outputMode("append").start()
+    try {
+      // batch 1, deliberately out of order inside the batch
+      mem.addData(TypedEvent(2, 1, 20, "click"), TypedEvent(1, 1, 10, "view"),
+        TypedEvent(3, 2, 5, "click")) // user 2: click with no prior view
+      q.processAllAvailable()
+      // batch 2: user 1 completes; a late pre-view click must not re-advance
+      mem.addData(TypedEvent(4, 1, 30, "purchase"), TypedEvent(5, 2, 1, "click"))
+      q.processAllAvailable()
+      val latest = spark.table("funnel_out")
+        .groupBy($"user_id").agg(max($"stage").as("stage"))
+        .as[(Long, Int)].collect().toMap
+      assert(latest == Map(1L -> 3, 2L -> 0), s"got $latest")
+      // batch twin agreement: same events through Warehouse.funnelStages
+      val batch = Seq((1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+        (2L, 5L, "click"), (2L, 1L, "click")).toDF("u", "t", "typ")
+      val b = graft.ops.Warehouse.funnelStages(batch, col("u"), col("t"), col("typ"),
+          Seq("view", "click", "purchase"))
+        .as[(Long, Int)].collect().toMap
+      assert(b == latest, s"stream $latest vs batch $b")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState keeps running per-user counts across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[UserEvent]
