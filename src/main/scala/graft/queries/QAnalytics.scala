@@ -169,6 +169,82 @@ object QAnalytics {
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_click_then_error"))
     }),
 
+    // Period-over-period: monthly revenue per nation with MoM percent
+    // change — decimal-exact sums, one lag window per nation.
+    "q_period_over_period" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val monthly = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), substring(col("o_orderdate"), 1, 7).as("month"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      val w = Window.partitionBy(col("n_name")).orderBy(col("month"))
+      monthly
+        .withColumn("prev", lag(col("rev"), 1).over(w))
+        .select(col("n_name"), col("month"),
+          col("rev").cast("double").as("revenue"),
+          round((col("rev").cast("double") - col("prev").cast("double")) /
+            col("prev").cast("double"), 6).as("mom_pct"))
+    }),
+
+    // Point-in-time SCD2 lookup: tag each purchase with the activity
+    // run (SCD2 built from the user's non-purchase events) valid at
+    // purchase time — equi-join on user + [from, to) residual, the
+    // warehouse temporal-join idiom. Left join keeps purchases that
+    // precede any history.
+    "q_scd2_lookup" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), expr("ts_ns DIV 1000").as("t"),
+          col("event_type"), col("event_id"))
+      val dim = Warehouse.scd2Build(ev.filter(col("event_type") =!= "purchase"),
+          col("user_id"), Seq(col("t"), col("event_id")), col("event_type"), col("t"))
+        .select(col("user_id").as("d_user"), col("event_type").as("activity"),
+          col("effective_from").as("ef"), col("effective_to").as("et"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t"))
+      facts.join(dim,
+          facts("user_id") === dim("d_user") && facts("t") >= dim("ef") &&
+            (dim("et").isNull || facts("t") < dim("et")), "left")
+        .select(col("event_id"), col("user_id"), col("t").as("t_us"), col("activity"))
+    }),
+
+    // Mergeable KMV (k-minimum-values) distinct sketches with set
+    // intersection: 64 smallest md5-derived 60-bit hashes per side,
+    // union-merged; estimates vs exact counts in one row. Every stage
+    // is a top-k (TakeOrderedAndProject) or a tiny agg — the sketch
+    // is what ships between workers at 100 TB, never the member sets.
+    "q_kmv_intersect" -> ((s, dir) => {
+      val k = 64
+      val scale = 1152921504606846976.0 // 2^60
+      def side(tpe: String): DataFrame = Tables(s, dir).events
+        .filter(col("event_type") === tpe)
+        .select(conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h")).distinct()
+      val a = side("click"); val b = side("purchase")
+      val kmvA = a.orderBy("h").limit(k)
+      val kmvB = b.orderBy("h").limit(k)
+      val kmvU = a.union(b).distinct().orderBy("h").limit(k)
+      val tau = kmvU.agg(max(col("h")).as("tau"))
+      val common = kmvU.join(kmvA, "h").join(kmvB, "h")
+        .agg(count(lit(1)).as("n_common"))
+      val e = Tables(s, dir).events
+      val exact = e.filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"))
+        .agg(count(lit(1)).as("exact_union"),
+          sum(when(col("c") === 1 && col("p") === 1, 1L).otherwise(0L))
+            .as("exact_intersection"))
+      tau.crossJoin(common).crossJoin(exact)
+        .select(
+          round(lit((k - 1).toDouble) / (col("tau").cast("double") / scale), 6)
+            .as("est_union"),
+          round((col("n_common").cast("double") / k.toDouble) *
+            (lit((k - 1).toDouble) / (col("tau").cast("double") / scale)), 6)
+            .as("est_intersection"),
+          col("n_common"), col("exact_union"), col("exact_intersection"))
+    }),
+
     // Fixed-iteration PageRank over the bipartite part <-> supplier
     // co-occurrence graph (which suppliers anchor the catalog): two
     // shuffles per iteration, both on declared keys; the oracle
@@ -404,6 +480,55 @@ object QAnalytics {
           WHERE event_type = 'error' AND prev_type = 'click'
             AND t - prev_t < 3600000000
           GROUP BY user_id""",
+    "q_period_over_period" ->
+      """WITH m AS (SELECT n_name, substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+                          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                   FROM orders
+                   JOIN customer ON o_custkey = c_custkey
+                   JOIN nation ON c_nationkey = n_nationkey
+                   GROUP BY 1, 2),
+          l AS (SELECT *, lag(rev) OVER (PARTITION BY n_name ORDER BY month) AS prev FROM m)
+          SELECT n_name, month, CAST(rev AS DOUBLE) AS revenue,
+                 round((CAST(rev AS DOUBLE) - CAST(prev AS DOUBLE)) / CAST(prev AS DOUBLE), 6)
+                   AS mom_pct
+          FROM l""",
+    "q_scd2_lookup" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_type, event_id FROM events),
+          chg AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+                  FROM ev WHERE event_type <> 'purchase'),
+          runs AS (SELECT * FROM chg WHERE prev IS NULL OR prev <> event_type),
+          dim AS (SELECT user_id AS d_user, event_type AS activity, t AS ef,
+                         lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS et
+                  FROM runs)
+          SELECT f.event_id, f.user_id, f.t AS t_us, d.activity
+          FROM (SELECT event_id, user_id, t FROM ev WHERE event_type = 'purchase') f
+          LEFT JOIN dim d
+            ON f.user_id = d.d_user AND f.t >= d.ef AND (d.et IS NULL OR f.t < d.et)""",
+    "q_kmv_intersect" ->
+      """WITH ha AS (SELECT DISTINCT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+                    FROM events WHERE event_type = 'click'),
+          hb AS (SELECT DISTINCT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+                 FROM events WHERE event_type = 'purchase'),
+          kmva AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+          kmvb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+          kmvu AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb) ORDER BY h LIMIT 64),
+          tau AS (SELECT max(h) AS tau FROM kmvu),
+          com AS (SELECT count(*) AS n_common
+                  FROM kmvu JOIN kmva USING (h) JOIN kmvb USING (h)),
+          ex AS (SELECT count(*) AS exact_union,
+                        CAST(SUM(CASE WHEN c = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                          AS exact_intersection
+                 FROM (SELECT user_id,
+                              max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+                              max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+                       FROM events WHERE event_type IN ('click', 'purchase')
+                       GROUP BY user_id))
+          SELECT round(63.0 / (CAST(tau AS DOUBLE) / 1152921504606846976.0), 6) AS est_union,
+                 round((CAST(n_common AS DOUBLE) / 64.0) *
+                       (63.0 / (CAST(tau AS DOUBLE) / 1152921504606846976.0)), 6)
+                   AS est_intersection,
+                 n_common, exact_union, exact_intersection
+          FROM tau, com, ex""",
     "q_pagerank" ->
       """WITH pairs AS (SELECT DISTINCT 'p' || l_partkey AS p, 's' || l_suppkey AS s FROM lineitem),
           e AS (SELECT p AS src, s AS dst FROM pairs UNION ALL SELECT s, p FROM pairs),
