@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.expressions.StringSimilarityExpressions
-import graft.ops.{Graph, Warehouse}
+import graft.ops.{Graph, Text, Warehouse}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -167,6 +167,58 @@ object QAnalytics {
         .filter(col("event_type") === "error" && col("prev_type") === "click" &&
           col("t") - col("prev_t") < 3600L * 1000000L)
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_click_then_error"))
+    }),
+
+    // Daily new users + cumulative total — the incremental-metrics
+    // shape. The running total uses the banded cumsum (driver-folded
+    // band offsets, Text.orderedCumsum), NOT a global window, so the
+    // plan stays scale-clean under Guard.
+    "q_user_growth" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), expr("ts_ns DIV 1000000000 DIV 86400").as("day_num"))
+      val firstSeen = ev.groupBy(col("user_id")).agg(min(col("day_num")).as("fd"))
+      val newUsers = firstSeen.groupBy(col("fd").as("day_num"))
+        .agg(count(lit(1)).as("new_users"))
+      val daily = ev.groupBy(col("day_num"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("active_users"))
+        .join(newUsers, Seq("day_num"), "left")
+        .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      Text.orderedCumsum(daily, "day_num", "n_events", "cum_events")
+        .select(
+          date_format(timestamp_micros(col("day_num") * 86400000000L), "yyyy-MM-dd")
+            .as("day"),
+          col("n_events"), col("active_users"), col("new_users"), col("cum_events"))
+    }),
+
+    // Leave-one-out target encoding: per-category mean of the target
+    // EXCLUDING the row itself (the standard leakage guard). Category
+    // stats are a tiny broadcast — the per-row encode is map-only, no
+    // window over low-cardinality partitions (which would funnel a
+    // category into one task at scale).
+    "q_target_encode" -> ((s, dir) => {
+      val o = Tables(s, dir).orders.select(col("o_orderkey"),
+        col("o_orderpriority").as("cat"),
+        col("o_totalprice").cast("decimal(18,2)").as("y"))
+      val stats = o.groupBy("cat").agg(sum(col("y")).as("s"), count(lit(1)).as("n"))
+      o.join(broadcast(stats), "cat")
+        .select(col("o_orderkey"), col("cat"),
+          round(when(col("n") > 1,
+            (col("s") - col("y")).cast("double") / (col("n") - 1)), 6)
+            .as("loo_mean"))
+    }),
+
+    // Feature hashing (the hashing trick): md5-bucketed token counts
+    // in long format (doc_id, bucket, n) — deterministic buckets, so
+    // the DuckDB oracle reproduces them bit-for-bit.
+    "q_feature_hash" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"),
+          pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"), lit(16L))
+            .as("bucket"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
     }),
 
     // Period-over-period: monthly revenue per nation with MoM percent
@@ -480,6 +532,34 @@ object QAnalytics {
           WHERE event_type = 'error' AND prev_type = 'click'
             AND t - prev_t < 3600000000
           GROUP BY user_id""",
+    "q_user_growth" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 1000000 // 86400 AS day_num FROM events),
+          fs AS (SELECT user_id, min(day_num) AS fd FROM ev GROUP BY user_id),
+          nu AS (SELECT fd AS day_num, count(*) AS new_users FROM fs GROUP BY fd),
+          d AS (SELECT day_num, count(*) AS n_events,
+                       count(DISTINCT user_id) AS active_users
+                FROM ev GROUP BY day_num)
+          SELECT strftime(make_timestamp(day_num * 86400000000), '%Y-%m-%d') AS day,
+                 n_events, active_users,
+                 COALESCE(nu.new_users, 0) AS new_users,
+                 CAST(sum(n_events) OVER (ORDER BY day_num ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum_events
+          FROM d LEFT JOIN nu USING (day_num)""",
+    "q_target_encode" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority AS cat,
+                          CAST(o_totalprice AS DECIMAL(18,2)) AS y
+                   FROM orders),
+          st AS (SELECT cat, SUM(y) AS s, count(*) AS n FROM o GROUP BY cat)
+          SELECT o_orderkey, cat,
+                 round(CASE WHEN n > 1
+                            THEN CAST(s - y AS DOUBLE) / (n - 1) END, 6) AS loo_mean
+          FROM o JOIN st USING (cat)""",
+    "q_feature_hash" ->
+      """SELECT doc_id,
+                CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 16 AS bucket,
+                count(*) AS n
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         GROUP BY 1, 2""",
     "q_period_over_period" ->
       """WITH m AS (SELECT n_name, substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
                           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev

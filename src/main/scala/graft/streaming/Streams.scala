@@ -26,6 +26,9 @@ final case class UserTotal(user_id: Long, total: Double)
 final case class TypedEvent(event_id: Long, user_id: Long, t: Long, event_type: String)
 final case class FunnelState(stage: Int, reachedAt: Long)
 final case class FunnelStage(user_id: Long, stage: Int)
+final case class Scd2State(attr: String, from: Long, version: Int)
+final case class Scd2Closed(user_id: Long, attr: String, version: Int,
+    effective_from: Long, effective_to: Long)
 
 object Streams {
 
@@ -136,6 +139,50 @@ object Streams {
     events
       .groupByKey(_.user_id)
       .transformWithState(new FunnelProcessor(steps),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** Streaming twin of `Warehouse.scd2Build` — the CDC shape: each
+    * key's OPEN run is a ValueState; when an event changes the tracked
+    * attribute the closed run `[from, to)` is appended downstream with
+    * its version number, and the new run opens in state. Events equal
+    * to the open run's value extend it silently, exactly like the
+    * batch run-collapse. Agreement with the batch builder's closed
+    * rows is asserted in `ScaleOpsSpec`.
+    */
+  class Scd2Processor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, Scd2Closed] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    @transient private var open: ValueState[Scd2State] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      open = getHandle.getValueState[Scd2State]("scd2open",
+        org.apache.spark.sql.Encoders.product[Scd2State], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+        timers: TimerValues): Iterator[Scd2Closed] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
+      var cur = if (open.exists()) Option(open.get()) else None
+      rows.toSeq.sortBy(e => (e.t, e.event_id)).foreach { e =>
+        cur match {
+          case None => cur = Some(Scd2State(e.event_type, e.t, 1))
+          case Some(run) if run.attr != e.event_type =>
+            out += Scd2Closed(key, run.attr, run.version, run.from, e.t)
+            cur = Some(Scd2State(e.event_type, e.t, run.version + 1))
+          case _ => () // same value: the open run extends
+        }
+      }
+      cur.foreach(open.update)
+      out.iterator
+    }
+  }
+
+  /** Streaming SCD2 closed-run feed per user. */
+  def scd2Stream(events: org.apache.spark.sql.Dataset[TypedEvent]): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new Scd2Processor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
       .toDF()
   }

@@ -160,6 +160,86 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // Change-log generator for the SCD2 laws: per-key strictly-ordered
+  // times (duplicate (k,t) pairs collapsed to keep the order total).
+  private val changeLogGen: Gen[List[(Long, Long, String)]] =
+    Gen.nonEmptyListOf(for {
+      k <- Gen.choose(1L, 4L)
+      t <- Gen.choose(1L, 30L)
+      v <- Gen.oneOf("a", "b", "c")
+    } yield (k, t, v)).map(_.groupBy(r => (r._1, r._2)).map(_._2.head).toList)
+
+  test("SCD2 laws: runs partition the timeline; incremental apply == full rebuild") {
+    import graft.ops.Warehouse
+    forAll(changeLogGen, n = 8) { log =>
+      val df = log.toDF("k", "t", "v")
+      val full = Warehouse.scd2Build(df, col("k"), Seq(col("t")), col("v"), col("t"))
+        .select("k", "v", "version", "effective_from", "effective_to", "is_current")
+      val rows = full.as[(Long, String, Int, Long, Option[Long], Boolean)]
+        .collect().toSeq.sortBy(r => (r._1, r._3))
+      rows.groupBy(_._1).foreach { case (k, rs) =>
+        // exactly one open run per key, and it is the last version
+        assert(rs.count(_._6) == 1 && rs.last._6, s"k=$k open-run: $rs")
+        // versions are 1..n and consecutive runs chain [from, to) with no
+        // gap and no overlap, and always change the tracked value
+        assert(rs.map(_._3) == (1 to rs.length), s"k=$k versions: $rs")
+        rs.sliding(2).foreach {
+          case Seq(prev, next) =>
+            assert(prev._5.contains(next._4), s"k=$k gap/overlap: $prev -> $next")
+            assert(prev._2 != next._2, s"k=$k uncollapsed run: $prev -> $next")
+          case _ => ()
+        }
+      }
+      // incremental maintenance reproduces the rebuild for any cut
+      val cut = 15L
+      val current = Warehouse.scd2Build(df.filter($"t" < cut),
+          col("k"), Seq(col("t")), col("v"), col("t"))
+        .select("k", "v", "version", "effective_from", "effective_to", "is_current")
+      val applied = Warehouse.scd2Apply(current, df.filter($"t" >= cut), "k", "t", "v")
+        .as[(Long, String, Int, Long, Option[Long], Boolean)]
+        .collect().toSeq.sortBy(r => (r._1, r._3))
+      assert(applied == rows, s"apply != build for log $log")
+    }
+  }
+
+  test("funnel law: distributed stages == driver-side reference fold") {
+    import graft.ops.Warehouse
+    val steps = Seq("a", "b", "c")
+    val eventsGen = Gen.nonEmptyListOf(for {
+      u <- Gen.choose(1L, 4L)
+      t <- Gen.choose(1L, 40L)
+      typ <- Gen.oneOf("a", "b", "c", "x")
+    } yield (u, t, typ)).map(_.groupBy(r => (r._1, r._2)).map(_._2.head).toList)
+    forAll(eventsGen, n = 8) { evs =>
+      val got = Warehouse.funnelStages(evs.toDF("u", "t", "typ"),
+          col("u"), col("t"), col("typ"), steps)
+        .as[(Long, Int)].collect().toMap
+      val want = evs.groupBy(_._1).map { case (u, rs) =>
+        var stage = 0
+        var reachedAt = Long.MinValue
+        rs.sortBy(_._2).foreach { case (_, t, typ) =>
+          if (stage < steps.length && typ == steps(stage) &&
+              (stage == 0 || t > reachedAt)) { stage += 1; reachedAt = t }
+        }
+        u -> stage
+      }
+      assert(got == want, s"events=$evs")
+    }
+  }
+
+  test("snapshotDiff laws: self-diff is empty; diff flags exactly the injected edits") {
+    import graft.ops.Warehouse
+    forAll(rowsGen, n = 8) { rows =>
+      val base = rows.zipWithIndex.map { case ((k, o, v), i) => (i.toLong, s"$k-$o-$v") }
+      val df = base.toDF("k", "v")
+      assert(Warehouse.snapshotDiff(df, df, "k", Seq(col("v"))).count() == 0)
+      val edited = base.map { case (k, v) => if (k % 3 == 0) (k, v + "!") else (k, v) }
+      val got = Warehouse.snapshotDiff(df, edited.toDF("k", "v"), "k", Seq(col("v")))
+        .as[(Long, String)].collect().toMap
+      assert(got == base.collect { case (k, _) if k % 3 == 0 => k -> "changed" }.toMap)
+    }
+  }
+
   test("native minhash kernel == declarative min(md5(seed|shingle)) on adversarial text") {
     forAll(textGen, n = 20) { text =>
       val df = Seq((1L, text)).toDF("doc_id", "text")

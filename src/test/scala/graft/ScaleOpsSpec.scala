@@ -144,6 +144,44 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming SCD2: closed runs across batches match the batch builder") {
+    import graft.streaming.TypedEvent
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[TypedEvent]
+    val q = Streams.scd2Stream(mem.toDS()).writeStream
+      .format("memory").queryName("scd2_out").outputMode("append").start()
+    try {
+      // batch 1 out of order: bronze(1), bronze(2), silver(3)
+      mem.addData(TypedEvent(2, 1, 2, "bronze"), TypedEvent(1, 1, 1, "bronze"),
+        TypedEvent(3, 1, 3, "silver"))
+      q.processAllAvailable()
+      // batch 2: silver extends (no-op), then gold closes silver
+      mem.addData(TypedEvent(4, 1, 4, "silver"), TypedEvent(5, 1, 5, "gold"))
+      q.processAllAvailable()
+      val streamed = spark.table("scd2_out")
+        .select($"user_id", $"attr", $"version", $"effective_from", $"effective_to")
+        .as[(Long, String, Int, Long, Long)].collect().toSeq.sortBy(_._3)
+      val batchClosed = graft.ops.Warehouse.scd2Build(
+          Seq((1L, 1L, "bronze"), (1L, 2L, "bronze"), (1L, 3L, "silver"),
+            (1L, 4L, "silver"), (1L, 5L, "gold")).toDF("k", "t", "v"),
+          col("k"), Seq(col("t")), col("v"), col("t"))
+        .filter(!col("is_current"))
+        .select($"k", $"v", $"version", $"effective_from", $"effective_to")
+        .as[(Long, String, Int, Long, Long)].collect().toSeq.sortBy(_._3)
+      assert(streamed == batchClosed, s"stream $streamed vs batch $batchClosed")
+      assert(streamed.map(_._2) == Seq("bronze", "silver")) // gold still open in state
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState keeps running per-user counts across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[UserEvent]
