@@ -169,6 +169,96 @@ object QAnalytics {
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_click_then_error"))
     }),
 
+    // RFM segmentation: recency/frequency/monetary per customer,
+    // split at the exact medians (1-row broadcast) into an 8-way
+    // segment code — threshold compare is map-only.
+    "q_rfm_segments" -> ((s, dir) => {
+      val rfm = Tables(s, dir).orders
+        .groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+          count(lit(1)).as("f"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("msum"))
+        .select(col("o_custkey"),
+          datediff(col("last_d"), to_date(lit("1970-01-01"))).as("r"),
+          col("f"), col("msum").cast("double").as("m"))
+      val med = rfm.agg(expr("percentile(r, 0.5)").as("mr"),
+        expr("percentile(f, 0.5)").as("mf"),
+        expr("percentile(m, 0.5)").as("mm"))
+      rfm.crossJoin(broadcast(med))
+        .select(col("o_custkey"), col("r"), col("f"), round(col("m"), 2).as("m"),
+          concat(when(col("r") >= col("mr"), lit("R")).otherwise(lit("r")),
+            when(col("f") >= col("mf"), lit("F")).otherwise(lit("f")),
+            when(col("m") >= col("mm"), lit("M")).otherwise(lit("m"))).as("segment"))
+    }),
+
+    // Market-basket association on order brand-sets: pair support and
+    // lift. The self-join is per-order (baskets are bounded), pair
+    // counts shuffle on the pair key — never an all-pairs cartesian.
+    "q_basket_lift" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val items = t.lineitem.join(t.part, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("b")).distinct()
+      val tot = items.agg(countDistinct(col("ok")).as("n_orders"))
+      val counts = items.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+      val pairs = items.as("x").join(items.as("y"),
+          col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
+        .groupBy(col("x.b").as("b1"), col("y.b").as("b2"))
+        .agg(count(lit(1)).as("cab"))
+      pairs
+        .join(broadcast(counts.select(col("b").as("b1"), col("cb").as("cb1"))), "b1")
+        .join(broadcast(counts.select(col("b").as("b2"), col("cb").as("cb2"))), "b2")
+        .crossJoin(broadcast(tot))
+        .filter(col("cab") >= 20)
+        .select(col("b1"), col("b2"), col("cab"),
+          round((col("cab").cast("double") * col("n_orders").cast("double")) /
+            (col("cb1").cast("double") * col("cb2").cast("double")), 6).as("lift"))
+    }),
+
+    // Event-transition matrix (Markov-lite path analysis): lag pairs
+    // per user, transition counts, row-normalized probabilities via a
+    // broadcast of per-source totals.
+    "q_event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr("ts_ns DIV 1000"), col("event_id"))
+      val trans = Tables(s, dir).events
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy(col("prev")).agg(sum(col("n")).as("tot"))
+      trans.join(broadcast(totals), "prev")
+        .select(col("prev"), col("next"), col("n"),
+          round(col("n").cast("double") / col("tot").cast("double"), 6).as("p"))
+    }),
+
+    // Population-stability-index drift between week 1 and the final
+    // week, per event_type: fixed value buckets, smoothed proportions,
+    // PSI = sum (p-q)*ln(p/q). The drift monitor every production
+    // feature pipeline runs.
+    "q_psi_drift" -> ((s, dir) => {
+      def dist(lo: Boolean): DataFrame = {
+        val e = Tables(s, dir).events
+        val f = if (lo) e.filter(col("ts_ns") < 1704672000000000000L) // < 2024-01-08
+          else e.filter(col("ts_ns") >= 1706054400000000000L) // >= 2024-01-24
+        val b = f.select(col("event_type"),
+          least(floor(col("value") / 5.0), lit(9.0)).cast("int").as("bucket"))
+          .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("c"))
+        val tt = b.groupBy(col("event_type")).agg(sum(col("c")).as("t"))
+        b.join(tt, "event_type")
+          .select(col("event_type"), col("bucket"),
+            (col("c").cast("double") / col("t").cast("double")).as("prop"))
+      }
+      val p = dist(lo = true).withColumnRenamed("prop", "p")
+      val q = dist(lo = false).withColumnRenamed("prop", "q")
+      p.join(q, Seq("event_type", "bucket"), "full_outer")
+        .select(col("event_type"),
+          (greatest(coalesce(col("p"), lit(0.0)), lit(1e-6))).as("ps"),
+          (greatest(coalesce(col("q"), lit(0.0)), lit(1e-6))).as("qs"))
+        .select(col("event_type"),
+          ((col("ps") - col("qs")) * log(col("ps") / col("qs"))).as("term"))
+        .groupBy(col("event_type")).agg(round(sum(col("term")), 5).as("psi"))
+    }),
+
     // Daily new users + cumulative total — the incremental-metrics
     // shape. The running total uses the banded cumsum (driver-folded
     // band offsets, Text.orderedCumsum), NOT a global window, so the
@@ -532,6 +622,68 @@ object QAnalytics {
           WHERE event_type = 'error' AND prev_type = 'click'
             AND t - prev_t < 3600000000
           GROUP BY user_id""",
+    "q_rfm_segments" ->
+      """WITH rfm AS (SELECT o_custkey,
+                            CAST(date_diff('day', DATE '1970-01-01',
+                                           CAST(max(o_orderdate) AS DATE)) AS INT) AS r,
+                            count(*) AS f,
+                            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS m
+                     FROM orders GROUP BY o_custkey),
+          med AS (SELECT quantile_cont(r, 0.5) AS mr, quantile_cont(f, 0.5) AS mf,
+                         quantile_cont(m, 0.5) AS mm FROM rfm)
+          SELECT o_custkey, r, f, round(m, 2) AS m,
+                 (CASE WHEN r >= mr THEN 'R' ELSE 'r' END) ||
+                 (CASE WHEN f >= mf THEN 'F' ELSE 'f' END) ||
+                 (CASE WHEN m >= mm THEN 'M' ELSE 'm' END) AS segment
+          FROM rfm, med""",
+    "q_basket_lift" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+                       FROM lineitem JOIN part ON l_partkey = p_partkey),
+          tot AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
+          cnt AS (SELECT b, count(*) AS cb FROM items GROUP BY b),
+          pairs AS (SELECT x.b AS b1, y.b AS b2, count(*) AS cab
+                    FROM items x JOIN items y ON x.ok = y.ok AND x.b < y.b
+                    GROUP BY 1, 2)
+          SELECT b1, b2, cab,
+                 round((CAST(cab AS DOUBLE) * CAST(n_orders AS DOUBLE)) /
+                       (CAST(c1.cb AS DOUBLE) * CAST(c2.cb AS DOUBLE)), 6) AS lift
+          FROM pairs
+          JOIN cnt c1 ON c1.b = b1
+          JOIN cnt c2 ON c2.b = b2
+          CROSS JOIN tot
+          WHERE cab >= 20""",
+    "q_event_transitions" ->
+      """WITH lagged AS (SELECT user_id, event_type,
+                               lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS prev
+                        FROM events),
+          tr AS (SELECT prev, event_type AS next, count(*) AS n
+                 FROM lagged WHERE prev IS NOT NULL GROUP BY 1, 2),
+          tt AS (SELECT prev, sum(n) AS tot FROM tr GROUP BY prev)
+          SELECT prev, next, n,
+                 round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS p
+          FROM tr JOIN tt USING (prev)""",
+    "q_psi_drift" ->
+      """WITH lo AS (SELECT event_type,
+                           CAST(least(floor(value / 5.0), 9.0) AS INT) AS bucket,
+                           count(*) AS c
+                    FROM events WHERE ts < TIMESTAMP '2024-01-08' GROUP BY 1, 2),
+          hi AS (SELECT event_type,
+                        CAST(least(floor(value / 5.0), 9.0) AS INT) AS bucket,
+                        count(*) AS c
+                 FROM events WHERE ts >= TIMESTAMP '2024-01-24' GROUP BY 1, 2),
+          lp AS (SELECT event_type, bucket,
+                        CAST(c AS DOUBLE) / CAST(sum(c) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+                 FROM lo),
+          hp AS (SELECT event_type, bucket,
+                        CAST(c AS DOUBLE) / CAST(sum(c) OVER (PARTITION BY event_type) AS DOUBLE) AS q
+                 FROM hi),
+          j AS (SELECT event_type,
+                       greatest(COALESCE(p, 0.0), 1e-6) AS ps,
+                       greatest(COALESCE(q, 0.0), 1e-6) AS qs
+                FROM lp FULL OUTER JOIN hp USING (event_type, bucket))
+          SELECT event_type, round(sum((ps - qs) * ln(ps / qs)), 5) AS psi
+          FROM j GROUP BY event_type""",
     "q_user_growth" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) // 1000000 // 86400 AS day_num FROM events),
           fs AS (SELECT user_id, min(day_num) AS fd FROM ev GROUP BY user_id),
