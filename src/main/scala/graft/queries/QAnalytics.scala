@@ -169,6 +169,26 @@ object QAnalytics {
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_click_then_error"))
     }),
 
+    // Per-group trend detection: least-squares slope of value over
+    // time computed from DECIMAL-exact sums (n·Σxy − Σx·Σy) /
+    // (n·Σx² − (Σx)²) — unlike float regr_slope, the closed form over
+    // exact sums is bit-identical in any engine and any partitioning.
+    // x = hours since epoch, y = value in centi-units.
+    "q_trend_slope" -> ((s, dir) => {
+      val e = Tables(s, dir).events.select(col("event_type"),
+        expr("ts_ns DIV 1000000000 DIV 3600").cast("decimal(18,0)").as("x"),
+        col("value").cast("decimal(18,2)").as("y"))
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("decimal(18,0)").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 9)
+            .as("slope"),
+          col("n").cast("bigint").as("n"))
+    }),
+
     // RFM segmentation: recency/frequency/monetary per customer,
     // split at the exact medians (1-row broadcast) into an 8-way
     // segment code — threshold compare is map-only.
@@ -622,6 +642,20 @@ object QAnalytics {
           WHERE event_type = 'error' AND prev_type = 'click'
             AND t - prev_t < 3600000000
           GROUP BY user_id""",
+    "q_trend_slope" ->
+      """WITH e AS (SELECT event_type,
+                          CAST(epoch_us(ts) // 1000000 // 3600 AS DECIMAL(18,0)) AS x,
+                          CAST(value AS DECIMAL(18,2)) AS y
+                   FROM events),
+          a AS (SELECT event_type, CAST(count(*) AS DECIMAL(18,0)) AS n,
+                       SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x * y) AS sxy, SUM(x * x) AS sxx
+                FROM e GROUP BY event_type)
+          SELECT event_type,
+                 round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                       CAST(n * sxx - sx * sx AS DOUBLE), 9) AS slope,
+                 CAST(n AS BIGINT) AS n
+          FROM a""",
     "q_rfm_segments" ->
       """WITH rfm AS (SELECT o_custkey,
                             CAST(date_diff('day', DATE '1970-01-01',
