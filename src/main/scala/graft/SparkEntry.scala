@@ -60,12 +60,20 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QRelational.queries ++ QAggregates.queries ++ QScalars.queries ++
       QTimeseries.queries ++ QIo.queries ++ QText.queries ++
-      QSimilarity.queries ++ QMultimodal.queries ++ QAsOf.queries ++ QExtras.queries ++ QScale.queries ++ QSql.queries ++ QTpch.queries ++ QAnalytics.queries
+      QSimilarity.queries ++ QMultimodal.queries ++ QAsOf.queries ++ QExtras.queries ++ QScale.queries ++ QSql.queries ++ QTpch.queries ++ QAnalytics.queries ++ QStreaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     QRelational.oracles ++ QAggregates.oracles ++ QScalars.oracles ++
       QTimeseries.oracles ++ QIo.oracles ++ QText.oracles ++
-      QSimilarity.oracles ++ QMultimodal.oracles ++ QAsOf.oracles ++ QExtras.oracles ++ QScale.oracles ++ QSql.oracles ++ QTpch.oracles ++ QAnalytics.oracles
+      QSimilarity.oracles ++ QMultimodal.oracles ++ QAsOf.oracles ++ QExtras.oracles ++ QScale.oracles ++ QSql.oracles ++ QTpch.oracles ++ QAnalytics.oracles ++ QStreaming.oracles
+
+  /** Untimed setup actions for queries that read staged/pre-built
+    * data (sinks, manifests, ANN indexes): Bench/Verify run these once
+    * BEFORE the query loop so those queries measure the read path, not
+    * the one-time write it depends on. Keyed by query name.
+    */
+  def stages: Map[String, (SparkSession, String) => Unit] =
+    QIo.stages ++ QScale.stages ++ QSimilarity.stages
 }

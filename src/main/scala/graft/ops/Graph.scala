@@ -53,8 +53,14 @@ object Graph {
     // NOT broadcast it on its own and every round pays a sort-merge
     // join over the edge list (measured 3-6x slower per round at
     // sf0.1). n is already known here: broadcast the ranks while they
-    // are driver-safe, keep the shuffle join for billion-node graphs.
-    val bcastRanks = n < 5_000_000L
+    // are genuinely small. A (string node, double) row serializes to
+    // ~100 bytes, so cap the broadcast at 64 MB (~640k nodes) — the
+    // old 5M-row cap meant hundreds of MB per round, a realistic
+    // driver/executor OOM. Hint-broadcasts have no explicit destroy:
+    // each round's copy becomes unreachable when `pr` is reassigned
+    // and the ContextCleaner reclaims it, so the byte cap is the real
+    // safety lever; above it the shuffle join takes over.
+    val bcastRanks = n * 100L < 64L * 1024 * 1024
     var pr = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint()
     for (_ <- 1 to iterations) {
       val ranks = if (bcastRanks) broadcast(pr) else pr

@@ -273,28 +273,36 @@ object Text {
     * (or escalate to span excision).
     *
     * Scale shape: spans explode to (doc_id, hash) — bounded by corpus
-    * word count, the same budget as tokenization; the cross-doc test is
-    * one aggregation on the span hash (shuffle carries hashes, never
-    * text) and a semi-join shaped count. Documents shorter than `n`
-    * words have no spans and drop out (no span can be duplicated).
+    * word count, the same budget as tokenization — and the corpus is
+    * tokenized exactly ONCE: per-(hash, doc) occurrence counts roll up
+    * first, a count-window over the hash marks cross-doc duplication,
+    * and the per-doc ratio re-aggregates the same frame. All shuffles
+    * after the first carry (hash, id, counts) only — never text — and
+    * at 100 TB the second pass over the token stream that a
+    * build-dup-set-then-rejoin formulation costs is avoided entirely.
+    * Documents shorter than `n` words have no spans and drop out (no
+    * span can be duplicated).
     */
   def duplicatePassages(df: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val words = tokens(col(textCol))
     val spans = when(size(words) >= n,
       transform(sequence(lit(1), size(words) - (n - 1)),
         i => md5(concat_ws(" ", slice(words, i, lit(n))))))
       .otherwise(array())
-    val grams = df.select(col(idCol), explode(spans).as("h"))
-    // hashes seen in >1 distinct doc — the only cross-doc state
-    val dup = grams.distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") > 1)
-      .select(col("h"), lit(1).as("is_dup"))
-    grams.join(dup, Seq("h"), "left")
+    // one row per (hash, doc) with its occurrence count — the only
+    // pass over the text; everything downstream is count arithmetic
+    val perDoc = df.select(col(idCol), explode(spans).as("h"))
+      .groupBy(col("h"), col(idCol)).agg(count(lit(1)).as("cnt"))
+    // docs-per-hash via an unbounded count window on the hash (no
+    // sort, no second scan); a span is duplicated iff n_docs > 1
+    val nDocs = count(lit(1)).over(Window.partitionBy(col("h")))
+    perDoc.withColumn("n_docs", nDocs)
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(coalesce(col("is_dup"), lit(0))).cast("bigint").as("n_dup_spans"))
+      .agg(sum(col("cnt")).as("n_spans"),
+        sum(when(col("n_docs") > 1, col("cnt")).otherwise(lit(0)))
+          .cast("bigint").as("n_dup_spans"))
       .withColumn("dup_ratio",
         col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
   }

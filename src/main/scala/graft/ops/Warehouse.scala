@@ -81,15 +81,26 @@ object Warehouse {
     * (key only in `next`), `removed` (key only in `prev`), `changed`
     * (both sides, tracked columns differ). Unchanged rows are dropped.
     *
-    * Tracked columns are compared via an md5 over a `|`-joined
+    * Tracked columns are compared via an md5 over a self-delimiting
     * canonical string so only (key, 32-byte digest) survives the
     * projection — at 100 TB the full-outer join on `key` ships digests,
-    * not payload. One shuffle per side on `key`.
+    * not payload. One shuffle per side on `key`. Each field encodes as
+    * `N` (null) or `V<len>:<value>` — unlike a plain `|`-join (which
+    * skips NULLs and is delimiter-injectable, so (NULL,"A")/("A",NULL)
+    * or ("a|b","c")/("a","b|c") would collide), no two distinct rows
+    * share a canonical string, so a reconciliation can't silently
+    * report a changed row as "same".
     */
   def snapshotDiff(prev: DataFrame, next: DataFrame, key: String,
       tracked: Seq[Column]): DataFrame = {
-    def digest(df: DataFrame): DataFrame =
-      df.select(col(key), md5(concat_ws("|", tracked: _*)).as("__h"))
+    def digest(df: DataFrame): DataFrame = {
+      val canon = tracked.map { t =>
+        val s = t.cast("string")
+        when(s.isNull, lit("N"))
+          .otherwise(concat(lit("V"), length(s).cast("string"), lit(":"), s))
+      }
+      df.select(col(key), md5(concat(canon: _*)).as("__h"))
+    }
     val a = digest(prev).withColumnRenamed("__h", "__h_prev")
     val b = digest(next).withColumnRenamed("__h", "__h_next")
     a.join(b, Seq(key), "full_outer")
@@ -111,15 +122,18 @@ object Warehouse {
     * side at any scale. For unbounded keys use the banded window
     * pattern ([[Aggregates]] banded cumsum) instead — a global
     * dense_rank window would be the single-task bottleneck Guard
-    * rejects.
+    * rejects. NULL values are excluded from the dictionary (a null
+    * sort key would NPE the driver-side ordering) and survive the
+    * left join with a null code — rows are never silently dropped.
     */
   def dictEncode(df: DataFrame, column: String, codeCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val values = df.select(col(column).cast("string")).distinct()
+    val values = df.select(col(column).cast("string"))
+      .filter(col(column).isNotNull).distinct()
       .collect().map(_.getString(0)).sorted
     val dict = values.zipWithIndex.toSeq.toDF(column, codeCol)
-    df.join(broadcast(dict), Seq(column))
+    df.join(broadcast(dict), Seq(column), "left")
   }
 
   /** Ordered-funnel stage assignment: for each user the funnel stage
@@ -128,13 +142,16 @@ object Warehouse {
     *
     * Single window pass per step over the same (user-partitioned,
     * time-ordered) frame — one shuffle on `user` total, and the final
-    * per-user aggregate reuses that partitioning. `timeKey` must be a
-    * strictly-ordering column per user (epoch-nanos long here; ties
-    * would make "strictly after" ill-defined).
+    * per-user aggregate reuses that partitioning. `(timeKey, tieBreak)`
+    * together must totally order each user's events: the running
+    * windows sort by them (two same-`timeKey` events would otherwise
+    * make the window order — and so the result — nondeterministic),
+    * while the "strictly after" comparison stays on `timeKey` values
+    * alone.
     */
   def funnelStages(events: DataFrame, user: Column, timeKey: Column,
-      typ: Column, steps: Seq[String]): DataFrame =
-    funnelTimes(events, user, timeKey, typ, steps)
+      typ: Column, steps: Seq[String], tieBreak: Seq[Column] = Nil): DataFrame =
+    funnelTimes(events, user, timeKey, typ, steps, tieBreak)
       .select(col("user"), col("stage"))
 
   /** As [[funnelStages]] but keeps the per-stage completion times
@@ -142,9 +159,9 @@ object Warehouse {
     * latency analysis.
     */
   def funnelTimes(events: DataFrame, user: Column, timeKey: Column,
-      typ: Column, steps: Seq[String]): DataFrame = {
+      typ: Column, steps: Seq[String], tieBreak: Seq[Column] = Nil): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val w = Window.partitionBy(user).orderBy(timeKey)
+    val w = Window.partitionBy(user).orderBy(timeKey +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // __r(i): per row, the earliest time stage i was completed
     // considering events up to and including this row. Each step's

@@ -95,7 +95,7 @@ object QAnalytics {
       Warehouse.funnelStages(
           Tables(s, dir).events.filter(col("ts_ns") < 1704153600000000000L),
           col("user_id"), col("ts_ns"), col("event_type"),
-          Seq("view", "click", "purchase"))
+          Seq("view", "click", "purchase"), tieBreak = Seq(col("event_id")))
         .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
     }),
 
@@ -107,9 +107,11 @@ object QAnalytics {
     // Funnel conversion latency: integer-µs sums (exact, no float
     // summation order) over users completing the full path.
     "q_funnel_timing" -> ((s, dir) => {
+      // event_id tie-break: the µs truncation can put two same-user
+      // events in one microsecond, and the oracle orders by (t, event_id)
       Warehouse.funnelTimes(Tables(s, dir).events, col("user_id"),
           expr("ts_ns DIV 1000"), col("event_type"),
-          Seq("view", "click", "purchase"))
+          Seq("view", "click", "purchase"), tieBreak = Seq(col("event_id")))
         .filter(col("t2").isNotNull)
         .agg(count(lit(1)).as("n_converted"),
           sum(col("t1") - col("t0")).as("view_to_click_us"),

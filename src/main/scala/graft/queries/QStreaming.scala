@@ -1,0 +1,220 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.{Streams, TypedEvent}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked demo queries for the STREAMING operators (SURVEY §2
+  * K19/K26/I5). Each runs the real Structured Streaming twin over a
+  * bounded MemoryStream feed of the same parquet rows the oracle reads,
+  * split into event-time-ordered micro-batches, and returns the final
+  * materialized result — so the streaming semantics themselves sit
+  * under the DuckDB compare instead of only under unit tests (the
+  * `q_watermark_filter` pattern, per the round-3 verdict).
+  *
+  * MemoryStream is driver-fed by design (it exists to script batch
+  * boundaries); the collected feed is the demo harness, not the
+  * operator — the operators themselves are the distributed
+  * `transformWithState` / `foreachBatch` pipelines in [[Streams]].
+  */
+object QStreaming {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete(); ()
+  }
+
+  /** Run `body` with the RocksDB state store (required by
+    * `transformWithState`), restoring the previous provider after.
+    */
+  private def withRocksDb[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  /** Feed `rows` (already event-time sorted) through a MemoryStream in
+    * `nBatches` contiguous slices — time-ordered across batches, the
+    * documented delivery precondition of the monotone-state processors
+    * — draining the stream after each slice. Returns the memory-sink
+    * table of everything emitted.
+    */
+  private def runSliced[T: org.apache.spark.sql.Encoder](s: SparkSession,
+      rows: Seq[T], nBatches: Int,
+      pipeline: org.apache.spark.sql.Dataset[T] => DataFrame): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val sink = s"q_stream_sink_${sinkSeq.incrementAndGet()}"
+    val mem = MemoryStream[T]
+    val q = pipeline(mem.toDS()).writeStream
+      .format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val per = math.max(1, (rows.size + nBatches - 1) / nBatches)
+      rows.grouped(per).foreach { slice =>
+        mem.addData(slice)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(sink)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // K19 — streaming funnel over the SAME day-1 events as q_funnel,
+    // delivered in 3 event-time-ordered micro-batches; per-user stage
+    // state advances across batches, final stage = last emission (max).
+    "q_stream_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val feed = Tables(s, dir).events
+        .filter(col("ts_ns") < 1704153600000000000L)
+        .select(col("event_id"), col("user_id"), col("ts_ns").as("t"), col("event_type"))
+        .as[TypedEvent].collect().toSeq.sortBy(e => (e.t, e.event_id))
+      val out = withRocksDb(s) {
+        runSliced(s, feed, 3,
+          (ds: org.apache.spark.sql.Dataset[TypedEvent]) =>
+            Streams.funnelStages(ds, Seq("view", "click", "purchase")))
+      }
+      out.groupBy(col("user_id")).agg(max(col("stage")).as("stage"))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+    }),
+
+    // K26 — streaming SCD2 over the full event log in 3 ordered
+    // micro-batches; emits each CLOSED run exactly once, so the result
+    // is the batch rebuild minus the still-open (is_current) runs.
+    "q_stream_scd2" -> ((s, dir) => {
+      import s.implicits._
+      val feed = Tables(s, dir).events
+        .select(col("event_id"), col("user_id"),
+          expr("ts_ns DIV 1000").as("t"), col("event_type"))
+        .as[TypedEvent].collect().toSeq.sortBy(e => (e.t, e.event_id))
+      val out = withRocksDb(s) {
+        runSliced(s, feed, 3,
+          (ds: org.apache.spark.sql.Dataset[TypedEvent]) => Streams.scd2Stream(ds))
+      }
+      out.select(col("user_id"), col("attr").as("event_type"), col("version"),
+        col("effective_from").as("eff_from_us"), col("effective_to").as("eff_to_us"))
+    }),
+
+    // I5 — streaming corpus ingest (exact + LSH dedup within batch,
+    // persisted-index rejection across batches, idempotent batch=N
+    // landing) over documents split in two micro-batches by doc_id
+    // parity — duplicates split across the boundary must be caught by
+    // the index road, not the intra-batch one.
+    "q_stream_ingest" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val base = new java.io.File(
+        s"target/tmp/q_stream_ingest_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+      rmrf(base) // stale index/checkpoint would reject the whole feed
+      val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq
+      val mem = MemoryStream[(Long, String)]
+      val q = Streams.corpusIngest(
+          mem.toDF().toDF("doc_id", "text"),
+          s"$base/index", s"$base/out", s"$base/ckpt")
+        .start()
+      try {
+        Seq(docs.filter(_._1 % 2 == 0), docs.filter(_._1 % 2 == 1)).foreach { b =>
+          mem.addData(b)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.read.parquet(s"$base/out")
+        .select(col("doc_id"), col("batch").cast("int").as("batch"))
+    })
+  )
+
+  /** DuckDB replay of one ingest micro-batch: exact dedup (min doc_id
+    * per content hash), then LSH cluster drops (8 single-row bands over
+    * 3-word-shingle minhash, min-label connected components), then
+    * rejection of anything colliding with the prior accepted set's
+    * band frame.
+    */
+  private def ingestBatchSql(sfx: String, pred: String, idx: String): String = {
+    val mh = (0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")
+    val bands = (0 until 8)
+      .map(i => s"SELECT doc_id, $i AS band, md5(mh$i) AS bucket FROM mh_$sfx")
+      .mkString(" UNION ALL ")
+    s"""ex_$sfx AS (SELECT min(doc_id) AS doc_id FROM documents WHERE $pred
+                 GROUP BY sha256(text)),
+        mh_$sfx AS (SELECT sh.doc_id, $mh FROM sh JOIN ex_$sfx USING (doc_id)
+                 GROUP BY sh.doc_id),
+        bd_$sfx AS ($bands),
+        eg_$sfx AS (SELECT b.doc_id AS src, h.hub AS dst
+                 FROM bd_$sfx b JOIN (SELECT band, bucket, min(doc_id) AS hub
+                                   FROM bd_$sfx GROUP BY band, bucket) h
+                   USING (band, bucket)
+                 WHERE b.doc_id <> h.hub),
+        ed_$sfx AS (SELECT src, dst FROM eg_$sfx UNION SELECT dst, src FROM eg_$sfx),
+        rc_$sfx(node, label) AS (
+          SELECT DISTINCT src, src FROM ed_$sfx
+          UNION
+          SELECT e.dst, r.label FROM ed_$sfx e JOIN rc_$sfx r ON r.node = e.src),
+        dr_$sfx AS (SELECT node AS doc_id FROM rc_$sfx GROUP BY node
+                 HAVING min(label) <> node),
+        acc_$sfx AS (SELECT doc_id FROM ex_$sfx
+                  WHERE doc_id NOT IN (SELECT doc_id FROM dr_$sfx)
+                    AND doc_id NOT IN (SELECT DISTINCT b.doc_id FROM bd_$sfx b
+                                       JOIN ($idx) x USING (band, bucket)))"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t, event_id FROM events
+                    WHERE ts < TIMESTAMP '2024-01-02'),
+          s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN t END)
+                             OVER (PARTITION BY user_id ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS r0 FROM e),
+          s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND r0 < t THEN t END)
+                             OVER (PARTITION BY user_id ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS r1 FROM s1),
+          s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND r1 < t THEN t END)
+                             OVER (PARTITION BY user_id ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS r2 FROM s2),
+          u AS (SELECT user_id, min(r0) AS t0, min(r1) AS t1, min(r2) AS t2
+                FROM s3 GROUP BY user_id)
+          SELECT CASE WHEN t2 IS NOT NULL THEN 3 WHEN t1 IS NOT NULL THEN 2
+                      WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+                 count(*) AS n_users
+          FROM u GROUP BY 1""",
+    "q_stream_scd2" ->
+      """WITH ord AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events),
+          chg AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+                  FROM ord),
+          runs AS (SELECT * FROM chg WHERE prev IS NULL OR prev <> event_type),
+          v AS (SELECT user_id, event_type,
+                       CAST(row_number() OVER w AS INT) AS version,
+                       tus AS eff_from_us,
+                       lead(tus) OVER w AS eff_to_us
+                FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+          SELECT * FROM v WHERE eff_to_us IS NOT NULL""",
+    "q_stream_ingest" -> {
+      val b0 = ingestBatchSql("b0", "doc_id % 2 = 0",
+        "SELECT band, bucket FROM bd_b0 WHERE 1 = 0")
+      // batch 1 rejects against batch 0's accepted band frame
+      val b1 = ingestBatchSql("b1", "doc_id % 2 = 1",
+        "SELECT band, bucket FROM bd_b0 WHERE doc_id IN (SELECT doc_id FROM acc_b0)")
+      s"""WITH RECURSIVE
+          words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          sh AS (SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                                         i -> array_to_string(w[i:i+2], ' '))) AS shingle
+            FROM words)),
+          $b0,
+          $b1
+          SELECT doc_id, 0 AS batch FROM acc_b0
+          UNION ALL
+          SELECT doc_id, 1 AS batch FROM acc_b1"""
+    }
+  )
+}

@@ -105,9 +105,14 @@ object Streams {
     * ValueState, advanced by events of type `steps(stage)` strictly
     * after the previous stage's completion time. Rows are sorted by
     * (t, event_id) within each micro-batch (the iterator carries no
-    * order guarantee); cross-batch order is the state itself — a
-    * stage can only advance, so late stragglers older than the
-    * reached-at time are correctly ignored.
+    * order guarantee); across batches the monotone state only protects
+    * against RE-advancing — it cannot recover an advance that was
+    * missed because a prerequisite event arrived in a later batch
+    * (view@10 delivered after click@20 was already processed leaves
+    * the user at stage 1 where the batch twin says 2). Precondition:
+    * cross-batch delivery must be event-time ordered per key (route
+    * through a per-key ordered source, or widen the batch boundary
+    * with a watermark-buffered state if the feed can straggle).
     */
   class FunnelProcessor(steps: Seq[String])
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, FunnelStage] {

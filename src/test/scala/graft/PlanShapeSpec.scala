@@ -377,4 +377,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"band offsets should broadcast, not shuffle the corpus:\n$plan")
   }
+
+  test("duplicatePassages tokenizes the corpus once (single documents scan)") {
+    val qe = graft.ops.Text
+      .duplicatePassages(Tables(spark, sfDir).documents, "text", "doc_id", 15)
+      .queryExecution
+    val scans = qe.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    // the round-3 formulation rebuilt the 15-gram explode on both
+    // sides of a self-join — at 100 TB that's a second pass over the
+    // whole token stream; the count-window form must scan once
+    assert(scans.length == 1,
+      s"expected exactly one documents scan, got ${scans.length}:\n${qe.sparkPlan}")
+  }
 }
