@@ -17,7 +17,7 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * Why not the window form? Since 3.5 Spark's `InferWindowGroupLimit`
   * already bounds the shuffle of `row_number().over(...) <= k` — a
   * Partial WindowGroupLimit runs before the exchange (verified on this
-  * build: PlanQ q_topk_per_group). What it CANNOT remove is the pair of
+  * build: tools.Explain q_topk_per_group). What it CANNOT remove is the pair of
   * full per-partition SORTS bracketing the exchange (WindowGroupLimit
   * and WindowExec both demand sorted input): O(n log n) over every map
   * partition of a 100 TB scan, again over the reduced side, plus a

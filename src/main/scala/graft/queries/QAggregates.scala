@@ -303,9 +303,10 @@ object QAggregates {
     // HLL via Spark's hll_sketch_agg): one sketch per (flag, ship
     // year) "batch", unioned down to per-flag estimates — the
     // incremental-distinct analogue of q_incremental_agg (exact
-    // distinct does not merge; sketches do). Estimator output, so no
-    // cross-engine oracle (driver records rows-only); the merge==direct
-    // equality is asserted in ScaleOpsSpec.
+    // distinct does not merge; sketches do). DataSketches hashes with
+    // its internal murmur3, which DuckDB cannot replay, so THIS road
+    // stays rows-only (merge==direct is asserted in ScaleOpsSpec);
+    // the oracle-exact register-level twin is q_hll_registers below.
     "q_hll_mergeable" -> ((s, dir) => {
       val li = Tables(s, dir).lineitem
         .select(col("l_returnflag"), year(col("l_shipdate")).as("yr"), col("l_partkey"))
@@ -314,8 +315,49 @@ object QAggregates {
         .groupBy(col("l_returnflag"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_parts"),
           count(lit(1)).as("n_batches"))
+    }),
+
+    // E2-ext — ORACLE-EXACT mergeable HLL (the KMV determinism trick
+    // ported to a register array): md5-derived 60-bit hashes split
+    // into 64 buckets × 54-bit suffixes; register = max leading-zero
+    // rank per bucket, built per (flag, year) batch then merged by
+    // register-wise MAX (associative — merged == direct by
+    // construction, which is the mergeability claim, and the oracle
+    // recomputes it directly). The harmonic-mean estimate is an
+    // integer 2^(56-reg) fixed-point sum cast to double in ONE
+    // expression, so even the float step is bit-identical across
+    // engines. No small-range linear-counting branch: per-flag
+    // cardinality here is far above the 2.5·m correction bound, and
+    // the raw-estimate formula is the cross-engine contract.
+    "q_hll_registers" -> ((s, dir) => {
+      val rho = withBucket(Tables(s, dir).lineitem)
+      val perBatch = rho.groupBy(col("l_returnflag"), col("yr"), col("bucket"))
+        .agg(max(col("rho")).as("reg"))
+      val merged = perBatch.groupBy(col("l_returnflag"), col("bucket"))
+        .agg(max(col("reg")).as("reg"))
+      merged.groupBy(col("l_returnflag"))
+        .agg(sum(expr("shiftleft(cast(1 as bigint), cast(56 - reg as int))")).as("sp"),
+          count(lit(1)).as("n_buckets"))
+        .select(col("l_returnflag"), col("n_buckets"),
+          (lit(0.709) * lit(4096L) * lit(72057594037927936L) /
+            (col("sp") + (lit(64L) - col("n_buckets")) * lit(72057594037927936L))
+              .cast("double")).as("est_distinct"))
     })
   )
+
+  /** (flag, year, bucket, rho) for the hand-rolled HLL: 15 md5 hex
+    * chars = 60 bits; low 6 pick the bucket, rho = leading zeros of
+    * the 54-bit remainder + 1 via `55 - length(bin(w))` — string-length
+    * integer math that both engines evaluate identically.
+    */
+  private def withBucket(li: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    li.select(col("l_returnflag"), year(col("l_shipdate")).as("yr"),
+        conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+          .cast("bigint").as("hb"))
+      .withColumn("bucket", col("hb") % 64)
+      .withColumn("w", expr("hb DIV 64"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(55)).otherwise(lit(55) - length(bin(col("w")))))
 
   val oracles: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -400,6 +442,22 @@ object QAggregates {
                 CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS r_qty,
                 count(*) FILTER (WHERE l_returnflag = 'R') AS r_n
          FROM lineitem GROUP BY l_linestatus""",
+    "q_hll_registers" ->
+      """WITH b AS (SELECT l_returnflag, year(l_shipdate) AS yr,
+                  CAST('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS hb
+           FROM lineitem),
+          r AS (SELECT l_returnflag, yr, hb % 64 AS bucket,
+                  CASE WHEN hb // 64 = 0 THEN 55 ELSE 55 - length(bin(hb // 64)) END AS rho
+           FROM b),
+          pb AS (SELECT l_returnflag, yr, bucket, max(rho) AS reg FROM r GROUP BY 1, 2, 3),
+          mg AS (SELECT l_returnflag, bucket, max(reg) AS reg FROM pb GROUP BY 1, 2),
+          s AS (SELECT l_returnflag,
+                  sum(CAST(1 AS BIGINT) << (56 - reg)) AS sp, count(*) AS nb
+           FROM mg GROUP BY 1)
+         SELECT l_returnflag, CAST(nb AS BIGINT) AS n_buckets,
+                0.709 * 4096 * 72057594037927936 /
+                  CAST(sp + (64 - nb) * 72057594037927936 AS DOUBLE) AS est_distinct
+         FROM s""",
     "q_distinct_kmv" ->
       """WITH h AS (SELECT DISTINCT l_returnflag,
                            CAST('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 13) AS BIGINT) AS hb

@@ -37,7 +37,8 @@ class PropertySpec extends SparkSpec {
       "QScale" -> QScale.queries.keySet,
       "QSql" -> QSql.queries.keySet,
       "QTpch" -> QTpch.queries.keySet,
-      "QAnalytics" -> QAnalytics.queries.keySet)
+      "QAnalytics" -> QAnalytics.queries.keySet,
+      "QStreaming" -> QStreaming.queries.keySet)
     val dups = modules.flatMap { case (m, ks) => ks.map(_ -> m) }
       .groupBy(_._1).filter(_._2.length > 1)
     assert(dups.isEmpty, s"duplicate query keys: ${dups.map { case (k, ms) =>
