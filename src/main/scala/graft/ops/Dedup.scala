@@ -225,17 +225,31 @@ object Dedup {
       // outer one, so its whole subtree executes twice)
       val viaNbr = und.join(labels, und("dst") === labels("node"))
         .select(und("src").as("node"), col("label"))
-      val next = labels.union(viaNbr)
+      val prop = labels.union(viaNbr)
         .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      // Path halving: labels are node ids, so label(label(v)) is one
+      // self-join away — chase the pointer once per round and a
+      // diameter-d chain converges in O(log d) rounds instead of d.
+      // `prop` is checkpointed FIRST so the self-join reuses one
+      // materialized RDD (an unmaterialized self-reference re-executes
+      // the whole propagation subtree per side — measured 8x slower).
+      // Every label is a node in `prop` by construction; the left join
+      // + coalesce only guards in-flight frames.
+      val ptr = prop.select(col("node").as("__pn"), col("label").as("__pl"))
+      val next = prop.join(ptr, prop("label") === ptr("__pn"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("__pl"), col("label"))).as("label"))
         .localCheckpoint()
       val cur = checksum(next)
       converged = cur.compareTo(prev) == 0
       prev = cur
       cpBlocks(labels).foreach(_.unpersist(blocking = false))
+      cpBlocks(prop).foreach(_.unpersist(blocking = false))
       labels = next
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(s"[cc] round $iter done at ${System.nanoTime()}")
+        System.err.println(s"[cc] round $iter done at ${System.nanoTime()} checksum $cur")
     }
     und.unpersist()
     labels.select(col("node"), col("label").as("cluster_id"))

@@ -33,6 +33,25 @@ object Timeseries {
   def sessionized(df: DataFrame, ts: Column, gap: String, keys: Seq[Column], aggs: Seq[Column]): DataFrame =
     df.groupBy(session_window(ts, gap) +: keys: _*).agg(aggs.head, aggs.tail: _*)
 
+  /** I3-ext — per-EVENT session assignment: unlike [[sessionized]]
+    * (which aggregates away the rows), every event keeps a 1-based
+    * `session_idx` within its key, where a gap strictly greater than
+    * `gap` (same units as `timeKey`) opens a new session. The classic
+    * lag-flag + running-sum shape: ONE shuffle on the key, both
+    * windows share the (key, timeKey, tieBreak) sort. `(timeKey,
+    * tieBreak)` must totally order each key's events (ties would make
+    * the running sum nondeterministic).
+    */
+  def sessionize(df: DataFrame, key: Column, timeKey: Column,
+      tieBreak: Column, gap: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key).orderBy(timeKey, tieBreak)
+    val prev = lag(timeKey, 1).over(w)
+    val opens = when(prev.isNull || timeKey - prev > gap, lit(1)).otherwise(lit(0))
+    df.withColumn("session_idx",
+      sum(opens).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** I4 — batch form of a watermark: keep rows within `lateness` of the
     * frame's max timestamp. The max is a broadcast one-row aggregate —
     * no shuffle of the fact side; at scale this is a scan + a scalar.

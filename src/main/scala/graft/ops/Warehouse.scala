@@ -186,6 +186,28 @@ object Warehouse {
     perUser.withColumn("stage", stage)
   }
 
+  /** K-ext — LAST-TOUCH attribution: each conversion row is credited
+    * to the same key's most recent touch at-or-before it, provided the
+    * touch is within `window` (same units as the time keys). Built on
+    * the as-of backward join, so the cost is one (key)-shuffled sort of
+    * |touches|+|conversions| — never the interval nested loop. Touches
+    * must be unique per (key, time): pre-collapse ties (e.g. keep the
+    * max touch id) or the carried touch is nondeterministic.
+    *
+    * Output: conversions columns + `touch_id`/`touch_t` (null when no
+    * touch in-window — unattributed conversions are kept, the row set
+    * is never filtered).
+    */
+  def lastTouchAttribution(conversions: DataFrame, touches: DataFrame,
+      key: String, convTime: String, touchTime: String, touchId: String,
+      window: Long): DataFrame =
+    AsOf.asofBackward(conversions, touches, key, convTime, touchTime,
+        Map(touchId -> "touch_id", touchTime -> "touch_t"))
+      .withColumn("touch_id",
+        when(col(convTime) - col("touch_t") < window, col("touch_id")))
+      .withColumn("touch_t",
+        when(col("touch_id").isNotNull, col("touch_t")))
+
   /** Weekly retention cohorts: users bucketed by the week of their
     * first event; one output row per (cohort week, week offset) with
     * the distinct active users. Two shuffles: the per-user first-event

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.expressions.StringSimilarityExpressions
-import graft.ops.{Graph, Text, Warehouse}
+import graft.ops.{Graph, Scalars, Text, Timeseries, Warehouse}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -255,6 +255,134 @@ object QAnalytics {
 
     // Population-stability-index drift between week 1 and the final
     // week, per event_type: fixed value buckets, smoothed proportions,
+    // Per-event sessionization: 30-min-gap sessions assigned to every
+    // event (the row-level form of q_window_session), summarized per
+    // (user, session). µs axis + event_id tie-break = total order.
+    "q_session_ids" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), expr("ts_ns DIV 1000").as("t"), col("event_id"))
+      Timeseries.sessionize(ev, col("user_id"), col("t"), col("event_id"),
+          30L * 60 * 1000000)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("t")).as("session_start_us"), max(col("t")).as("session_end_us"))
+    }),
+
+    // Two-proportion A/B z-test on conversion (a high-value purchase,
+    // value >= 90 — "any purchase" saturates both arms to p = 1.0 and
+    // the pooled variance collapses to 0/0) between the user_id-parity
+    // variants: the experiment read-out every growth team runs. Counts
+    // are exact; the z arithmetic is one scalar expression over a
+    // single row (sqrt is IEEE-exact), so the statistic itself is
+    // under the oracle.
+    "q_ab_test" -> ((s, dir) => {
+      val conv = Tables(s, dir).events
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") >= 90, 1)
+          .otherwise(0)).as("cv"))
+        .withColumn("variant", col("user_id") % 2)
+      val s2 = conv.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"), sum(col("cv")).as("c"))
+      val wide = s2.groupBy()
+        .agg(sum(when(col("variant") === 0, col("n"))).as("n0"),
+          sum(when(col("variant") === 0, col("c"))).as("c0"),
+          sum(when(col("variant") === 1, col("n"))).as("n1"),
+          sum(when(col("variant") === 1, col("c"))).as("c1"))
+      val p0 = col("c0").cast("double") / col("n0").cast("double")
+      val p1 = col("c1").cast("double") / col("n1").cast("double")
+      val pp = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1")).cast("double")
+      wide.select(col("n0"), col("c0"), col("n1"), col("c1"),
+        p0.as("p0"), p1.as("p1"),
+        ((p0 - p1) / sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n0").cast("double") + lit(1.0) / col("n1").cast("double"))))
+          .as("z_score"))
+    }),
+
+    // Chi-square independence of (event_type, day-of-week): expected
+    // counts from the margins; per-cell terms are double-exact, the
+    // cross-cell sum goes through 2^30 fixed-point longs so partition
+    // order cannot move the statistic.
+    "q_chi_square" -> ((s, dir) => {
+      val obs = Tables(s, dir).events
+        .select(col("event_type"),
+          (expr("ts_ns DIV 1000000000 DIV 86400") % 7).as("dow"))
+        .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("o"))
+      val rt = obs.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
+      val ct = obs.groupBy(col("dow")).agg(sum(col("o")).as("ct"))
+      val n = obs.agg(sum(col("o")).as("n"))
+      val exp0 = col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double")
+      val term = (col("o").cast("double") - exp0) * (col("o").cast("double") - exp0) / exp0
+      obs.join(broadcast(rt), "event_type").join(broadcast(ct), "dow")
+        .crossJoin(broadcast(n))
+        .select(floor(term * lit(1073741824L)).cast("bigint").as("fx"))
+        .agg(count(lit(1)).as("n_cells"),
+          (sum(col("fx")).cast("double") / lit(1073741824.0)).as("chi2"))
+    }),
+
+    // Last-touch attribution: each purchase credited to the same
+    // user's most recent click within 15 min (as-of backward join —
+    // one sorted merge, never an interval nested loop). Same-µs click
+    // ties pre-collapse to the max event_id so the credit is
+    // deterministic; unattributed purchases keep a null touch.
+    "q_attribution" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), expr("ts_ns DIV 1000").as("ct"), col("event_id"))
+        .groupBy(col("user_id"), col("ct")).agg(max(col("event_id")).as("click_id"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts_ns DIV 1000").as("pt"),
+          col("event_id").as("purchase_id"))
+      Warehouse.lastTouchAttribution(pur, clicks, "user_id", "pt", "ct", "click_id",
+          15L * 60 * 1000000)
+        .select(col("user_id"), col("purchase_id"), col("pt"),
+          col("touch_id").as("click_id"), col("touch_t").as("click_t"))
+    }),
+
+    // Exact per-group mode with a total-order tie-break (most frequent
+    // order priority per order status).
+    "q_mode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cnt = Tables(s, dir).orders
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("n").desc, col("o_orderpriority").asc)
+      cnt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+          col("n").as("mode_count"))
+    }),
+
+    // Histogram-sketch quantiles: per-flag p50/p90/p99 of the price
+    // from a 1024-bin fixed histogram over exact integer cents — the
+    // at-scale approximate-quantile road (the histogram, not the rows,
+    // crosses the wire), with integer bin math so the ESTIMATE is
+    // oracle-exact. Threshold = ceil(q*total) in pure integer form.
+    "q_histogram_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = Tables(s, dir).lineitem
+        .select(col("l_returnflag"),
+          (Scalars.dec(col("l_extendedprice")) * 100).cast("bigint").as("cents"))
+      val ext = cents.groupBy(col("l_returnflag"))
+        .agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"),
+          count(lit(1)).as("total"))
+      val binned = cents.join(broadcast(ext), "l_returnflag")
+        .select(col("l_returnflag"), col("mn"), col("mx"), col("total"),
+          expr("(cents - mn) * 1024 DIV (mx - mn + 1)").as("bin"))
+        .groupBy(col("l_returnflag"), col("mn"), col("mx"), col("total"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+      val cum = binned.withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      def qbin(q: Int) =
+        min(when(col("cum") * 100 >= col("total") * q, col("bin"))).as(s"b$q")
+      cum.groupBy(col("l_returnflag"), col("mn"), col("mx"), col("total"))
+        .agg(qbin(50), qbin(90), qbin(99))
+        .select(col("l_returnflag"),
+          expr("cast(mn + (b50 * (mx - mn + 1)) DIV 1024 as double) / 100.0d").as("p50_est"),
+          expr("cast(mn + (b90 * (mx - mn + 1)) DIV 1024 as double) / 100.0d").as("p90_est"),
+          expr("cast(mn + (b99 * (mx - mn + 1)) DIV 1024 as double) / 100.0d").as("p99_est"))
+    }),
+
     // PSI = sum (p-q)*ln(p/q). The drift monitor every production
     // feature pipeline runs.
     "q_psi_drift" -> ((s, dir) => {
@@ -699,6 +827,106 @@ object QAnalytics {
           SELECT prev, next, n,
                  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS p
           FROM tr JOIN tt USING (prev)""",
+    "q_session_ids" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+          l AS (SELECT user_id, t, event_id,
+                       lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+                FROM e),
+          f AS (SELECT user_id, t, event_id,
+                       CASE WHEN prev IS NULL OR t - prev > 1800000000 THEN 1 ELSE 0 END AS op
+                FROM l),
+          sx AS (SELECT user_id, t,
+                        SUM(op) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_idx
+                 FROM f)
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                count(*) AS n_events,
+                min(t) AS session_start_us, max(t) AS session_end_us
+         FROM sx GROUP BY 1, 2""",
+    "q_ab_test" ->
+      """WITH conv AS (SELECT user_id,
+                             max(CASE WHEN event_type = 'purchase' AND value >= 90
+                                 THEN 1 ELSE 0 END) AS cv
+                      FROM events GROUP BY user_id),
+          s AS (SELECT user_id % 2 AS variant, cv FROM conv),
+          w AS (SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 END) AS BIGINT) AS n0,
+                       CAST(sum(CASE WHEN variant = 0 THEN cv END) AS BIGINT) AS c0,
+                       CAST(sum(CASE WHEN variant = 1 THEN 1 END) AS BIGINT) AS n1,
+                       CAST(sum(CASE WHEN variant = 1 THEN cv END) AS BIGINT) AS c1
+                FROM s)
+         SELECT n0, c0, n1, c1,
+                CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+                CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+                (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                   - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) /
+                sqrt(CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+                     * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                     * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) AS z_score
+         FROM w""",
+    "q_chi_square" ->
+      """WITH obs AS (SELECT event_type,
+                            (epoch_us(ts) // 1000000 // 86400) % 7 AS dow,
+                            count(*) AS o
+                     FROM events GROUP BY 1, 2),
+          rt AS (SELECT event_type, sum(o) AS rt FROM obs GROUP BY 1),
+          ct AS (SELECT dow, sum(o) AS ct FROM obs GROUP BY 1),
+          n AS (SELECT sum(o) AS n FROM obs),
+          t AS (SELECT CAST(floor(
+                  (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                * 1073741824) AS BIGINT) AS fx
+               FROM obs JOIN rt USING (event_type) JOIN ct USING (dow), n)
+         SELECT count(*) AS n_cells,
+                CAST(sum(fx) AS DOUBLE) / 1073741824.0 AS chi2
+         FROM t""",
+    "q_attribution" ->
+      """WITH c0 AS (SELECT user_id, epoch_us(ts) AS ct, max(event_id) AS click_id
+                     FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          p AS (SELECT user_id, epoch_us(ts) AS pt, event_id AS purchase_id
+                FROM events WHERE event_type = 'purchase'),
+          j AS (SELECT p.user_id, p.purchase_id, p.pt, c0.click_id, c0.ct,
+                       row_number() OVER (PARTITION BY p.purchase_id
+                                          ORDER BY c0.ct DESC) AS rn
+                FROM p LEFT JOIN c0
+                  ON p.user_id = c0.user_id AND c0.ct <= p.pt)
+         SELECT user_id, purchase_id, pt,
+                CASE WHEN pt - ct < 900000000 THEN click_id END AS click_id,
+                CASE WHEN pt - ct < 900000000 THEN ct END AS click_t
+         FROM j WHERE rn = 1""",
+    "q_mode" ->
+      """WITH cnt AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+                      FROM orders GROUP BY 1, 2),
+          r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                                             ORDER BY n DESC, o_orderpriority ASC) AS rn
+                FROM cnt)
+         SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count
+         FROM r WHERE rn = 1""",
+    "q_histogram_quantiles" ->
+      """WITH cents AS (SELECT l_returnflag,
+                              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                        FROM lineitem),
+          ext AS (SELECT l_returnflag, min(cents) AS mn, max(cents) AS mx,
+                         count(*) AS total
+                  FROM cents GROUP BY 1),
+          b AS (SELECT c.l_returnflag, mn, mx, total,
+                       (c.cents - mn) * 1024 // (mx - mn + 1) AS bin
+                FROM cents c JOIN ext USING (l_returnflag)),
+          g AS (SELECT l_returnflag, mn, mx, total, bin, count(*) AS c
+                FROM b GROUP BY 1, 2, 3, 4, 5),
+          cm AS (SELECT *, sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+                 FROM g),
+          qs AS (SELECT l_returnflag, mn, mx, total,
+                        min(CASE WHEN cum * 100 >= total * 50 THEN bin END) AS b50,
+                        min(CASE WHEN cum * 100 >= total * 90 THEN bin END) AS b90,
+                        min(CASE WHEN cum * 100 >= total * 99 THEN bin END) AS b99
+                 FROM cm GROUP BY 1, 2, 3, 4)
+         SELECT l_returnflag,
+                CAST(mn + (b50 * (mx - mn + 1)) // 1024 AS DOUBLE) / 100.0 AS p50_est,
+                CAST(mn + (b90 * (mx - mn + 1)) // 1024 AS DOUBLE) / 100.0 AS p90_est,
+                CAST(mn + (b99 * (mx - mn + 1)) // 1024 AS DOUBLE) / 100.0 AS p99_est
+         FROM qs""",
     "q_psi_drift" ->
       """WITH lo AS (SELECT event_type,
                            CAST(least(floor(value / 5.0), 9.0) AS INT) AS bucket,

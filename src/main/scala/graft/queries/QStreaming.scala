@@ -29,20 +29,28 @@ object QStreaming {
     f.delete(); ()
   }
 
-  /** Run `body` with the RocksDB state store (required by
-    * `transformWithState`), restoring the previous provider after.
-    */
-  private def withRocksDb[A](s: SparkSession)(body: => A): A = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+  /** Run `body` with conf overrides, restoring previous values after. */
+  private def withConf[A](s: SparkSession, kvs: (String, String)*)(body: => A): A = {
+    val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
     try body
-    finally prev match {
-      case Some(p) => s.conf.set(key, p)
-      case None => s.conf.unset(key)
+    finally prev.foreach {
+      case (k, Some(p)) => s.conf.set(k, p)
+      case (k, None) => s.conf.unset(k)
     }
   }
+
+  /** Run `body` with the RocksDB state store (required by
+    * `transformWithState`) and few shuffle partitions — per-partition
+    * state-store setup repeats every (batch × stage), which dominates a
+    * bounded MemoryStream feed; a real deployment sizes partitions to
+    * stream volume instead.
+    */
+  private def withRocksDb[A](s: SparkSession)(body: => A): A =
+    withConf(s,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.shuffle.partitions" -> "8")(body)
 
   /** Feed `rows` (already event-time sorted) through a MemoryStream in
     * `nBatches` contiguous slices — time-ordered across batches, the
@@ -104,6 +112,46 @@ object QStreaming {
         col("effective_from").as("eff_from_us"), col("effective_to").as("eff_to_us"))
     }),
 
+    // I-ext — stream-stream interval join (attribution): clicks and
+    // purchases as two watermarked streams, each fed in two
+    // time-aligned micro-batches; every purchase pairs with the same
+    // user's clicks from the preceding 15 min. Contiguous time slices
+    // keep cross-batch matches inside the watermark-bounded join
+    // state, so the emitted set equals the batch interval join the
+    // oracle runs.
+    "q_stream_attribution" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = Tables(s, dir).events
+      def side(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .as[(Long, Long, java.sql.Timestamp)].collect().toSeq
+        .sortBy(r => (r._3.getTime, r._2))
+      val clicks = side("click")
+      val purchases = side("purchase")
+      val cut = {
+        val all = (clicks ++ purchases).map(_._3.getTime).sorted
+        all(all.size / 2)
+      }
+      val memC = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val memP = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val sink = s"q_stream_sink_${sinkSeq.incrementAndGet()}"
+      withConf(s, "spark.sql.shuffle.partitions" -> "8") {
+        val q = Streams.attributionJoin(
+            memC.toDF().toDF("user_id", "event_id", "ts"),
+            memP.toDF().toDF("user_id", "event_id", "ts"))
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        try {
+          Seq[Long => Boolean](_ < cut, _ >= cut).foreach { in =>
+            memC.addData(clicks.filter(r => in(r._3.getTime)))
+            memP.addData(purchases.filter(r => in(r._3.getTime)))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      s.table(sink).select(col("user_id"), col("click_id"), col("purchase_id"))
+    }),
+
     // I5 — streaming corpus ingest (exact + LSH dedup within batch,
     // persisted-index rejection across batches, idempotent batch=N
     // landing) over documents split in two micro-batches by doc_id
@@ -118,26 +166,28 @@ object QStreaming {
       val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
         .as[(Long, String)].collect().toSeq
       val mem = MemoryStream[(Long, String)]
-      val q = Streams.corpusIngest(
-          mem.toDF().toDF("doc_id", "text"),
-          s"$base/index", s"$base/out", s"$base/ckpt")
-        .start()
-      try {
-        Seq(docs.filter(_._1 % 2 == 0), docs.filter(_._1 % 2 == 1)).foreach { b =>
-          mem.addData(b)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      withConf(s, "spark.sql.shuffle.partitions" -> "8") {
+        val q = Streams.corpusIngest(
+            mem.toDF().toDF("doc_id", "text"),
+            s"$base/index", s"$base/out", s"$base/ckpt")
+          .start()
+        try {
+          Seq(docs.filter(_._1 % 2 == 0), docs.filter(_._1 % 2 == 1)).foreach { b =>
+            mem.addData(b)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
       s.read.parquet(s"$base/out")
         .select(col("doc_id"), col("batch").cast("int").as("batch"))
     })
   )
 
   /** DuckDB replay of one ingest micro-batch: exact dedup (min doc_id
-    * per content hash), then LSH cluster drops (8 single-row bands over
-    * 3-word-shingle minhash, min-label connected components), then
-    * rejection of anything colliding with the prior accepted set's
-    * band frame.
+    * per content hash), then per-band-bucket representative drops (8
+    * single-row bands over 3-word-shingle minhash; any doc that is not
+    * its bucket's min id drops), then rejection of anything colliding
+    * with the prior accepted set's band frame.
     */
   private def ingestBatchSql(sfx: String, pred: String, idx: String): String = {
     val mh = (0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")
@@ -149,18 +199,11 @@ object QStreaming {
         mh_$sfx AS (SELECT sh.doc_id, $mh FROM sh JOIN ex_$sfx USING (doc_id)
                  GROUP BY sh.doc_id),
         bd_$sfx AS ($bands),
-        eg_$sfx AS (SELECT b.doc_id AS src, h.hub AS dst
+        dr_$sfx AS (SELECT DISTINCT b.doc_id
                  FROM bd_$sfx b JOIN (SELECT band, bucket, min(doc_id) AS hub
                                    FROM bd_$sfx GROUP BY band, bucket) h
                    USING (band, bucket)
                  WHERE b.doc_id <> h.hub),
-        ed_$sfx AS (SELECT src, dst FROM eg_$sfx UNION SELECT dst, src FROM eg_$sfx),
-        rc_$sfx(node, label) AS (
-          SELECT DISTINCT src, src FROM ed_$sfx
-          UNION
-          SELECT e.dst, r.label FROM ed_$sfx e JOIN rc_$sfx r ON r.node = e.src),
-        dr_$sfx AS (SELECT node AS doc_id FROM rc_$sfx GROUP BY node
-                 HAVING min(label) <> node),
         acc_$sfx AS (SELECT doc_id FROM ex_$sfx
                   WHERE doc_id NOT IN (SELECT doc_id FROM dr_$sfx)
                     AND doc_id NOT IN (SELECT DISTINCT b.doc_id FROM bd_$sfx b
@@ -186,6 +229,15 @@ object QStreaming {
                       WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS stage,
                  count(*) AS n_users
           FROM u GROUP BY 1""",
+    "q_stream_attribution" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+                    FROM events WHERE event_type = 'click'),
+          p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+                FROM events WHERE event_type = 'purchase')
+         SELECT c.user_id, c.click_id, p.purchase_id
+         FROM c JOIN p ON c.user_id = p.user_id
+          AND p.purchase_ts >= c.click_ts
+          AND p.purchase_ts < c.click_ts + INTERVAL 15 MINUTE""",
     "q_stream_scd2" ->
       """WITH ord AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events),
           chg AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
@@ -203,8 +255,7 @@ object QStreaming {
       // batch 1 rejects against batch 0's accepted band frame
       val b1 = ingestBatchSql("b1", "doc_id % 2 = 1",
         "SELECT band, bucket FROM bd_b0 WHERE doc_id IN (SELECT doc_id FROM acc_b0)")
-      s"""WITH RECURSIVE
-          words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
           sh AS (SELECT DISTINCT doc_id, shingle FROM (
             SELECT doc_id,
                    unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),

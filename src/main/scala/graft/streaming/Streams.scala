@@ -281,15 +281,24 @@ object Streams {
 
   /** Continuous corpus ingestion with INCREMENTAL near-dup dedup — the
     * streaming form of the production corpus pipeline: each micro-batch
-    * is deduped within itself (exact digest + LSH star clusters, keep
-    * min id) and against the persisted signature index of everything
-    * already accepted ([[graft.ops.Dedup.incrementalNewDocsVsBands]]),
-    * then accepted docs land under `batch=<id>` (dynamic-overwrite —
+    * is deduped within itself (exact digest, then per-band-bucket
+    * REPRESENTATIVES: every doc that is not its bucket's min id drops
+    * — the standard MinHashLSH ingest policy, zero iterations) and
+    * against the persisted signature index of everything already
+    * accepted ([[graft.ops.Dedup.incrementalNewDocsVsBands]]), then
+    * accepted docs land under `batch=<id>` (dynamic-overwrite —
     * replays of a failed batch are idempotent on output) and their band
     * rows append to the index. The index append is at-least-once on
     * replay, which is safe: duplicate (band, bucket) rows can only
     * REJECT more, never accept a duplicate. Work per batch scales with
     * the batch; the corpus is only ever touched through its band frame.
+    *
+    * Policy note: transitive near-dup CHAINS that never share a bucket
+    * are deliberately not merged in-batch (that would need the
+    * iterative [[graft.ops.Dedup.connectedComponents]] road the batch
+    * `dedupClusters` queries prove) — a kept doc attested similar only
+    * via an unattested chain is retained, and any later doc colliding
+    * with EITHER survivor is still rejected by the index.
     */
   def corpusIngest(docs: DataFrame, indexPath: String, outPath: String,
       checkpoint: String, seeds: Int = 8): DataStreamWriter[Row] =
@@ -304,10 +313,9 @@ object Streams {
           val exact = Dedup.exactByHash(batch, "text", "doc_id")
             .select(col("keep_id").as("doc_id")).join(batch, Seq("doc_id"))
           val sig = Dedup.minhashSignature(exact, "text", "doc_id", seeds).cache()
-          val clusterDrops = Dedup.connectedComponents(
-            Dedup.minhashClusterEdges(sig, "doc_id", seeds, 1), "id_a", "id_b")
-            .filter(col("node") =!= col("cluster_id"))
-            .select(col("node").as("doc_id"))
+          // non-hub in any (band, bucket) -> drop; edges' id_a IS that set
+          val clusterDrops = Dedup.minhashClusterEdges(sig, "doc_id", seeds, 1)
+            .select(col("id_a").as("doc_id")).distinct()
           val batchClean = sig.join(clusterDrops, Seq("doc_id"), "left_anti")
           // vs the persisted index of everything already accepted
           val indexExists = new java.io.File(indexPath).exists()
