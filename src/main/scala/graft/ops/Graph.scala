@@ -78,4 +78,46 @@ object Graph {
     nodes.unpersist(blocking = false)
     pr
   }
+
+  /** Triangle count via DEGREE-ORDERED edge orientation — the standard
+    * bounded-wedge formulation. Undirected input edges (`src`, `dst`;
+    * duplicates and self-loops tolerated) are oriented from the
+    * lower-degree endpoint to the higher (ties broken by id), so every
+    * wedge is enumerated at its lowest-degree apex: the wedge join
+    * fans out by min-degree, not max-degree — on skewed graphs (the
+    * whole point at 100 TB) a hub of degree d contributes O(d) wedge
+    * rows instead of O(d²). Three shuffles total: degree agg, the
+    * wedge self-join on the apex, and the closing-edge semi-join.
+    * Returns one row: (n_nodes, n_edges, n_triangles).
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    // canonical undirected edge set: a < b, self-loops dropped
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    // orient low-degree -> high-degree (tie: smaller id first)
+    val dirEdges = und
+      .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("v"))
+    val e1 = dirEdges.select(col("u").as("apex"), col("v").as("x"))
+    val e2 = dirEdges.select(col("u").as("apex"), col("v").as("y"))
+    val wedges = e1.join(e2, Seq("apex")).filter(col("x") < col("y"))
+    val closing = und.select(
+      least(col("a"), col("b")).as("x"), greatest(col("a"), col("b")).as("y"))
+    val tri = wedges.join(closing, Seq("x", "y"), "left_semi")
+    deg.agg(count(lit(1)).as("n_nodes")).crossJoin(
+        und.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
 }

@@ -52,6 +52,26 @@ object Timeseries {
       sum(opens).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** I-ext — gaps-and-islands INTERVAL MERGE: coalesce each key's
+    * overlapping-or-touching `[start, end]` intervals into islands,
+    * assigning every row its 1-based `island` index. Unlike
+    * [[sessionize]] (points + gap), intervals have individual lengths,
+    * so "does this row start a new island" needs the RUNNING MAX of
+    * all previous ends — a long interval can bridge rows whose own
+    * predecessors ended earlier. One shuffle on the key; the running
+    * max and running sum share the (key, start, tieBreak) sort.
+    * `(start, tieBreak)` must totally order each key's rows.
+    */
+  def mergeIntervals(df: DataFrame, key: Column, start: Column, end: Column,
+      tieBreak: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key).orderBy(start, tieBreak)
+    val prevMaxEnd = max(end).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val opens = when(prevMaxEnd.isNull || start > prevMaxEnd, lit(1)).otherwise(lit(0))
+    df.withColumn("island",
+      sum(opens).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** I4 — batch form of a watermark: keep rows within `lateness` of the
     * frame's max timestamp. The max is a broadcast one-row aggregate —
     * no shuffle of the fact side; at scale this is a scan + a scalar.

@@ -208,6 +208,38 @@ object Warehouse {
       .withColumn("touch_t",
         when(col("touch_id").isNotNull, col("touch_t")))
 
+  /** K-ext — PRORATION by the largest-remainder method: allocate each
+    * group's integer `amount` (e.g. cents) across its rows proportional
+    * to `weight`, exactly — shares sum to the amount per group by
+    * construction, with no float in sight. Base share is the integer
+    * floor `amount * w div W`; the leftover `amount - sum(base)` cents
+    * go one each to the rows with the largest remainders
+    * (`amount * w mod W`, ties broken by `tieBreak` for determinism).
+    *
+    * Scale shape: everything is windows over ONE (group)-shuffled sort
+    * — no self-join, no driver state; the group's weight sum, base sum,
+    * and remainder rank all share the exchange. `amount` must be
+    * constant within a group and `amount * weight` must fit a long.
+    */
+  def prorate(df: DataFrame, group: Column, amount: Column, weight: Column,
+      tieBreak: Column): DataFrame = {
+    val grp = Window.partitionBy(group)
+    // `div`, not `/`: Column./ is double division in Spark and
+    // amount*weight can exceed double's 2^53 integer range.
+    val withParts = df
+      .withColumn("__num", (amount * weight).cast("bigint"))
+      .withColumn("__w", sum(weight).over(grp).cast("bigint"))
+      .withColumn("__base", expr("__num div __w"))
+      .withColumn("__rem", expr("__num % __w"))
+    val byRem = Window.partitionBy(group).orderBy(col("__rem").desc, tieBreak)
+    withParts
+      .withColumn("__left", (amount - sum(col("__base")).over(grp)).cast("bigint"))
+      .withColumn("__rn", row_number().over(byRem))
+      .withColumn("share",
+        col("__base") + when(col("__rn") <= col("__left"), 1L).otherwise(0L))
+      .drop("__num", "__w", "__base", "__rem", "__left", "__rn")
+  }
+
   /** Weekly retention cohorts: users bucketed by the week of their
     * first event; one output row per (cohort week, week offset) with
     * the distinct active users. Two shuffles: the per-user first-event

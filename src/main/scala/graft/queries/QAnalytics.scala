@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.expressions.StringSimilarityExpressions
 import graft.ops.{Graph, Scalars, Text, Timeseries, Warehouse}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -381,6 +381,148 @@ object QAnalytics {
           expr("cast(mn + (b50 * (mx - mn + 1)) DIV 1024 as double) / 100.0d").as("p50_est"),
           expr("cast(mn + (b90 * (mx - mn + 1)) DIV 1024 as double) / 100.0d").as("p90_est"),
           expr("cast(mn + (b99 * (mx - mn + 1)) DIV 1024 as double) / 100.0d").as("p99_est"))
+    }),
+
+    // Gaps-and-islands INTERVAL merge: each event opens an interval
+    // [t, t + floor(value)*10s]; overlapping-or-touching intervals per
+    // user coalesce into islands via the running-max-end window. A
+    // long interval can bridge rows whose immediate predecessor ended
+    // earlier — lag alone is wrong, which is what separates this from
+    // q_session_ids' point-gap form. One summary row per island.
+    "q_interval_merge" -> ((s, dir) => {
+      val iv = Tables(s, dir).events.select(col("user_id"),
+        expr("ts_ns DIV 1000").as("st"),
+        (expr("ts_ns DIV 1000") +
+          floor(col("value")).cast("bigint") * lit(10000000L)).as("en"),
+        col("event_id"))
+      Timeseries.mergeIntervals(iv, col("user_id"), col("st"), col("en"),
+          col("event_id"))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("n_intervals"),
+          min(col("st")).as("island_start"), max(col("en")).as("island_end"))
+    }),
+
+    // Largest-remainder proration: every order's total-price cents
+    // allocated across its lineitems proportional to quantity. Shares
+    // sum to the order total by construction; all window math on one
+    // (orderkey) exchange, zero floats.
+    "q_proration" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val j = t.lineitem.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("bigint").as("qty"))
+        .join(t.orders.select(col("o_orderkey"),
+          (Scalars.dec(col("o_totalprice")) * 100).cast("bigint").as("cents")),
+          col("l_orderkey") === col("o_orderkey"))
+      Warehouse.prorate(j, col("l_orderkey"), col("cents"), col("qty"),
+          col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("share").as("share_cents"))
+    }),
+
+    // Benford first-digit audit over order totals — the fraud/quality
+    // screen. The digit comes from the CENTS STRING, not floor(log10):
+    // log10 of an exact power of ten lands a hair under the integer in
+    // binary doubles and misbuckets it. Expected proportions are
+    // 6-dp literals shared verbatim with the oracle (computing
+    // log10(1+1/d) live would race 1-ulp libm differences).
+    "q_benford" -> ((s, dir) => {
+      val digit = substring((Scalars.dec(col("o_totalprice")) * 100)
+        .cast("bigint").cast("string"), 1, 1).cast("int")
+      val counts = Tables(s, dir).orders.select(digit.as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("total"))
+      val pExp = when(col("digit") === 1, 0.301030)
+        .when(col("digit") === 2, 0.176091).when(col("digit") === 3, 0.124939)
+        .when(col("digit") === 4, 0.096910).when(col("digit") === 5, 0.079181)
+        .when(col("digit") === 6, 0.066947).when(col("digit") === 7, 0.057992)
+        .when(col("digit") === 8, 0.051153).otherwise(0.045757)
+      counts.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          round(col("n").cast("double") / col("total").cast("double"), 6)
+            .as("p_obs"),
+          pExp.as("p_benford"))
+    }),
+
+    // Sorted-neighborhood blocking for record linkage: one global-ish
+    // sort of normalized part names (partitioned by first character —
+    // the standard SNM distribution road; cross-block boundary pairs
+    // are the documented miss), each row compared to its next 2
+    // neighbors only. O(n·w) comparisons, never all-pairs.
+    "q_sorted_neighborhood" -> ((s, dir) => {
+      val jw = StringSimilarityExpressions.jaroWinkler _
+      val p = Tables(s, dir).part.select(col("p_partkey"),
+        lower(regexp_replace(col("p_name"), "[^a-z0-9]", "")).as("k"))
+      val w = Window.partitionBy(substring(col("k"), 1, 1))
+        .orderBy(col("k"), col("p_partkey"))
+      val nb = p
+        .withColumn("id_b1", lead(col("p_partkey"), 1).over(w))
+        .withColumn("k_b1", lead(col("k"), 1).over(w))
+        .withColumn("id_b2", lead(col("p_partkey"), 2).over(w))
+        .withColumn("k_b2", lead(col("k"), 2).over(w))
+      val near1 = nb.filter(col("id_b1").isNotNull)
+        .select(col("p_partkey").as("id_a"), col("k").as("k_a"),
+          col("id_b1").as("id_b"), col("k_b1").as("k_b"))
+      val near2 = nb.filter(col("id_b2").isNotNull)
+        .select(col("p_partkey").as("id_a"), col("k").as("k_a"),
+          col("id_b2").as("id_b"), col("k_b2").as("k_b"))
+      near1.unionAll(near2)
+        .select(col("id_a"), col("id_b"),
+          round(jw(col("k_a"), col("k_b")), 6).as("sim"))
+        .filter(col("sim") >= 0.9)
+    }),
+
+    // Grid-bucketed spatial nearest-neighbor: deterministic md5
+    // coordinates, candidates restricted to the customer's 30-degree
+    // cell plus its 8 neighbors (supplier side exploded 9x — the SMALL
+    // side pays the fan-out), haversine residual, min-struct top-1.
+    // The scalable spatial-join shape: candidates per cell, never
+    // customers x suppliers. Nearest-beyond-neighborhood and antimeridian
+    // wrap are out of scope by construction (documented).
+    "q_geo_grid_join" -> ((s, dir) => {
+      def u(c: Column, salt: String) =
+        (conv(substring(md5(concat(lit(salt), c.cast("string"))), 1, 8), 16, 10)
+          .cast("long").cast("double") + 0.5) / 4294967296.0
+      val t = Tables(s, dir)
+      val cust = t.customer.select(col("c_custkey"),
+          (lit(-90.0) + lit(180.0) * u(col("c_custkey"), "la")).as("clat"),
+          (lit(-180.0) + lit(360.0) * u(col("c_custkey"), "lo")).as("clon"))
+        .withColumn("cx", floor(col("clat") / 30).cast("int"))
+        .withColumn("cy", floor(col("clon") / 30).cast("int"))
+      val supp = t.supplier.select(col("s_suppkey"),
+        (lit(-90.0) + lit(180.0) * u(col("s_suppkey"), "sa")).as("slat"),
+        (lit(-180.0) + lit(360.0) * u(col("s_suppkey"), "so")).as("slon"))
+      val nbr = supp
+        .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
+        .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
+        .select(col("s_suppkey"), col("slat"), col("slon"),
+          (floor(col("slat") / 30) + col("dx")).cast("int").as("cx"),
+          (floor(col("slon") / 30) + col("dy")).cast("int").as("cy"))
+      val a = pow(sin((radians(col("slat")) - radians(col("clat"))) / 2), 2) +
+        cos(radians(col("clat"))) * cos(radians(col("slat"))) *
+          pow(sin((radians(col("slon")) - radians(col("clon"))) / 2), 2)
+      cust.join(nbr, Seq("cx", "cy"))
+        .select(col("c_custkey"),
+          struct(round(lit(2 * 6371.0) * asin(sqrt(a)), 6).as("dist_km"),
+            col("s_suppkey")).as("cand"))
+        .groupBy(col("c_custkey")).agg(min(col("cand")).as("m"))
+        .select(col("c_custkey"), col("m.s_suppkey").as("s_suppkey"),
+          col("m.dist_km").as("dist_km"))
+    }),
+
+    // Degree-ordered triangle count on the brand co-basket graph
+    // (edges = brand pairs co-ordered in >= 20 orders). Each triangle
+    // is enumerated once, at its lowest-degree apex — the wedge join
+    // fans out by MIN degree, the skew-proof orientation.
+    "q_triangle_count" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val items = t.lineitem.join(t.part, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("b")).distinct()
+      val edges = items.as("x").join(items.as("y"),
+          col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
+        .groupBy(col("x.b").as("src"), col("y.b").as("dst"))
+        .agg(count(lit(1)).as("cab")).filter(col("cab") >= 20)
+        .select(col("src"), col("dst"))
+      Graph.triangleCount(edges)
     }),
 
     // PSI = sum (p-q)*ln(p/q). The drift monitor every production
@@ -927,6 +1069,132 @@ object QAnalytics {
                 CAST(mn + (b90 * (mx - mn + 1)) // 1024 AS DOUBLE) / 100.0 AS p90_est,
                 CAST(mn + (b99 * (mx - mn + 1)) // 1024 AS DOUBLE) / 100.0 AS p99_est
          FROM qs""",
+    "q_interval_merge" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS st,
+                           epoch_us(ts) + CAST(floor(value) AS BIGINT) * 10000000 AS en,
+                           event_id
+                    FROM events),
+          m AS (SELECT user_id, st, en, event_id,
+                       max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+                FROM iv),
+          f AS (SELECT user_id, st, en, event_id,
+                       CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END AS op
+                FROM m),
+          i AS (SELECT user_id, st, en,
+                       sum(op) OVER (PARTITION BY user_id ORDER BY st, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS island
+                FROM f)
+         SELECT user_id, CAST(island AS BIGINT) AS island,
+                count(*) AS n_intervals,
+                min(st) AS island_start, max(en) AS island_end
+         FROM i GROUP BY 1, 2""",
+    "q_proration" ->
+      """WITH j AS (SELECT l_orderkey, l_linenumber,
+                          CAST(l_quantity AS BIGINT) AS qty,
+                          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          p AS (SELECT *, CAST(sum(qty) OVER (PARTITION BY l_orderkey) AS BIGINT) AS w,
+                       cents * qty AS num
+                FROM j),
+          b AS (SELECT *, num // w AS base, num % w AS rem FROM p),
+          r AS (SELECT *, CAST(sum(base) OVER (PARTITION BY l_orderkey) AS BIGINT) AS sb,
+                       row_number() OVER (PARTITION BY l_orderkey
+                                          ORDER BY rem DESC, l_linenumber) AS rn
+                FROM b)
+         SELECT l_orderkey, l_linenumber,
+                base + CASE WHEN rn <= cents - sb THEN 1 ELSE 0 END AS share_cents
+         FROM r""",
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                                       AS VARCHAR), 1, 1) AS INT) AS digit
+                   FROM orders),
+          c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+          t AS (SELECT sum(n) AS total FROM c)
+         SELECT digit, n,
+                round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS p_obs,
+                CAST(CASE digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
+                     WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910
+                     WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+                     WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+                     ELSE 0.045757 END AS DOUBLE) AS p_benford
+         FROM c CROSS JOIN t""",
+    "q_sorted_neighborhood" ->
+      """WITH p AS (SELECT p_partkey,
+                          lower(regexp_replace(p_name, '[^a-z0-9]', '', 'g')) AS k
+                   FROM part),
+          nb AS (SELECT p_partkey, k,
+                        lead(p_partkey, 1) OVER w AS id_b1, lead(k, 1) OVER w AS k_b1,
+                        lead(p_partkey, 2) OVER w AS id_b2, lead(k, 2) OVER w AS k_b2
+                 FROM p
+                 WINDOW w AS (PARTITION BY substr(k, 1, 1) ORDER BY k, p_partkey)),
+          pairs AS (SELECT p_partkey AS id_a, k AS k_a, id_b1 AS id_b, k_b1 AS k_b
+                    FROM nb WHERE id_b1 IS NOT NULL
+                    UNION ALL
+                    SELECT p_partkey, k, id_b2, k_b2
+                    FROM nb WHERE id_b2 IS NOT NULL)
+         SELECT id_a, id_b, sim
+         FROM (SELECT id_a, id_b,
+                      round(jaro_winkler_similarity(k_a, k_b), 6) AS sim
+               FROM pairs)
+         WHERE sim >= 0.9""",
+    "q_geo_grid_join" ->
+      """WITH cust AS (SELECT c_custkey,
+                             -90.0 + 180.0 * ((CAST(CAST('0x' || substr(md5('la' || CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0) AS clat,
+                             -180.0 + 360.0 * ((CAST(CAST('0x' || substr(md5('lo' || CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0) AS clon
+                      FROM customer),
+          cc AS (SELECT c_custkey, clat, clon,
+                        CAST(floor(clat / 30) AS INT) AS cx,
+                        CAST(floor(clon / 30) AS INT) AS cy
+                 FROM cust),
+          supp AS (SELECT s_suppkey,
+                          -90.0 + 180.0 * ((CAST(CAST('0x' || substr(md5('sa' || CAST(s_suppkey AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0) AS slat,
+                          -180.0 + 360.0 * ((CAST(CAST('0x' || substr(md5('so' || CAST(s_suppkey AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0) AS slon
+                   FROM supplier),
+          nbr AS (SELECT s_suppkey, slat, slon,
+                         CAST(floor(slat / 30) + dx.v AS INT) AS cx,
+                         CAST(floor(slon / 30) + dy.v AS INT) AS cy
+                  FROM supp,
+                       (VALUES (-1), (0), (1)) dx(v),
+                       (VALUES (-1), (0), (1)) dy(v)),
+          cand AS (SELECT c_custkey, s_suppkey,
+                          round(2 * 6371.0 * asin(sqrt(
+                            pow(sin((radians(slat) - radians(clat)) / 2), 2) +
+                            cos(radians(clat)) * cos(radians(slat)) *
+                              pow(sin((radians(slon) - radians(clon)) / 2), 2))), 6) AS dist_km
+                   FROM cc JOIN nbr USING (cx, cy)),
+          r AS (SELECT c_custkey, s_suppkey, dist_km,
+                       row_number() OVER (PARTITION BY c_custkey
+                                          ORDER BY dist_km, s_suppkey) AS rn
+                FROM cand)
+         SELECT c_custkey, s_suppkey, dist_km FROM r WHERE rn = 1""",
+    "q_triangle_count" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+                       FROM lineitem JOIN part ON l_partkey = p_partkey),
+          und AS (SELECT a, b FROM (
+                    SELECT x.b AS a, y.b AS b, count(*) AS cab
+                    FROM items x JOIN items y ON x.ok = y.ok AND x.b < y.b
+                    GROUP BY 1, 2)
+                  WHERE cab >= 20),
+          deg AS (SELECT node, count(*) AS d
+                  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+                  GROUP BY 1),
+          dir AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                              THEN u.a ELSE u.b END AS u,
+                         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                              THEN u.b ELSE u.a END AS v
+                  FROM und u JOIN deg da ON da.node = u.a
+                             JOIN deg db ON db.node = u.b),
+          wedges AS (SELECT e1.u AS apex, e1.v AS x, e2.v AS y
+                     FROM dir e1 JOIN dir e2 ON e1.u = e2.u AND e1.v < e2.v),
+          tri AS (SELECT count(*) AS n_triangles
+                  FROM wedges w
+                  WHERE EXISTS (SELECT 1 FROM und
+                                WHERE a = least(w.x, w.y) AND b = greatest(w.x, w.y)))
+         SELECT (SELECT count(*) FROM deg) AS n_nodes,
+                (SELECT count(*) FROM und) AS n_edges,
+                n_triangles
+         FROM tri""",
     "q_psi_drift" ->
       """WITH lo AS (SELECT event_type,
                            CAST(least(floor(value / 5.0), 9.0) AS INT) AS bucket,

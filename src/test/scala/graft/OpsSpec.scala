@@ -423,4 +423,53 @@ class OpsSpec extends SparkSpec {
     assert(want.contains((2L, 6L, 0)) && want.contains((1L, 2L, 1)) &&
       want.contains((1L, 3L, 1)) && want.contains((1L, 4L, 1)))
   }
+
+  test("mergeIntervals: a long interval bridges rows lag alone would split") {
+    // key 1: [0,100] swallows [10,20] and [30,40]; [90,110] touches the
+    // running max (start <= 100) so it extends the SAME island even
+    // though its immediate predecessor [30,40] ended 50 earlier — the
+    // case where lag(end) is wrong and running max(end) is right.
+    // [200,210] opens island 2.
+    val iv = Seq(
+      (1L, 0L, 100L, 1L), (1L, 10L, 20L, 2L), (1L, 30L, 40L, 3L),
+      (1L, 90L, 110L, 4L), (1L, 200L, 210L, 5L),
+      (2L, 0L, 5L, 6L)).toDF("k", "st", "en", "id")
+    val got = Timeseries.mergeIntervals(iv, $"k", $"st", $"en", $"id")
+      .groupBy($"k", $"island")
+      .agg(count(lit(1)).as("n"), min($"st").as("s"), max($"en").as("e"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 4L, 0L, 110L), (1L, 2L, 1L, 200L, 210L),
+      (2L, 1L, 1L, 0L, 5L)))
+  }
+
+  test("prorate: shares are integer-exact and sum to each group's amount") {
+    // 100 cents over weights 1,1,1 -> 34,33,33 (two remainders tie at
+    // 1/3; tie-break id gives the extra cent to the lowest id).
+    // 7 cents over weights 2,3 -> base 2,4; leftover 1 goes to w=2
+    // (rem 14%5=4 > 21%5=1).
+    val df = Seq(
+      ("a", 100L, 1L, 1L), ("a", 100L, 1L, 2L), ("a", 100L, 1L, 3L),
+      ("b", 7L, 2L, 1L), ("b", 7L, 3L, 2L)).toDF("g", "amount", "w", "id")
+    val got = Warehouse.prorate(df, $"g", $"amount", $"w", $"id")
+      .select($"g", $"id", $"share").as[(String, Long, Long)]
+      .collect().toSet
+    assert(got == Set(("a", 1L, 34L), ("a", 2L, 33L), ("a", 3L, 33L),
+      ("b", 1L, 3L), ("b", 2L, 4L)))
+    // invariant: per-group share sums equal the amount
+    val sums = Warehouse.prorate(df, $"g", $"amount", $"w", $"id")
+      .groupBy($"g").agg(sum($"share").as("s"), first($"amount").as("a"))
+      .select($"s", $"a").as[(Long, Long)].collect()
+    assert(sums.forall { case (s, a) => s == a })
+  }
+
+  test("triangleCount: K4 plus a pendant edge") {
+    // K4 = 4 triangles; pendant d-e adds an edge but no triangle.
+    // Duplicate + reversed + self-loop rows must not change the count.
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+      ("d", "e"), ("e", "d"), ("a", "b"), ("c", "c")).toDF("src", "dst")
+    val got = Graph.triangleCount(edges)
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((5L, 7L, 4L)))
+  }
 }
