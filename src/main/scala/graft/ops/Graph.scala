@@ -91,11 +91,15 @@ object Graph {
     * Returns one row: (n_nodes, n_edges, n_triangles).
     */
   def triangleCount(edges: DataFrame): DataFrame = {
-    // canonical undirected edge set: a < b, self-loops dropped
+    // canonical undirected edge set: a < b, self-loops dropped.
+    // localCheckpoint: `und` feeds the degree agg, the orientation
+    // join, AND the closing-edge probe — without materializing it the
+    // whole upstream edge construction re-executes per use (measured
+    // 3.6 s -> ~1.5 s at sf0.1 on the co-basket graph).
     val und = edges.select(
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
