@@ -79,6 +79,43 @@ object Graph {
     pr
   }
 
+  /** Multi-source BFS levels over an undirected graph: `level` =
+    * shortest hop distance from any source node, explored up to
+    * `maxDepth`. Per round: frontier ⋈ edges (one equi-join on the
+    * frontier key) + an anti-join against the visited set — the
+    * frontier-expansion shape whose per-round cost scales with the
+    * FRONTIER's edges, not the graph. Each round's frames are
+    * `localCheckpoint`ed and superseded blocks freed, the
+    * [[Dedup]]-CC lineage discipline. Unreached nodes are absent
+    * (callers left-join if they want nulls).
+    */
+  def bfsLevels(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct().cache()
+    def cpBlocks(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    var visited = sources.select(col("node")).distinct()
+      .withColumn("level", lit(0)).localCheckpoint()
+    var frontier = visited
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = und.join(frontier, und("src") === frontier("node"))
+        .select(und("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("level", lit(depth)).localCheckpoint()
+      val merged = visited.unionAll(next).localCheckpoint()
+      cpBlocks(visited).foreach(_.unpersist(blocking = false))
+      cpBlocks(frontier).foreach(_.unpersist(blocking = false))
+      visited = merged
+      frontier = next
+    }
+    und.unpersist(blocking = false)
+    visited
+  }
+
   /** Triangle count via DEGREE-ORDERED edge orientation — the standard
     * bounded-wedge formulation. Undirected input edges (`src`, `dst`;
     * duplicates and self-loops tolerated) are oriented from the

@@ -525,6 +525,89 @@ object QAnalytics {
       Graph.triangleCount(edges)
     }),
 
+    // Multi-source BFS levels on the brand co-basket graph from its
+    // lexicographically-first brand: per round one frontier ⋈ edges
+    // join + a visited anti-join — cost scales with the frontier, not
+    // the graph. Diameter here is small; maxDepth 3 bounds the oracle's
+    // recursive CTE too.
+    "q_bfs_levels" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val items = t.lineitem.join(t.part, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("b")).distinct()
+      val edges = items.as("x").join(items.as("y"),
+          col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
+        .groupBy(col("x.b").as("src"), col("y.b").as("dst"))
+        .agg(count(lit(1)).as("cab")).filter(col("cab") >= 20)
+        .select(col("src"), col("dst"))
+      val sources = edges
+        .select(least(col("src"), col("dst")).as("node"))
+        .agg(min(col("node")).as("node"))
+      Graph.bfsLevels(edges, sources, maxDepth = 3)
+    }),
+
+    // 2-D Pareto skyline per market segment: customers not dominated
+    // in (account balance, total spend). Strict domination splits into
+    // the two window tests — max spend among STRICTLY higher balances
+    // (integer RANGE frame, exact on cents) and max spend at the SAME
+    // balance — so the frontier falls out of two windows, no self-join
+    // and never the O(n^2) pairwise check.
+    "q_skyline" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val spend = t.orders.groupBy(col("o_custkey"))
+        .agg(sum((Scalars.dec(col("o_totalprice")) * 100).cast("bigint"))
+          .as("spend_c"))
+      val base = t.customer.join(spend, col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          (Scalars.dec(col("c_acctbal")) * 100).cast("bigint").as("bal_c"),
+          col("spend_c"))
+      val higherBal = Window.partitionBy(col("seg")).orderBy(col("bal_c"))
+        .rangeBetween(1, Window.unboundedFollowing)
+      val sameBal = Window.partitionBy(col("seg"), col("bal_c"))
+      base
+        .withColumn("my_hi", max(col("spend_c")).over(higherBal))
+        .withColumn("my_eq", max(col("spend_c")).over(sameBal))
+        .filter((col("my_hi").isNull || col("my_hi") < col("spend_c")) &&
+          col("spend_c") === col("my_eq"))
+        .select(col("seg"), col("c_custkey"), col("bal_c"), col("spend_c"))
+    }),
+
+    // One-pass table profiling (the data-quality reconnaissance op):
+    // row count, nulls, exact distincts, min/max per tracked column in
+    // a single aggregate (multiple DISTINCTs -> one Expand, the
+    // documented trade for exactness; approx_count_distinct is the
+    // at-scale escape hatch), reshaped long via stack. Numerics go
+    // through decimal so the min/max STRINGS match the oracle.
+    "q_profile" -> ((s, dir) => {
+      val o = Tables(s, dir).orders
+        .withColumn("price_d", Scalars.dec(col("o_totalprice")))
+      def nulls(c: String) = sum(when(col(c).isNull, 1).otherwise(0))
+      val agg = o.agg(
+        count(lit(1)).as("n_rows"),
+        nulls("o_orderstatus").as("nu1"),
+        countDistinct(col("o_orderstatus")).as("nd1"),
+        min(col("o_orderstatus")).cast("string").as("mn1"),
+        max(col("o_orderstatus")).cast("string").as("mx1"),
+        nulls("o_orderpriority").as("nu2"),
+        countDistinct(col("o_orderpriority")).as("nd2"),
+        min(col("o_orderpriority")).cast("string").as("mn2"),
+        max(col("o_orderpriority")).cast("string").as("mx2"),
+        nulls("o_custkey").as("nu3"),
+        countDistinct(col("o_custkey")).as("nd3"),
+        min(col("o_custkey")).cast("string").as("mn3"),
+        max(col("o_custkey")).cast("string").as("mx3"),
+        nulls("price_d").as("nu4"),
+        countDistinct(col("price_d")).as("nd4"),
+        min(col("price_d")).cast("string").as("mn4"),
+        max(col("price_d")).cast("string").as("mx4"))
+      agg.selectExpr("n_rows",
+        """stack(4,
+             'o_orderstatus', nu1, nd1, mn1, mx1,
+             'o_orderpriority', nu2, nd2, mn2, mx2,
+             'o_custkey', nu3, nd3, mn3, mx3,
+             'o_totalprice', nu4, nd4, mn4, mx4)
+           AS (col_name, n_null, n_distinct, min_val, max_val)""")
+    }),
+
     // PSI = sum (p-q)*ln(p/q). The drift monitor every production
     // feature pipeline runs.
     "q_psi_drift" -> ((s, dir) => {
@@ -1195,6 +1278,74 @@ object QAnalytics {
                 (SELECT count(*) FROM und) AS n_edges,
                 n_triangles
          FROM tri""",
+    "q_bfs_levels" ->
+      """WITH RECURSIVE
+          items AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+                    FROM lineitem JOIN part ON l_partkey = p_partkey),
+          e AS (SELECT a, b FROM (
+                  SELECT x.b AS a, y.b AS b, count(*) AS cab
+                  FROM items x JOIN items y ON x.ok = y.ok AND x.b < y.b
+                  GROUP BY 1, 2)
+                WHERE cab >= 20),
+          und AS (SELECT a AS src, b AS dst FROM e
+                  UNION SELECT b, a FROM e),
+          src AS (SELECT min(src) AS node FROM und),
+          walk(node, level) AS (
+            SELECT node, 0 FROM src
+            UNION
+            SELECT u.dst, w.level + 1
+            FROM walk w JOIN und u ON u.src = w.node
+            WHERE w.level < 3)
+         SELECT node, CAST(min(level) AS INT) AS level
+         FROM walk GROUP BY node""",
+    "q_skyline" ->
+      """WITH spend AS (SELECT o_custkey,
+                              CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS spend_c
+                       FROM orders GROUP BY 1),
+          base AS (SELECT c_custkey, c_mktsegment AS seg,
+                          CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c,
+                          spend_c
+                   FROM customer JOIN spend ON c_custkey = o_custkey),
+          w AS (SELECT *,
+                       max(spend_c) OVER (PARTITION BY seg ORDER BY bal_c
+                                          RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS my_hi,
+                       max(spend_c) OVER (PARTITION BY seg, bal_c) AS my_eq
+                FROM base)
+         SELECT seg, c_custkey, bal_c, spend_c
+         FROM w
+         WHERE (my_hi IS NULL OR my_hi < spend_c) AND spend_c = my_eq""",
+    "q_profile" ->
+      """WITH o AS (SELECT *, CAST(o_totalprice AS DECIMAL(18,2)) AS price_d FROM orders),
+          t AS (SELECT count(*) AS n_rows FROM o)
+         SELECT n_rows, col_name, n_null, n_distinct, min_val, max_val
+         FROM t CROSS JOIN (
+           SELECT 'o_orderstatus' AS col_name,
+                  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                  count(DISTINCT o_orderstatus) AS n_distinct,
+                  CAST(min(o_orderstatus) AS VARCHAR) AS min_val,
+                  CAST(max(o_orderstatus) AS VARCHAR) AS max_val
+           FROM o
+           UNION ALL
+           SELECT 'o_orderpriority',
+                  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT o_orderpriority),
+                  CAST(min(o_orderpriority) AS VARCHAR),
+                  CAST(max(o_orderpriority) AS VARCHAR)
+           FROM o
+           UNION ALL
+           SELECT 'o_custkey',
+                  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT o_custkey),
+                  CAST(min(o_custkey) AS VARCHAR),
+                  CAST(max(o_custkey) AS VARCHAR)
+           FROM o
+           UNION ALL
+           SELECT 'o_totalprice',
+                  CAST(sum(CASE WHEN price_d IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT price_d),
+                  CAST(min(price_d) AS VARCHAR),
+                  CAST(max(price_d) AS VARCHAR)
+           FROM o)""",
     "q_psi_drift" ->
       """WITH lo AS (SELECT event_type,
                            CAST(least(floor(value / 5.0), 9.0) AS INT) AS bucket,

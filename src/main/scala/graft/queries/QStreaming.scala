@@ -152,6 +152,48 @@ object QStreaming {
       s.table(sink).select(col("user_id"), col("click_id"), col("purchase_id"))
     }),
 
+    // I-ext — stream-static enrichment: purchases stream in two
+    // micro-batches, each joined against the broadcast nation dim
+    // (stateless, no watermark); the emitted set equals the batch
+    // join the oracle runs.
+    "q_stream_enrich" -> ((s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val feed = t.events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"))
+        .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+      val dim = t.nation.select(col("n_nationkey").cast("long").as("nk"),
+        col("n_name"))
+      val out = withConf(s, "spark.sql.shuffle.partitions" -> "8") {
+        runSliced(s, feed, 2, (ds: org.apache.spark.sql.Dataset[(Long, Long)]) =>
+          Streams.enrichJoin(ds.toDF("event_id", "user_id"), dim,
+            col("user_id") % 25 === col("nk")))
+      }
+      out.select(col("event_id"), col("user_id"), col("n_name"))
+    }),
+
+    // I1/I4 under the oracle — watermarked tumbling aggregate in APPEND
+    // mode: three event-time-ordered micro-batches; only windows whose
+    // end falls at or below the final watermark (max event time minus
+    // 10 min) are emitted, exactly the cutoff the oracle applies. The
+    // trailing no-data micro-batch performs the final eviction.
+    "q_stream_window" -> ((s, dir) => {
+      import s.implicits._
+      val feed = Tables(s, dir).events
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+        .as[(Long, String, java.sql.Timestamp, Double)].collect().toSeq
+        .sortBy(r => (r._3.getTime, r._1))
+      val out = withConf(s, "spark.sql.shuffle.partitions" -> "8") {
+        runSliced(s, feed, 3,
+          (ds: org.apache.spark.sql.Dataset[(Long, String, java.sql.Timestamp, Double)]) =>
+            Streams.tumblingAgg(ds.toDF("event_id", "event_type", "ts", "value"),
+              "1 hour", "10 minutes"))
+      }
+      out.select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total"))
+    }),
+
     // I5 — streaming corpus ingest (exact + LSH dedup within batch,
     // persisted-index rejection across batches, idempotent batch=N
     // landing) over documents split in two micro-batches by doc_id
@@ -238,6 +280,20 @@ object QStreaming {
          FROM c JOIN p ON c.user_id = p.user_id
           AND p.purchase_ts >= c.click_ts
           AND p.purchase_ts < c.click_ts + INTERVAL 15 MINUTE""",
+    "q_stream_enrich" ->
+      """SELECT event_id, user_id, n_name
+         FROM events JOIN nation ON user_id % 25 = n_nationkey
+         WHERE event_type = 'purchase'""",
+    "q_stream_window" ->
+      """WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+          b AS (SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w,
+                       event_type, count(*) AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+                FROM events GROUP BY 1, 2)
+         SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+                event_type, n, total
+         FROM b, m
+         WHERE w + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE""",
     "q_stream_scd2" ->
       """WITH ord AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events),
           chg AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev

@@ -40,6 +40,16 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(Scalars.dec(col("value"))).cast("double").as("total"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total"))
 
+  /** I-ext — stream-static enrichment join: the static dimension is
+    * broadcast into every micro-batch (re-resolved per batch, so a
+    * refreshed dim table is picked up on the next trigger). Stateless —
+    * no watermark, no store; the scale cost is the dim broadcast, which
+    * must stay driver-sized like any broadcast join build side.
+    */
+  def enrichJoin(stream: DataFrame, dim: DataFrame,
+      cond: org.apache.spark.sql.Column): DataFrame =
+    stream.join(broadcast(dim), cond)
+
   /** I3 — session windows per user with watermark. */
   def sessionAgg(events: DataFrame, gap: String = "30 minutes", lateness: String = "10 minutes"): DataFrame =
     events

@@ -462,6 +462,22 @@ class OpsSpec extends SparkSpec {
     assert(sums.forall { case (s, a) => s == a })
   }
 
+  test("bfsLevels: shortest hop distance, depth-bounded, multi-source min") {
+    // chain a-b-c-d-e plus shortcut a-d: the shortcut pulls d to level
+    // 1 and e to 2 (not the chain's 3/4), and c is reached at 2 via
+    // BOTH b and d — the distinct/min road must not double it.
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "d"))
+      .toDF("src", "dst")
+    val src = Seq("a").toDF("node")
+    val got = Graph.bfsLevels(edges, src, maxDepth = 2)
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("a" -> 0, "b" -> 1, "d" -> 1, "c" -> 2, "e" -> 2))
+    // the depth bound: at maxDepth=1 the level-2 ring is absent
+    val d1 = Graph.bfsLevels(edges, src, maxDepth = 1)
+      .as[(String, Int)].collect().toMap
+    assert(d1 == Map("a" -> 0, "b" -> 1, "d" -> 1))
+  }
+
   test("triangleCount: K4 plus a pendant edge") {
     // K4 = 4 triangles; pendant d-e adds an edge but no triangle.
     // Duplicate + reversed + self-loop rows must not change the count.
