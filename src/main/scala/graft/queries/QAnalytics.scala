@@ -191,6 +191,31 @@ object QAnalytics {
           col("n").cast("bigint").as("n"))
     }),
 
+    // Full group-wise OLS read-out: slope, intercept, r² per event
+    // type from the same exact decimal sums as q_trend_slope (adding
+    // Σy²). Each sum converts to double ONCE and the closed forms are
+    // single double expressions — identical IEEE op sequence in both
+    // engines, so even r² is hash-exact.
+    "q_regression" -> ((s, dir) => {
+      val e = Tables(s, dir).events.select(col("event_type"),
+        expr("ts_ns DIV 1000000000 DIV 3600").cast("decimal(18,0)").as("x"),
+        col("value").cast("decimal(18,2)").as("y"))
+      val sums = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("decimal(18,0)").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      def d(c: String) = col(c).cast("double")
+      val cov = d("n") * d("sxy") - d("sx") * d("sy")
+      val vx = d("n") * d("sxx") - d("sx") * d("sx")
+      val vy = d("n") * d("syy") - d("sy") * d("sy")
+      sums.select(col("event_type"), col("n").cast("bigint").as("n"),
+        round(cov / vx, 9).as("slope"),
+        round((d("sy") * d("sxx") - d("sx") * d("sxy")) / vx, 9).as("intercept"),
+        round(cov * cov / (vx * vy), 9).as("r2"))
+    }),
+
     // RFM segmentation: recency/frequency/monetary per customer,
     // split at the exact medians (1-row broadcast) into an 8-way
     // segment code — threshold compare is map-only.
@@ -1010,6 +1035,25 @@ object QAnalytics {
                  round(CAST(n * sxy - sx * sy AS DOUBLE) /
                        CAST(n * sxx - sx * sx AS DOUBLE), 9) AS slope,
                  CAST(n AS BIGINT) AS n
+          FROM a""",
+    "q_regression" ->
+      """WITH e AS (SELECT event_type,
+                          CAST(epoch_us(ts) // 1000000 // 3600 AS DECIMAL(18,0)) AS x,
+                          CAST(value AS DECIMAL(18,2)) AS y
+                   FROM events),
+          a AS (SELECT event_type, CAST(count(*) AS DECIMAL(18,0)) AS n,
+                       SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+                FROM e GROUP BY event_type)
+          SELECT event_type, CAST(n AS BIGINT) AS n,
+                 round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                       (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS slope,
+                 round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE)) /
+                       (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS intercept,
+                 round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
+                       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                       ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                        (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS r2
           FROM a""",
     "q_rfm_segments" ->
       """WITH rfm AS (SELECT o_custkey,

@@ -194,6 +194,27 @@ object QStreaming {
         col("event_type"), col("n"), col("total"))
     }),
 
+    // I5/E4 — dropDuplicatesWithinWatermark under the oracle: every
+    // purchase row is fed TWICE (adjacent in the ordered feed, so the
+    // duplicate may land in the same batch or straddle the boundary);
+    // watermark-bounded key state drops each second copy and the
+    // emitted set equals plain DISTINCT.
+    "q_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val feed = Tables(s, dir).events
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .as[(Long, Long, java.sql.Timestamp)].collect().toSeq
+        .sortBy(r => (r._3.getTime, r._1))
+        .flatMap(r => Seq(r, r))
+      val out = withConf(s, "spark.sql.shuffle.partitions" -> "8") {
+        runSliced(s, feed, 3,
+          (ds: org.apache.spark.sql.Dataset[(Long, Long, java.sql.Timestamp)]) =>
+            Streams.dedupWithinWatermark(ds.toDF("event_id", "user_id", "ts")))
+      }
+      out.select(col("event_id"), col("user_id"))
+    }),
+
     // I5 — streaming corpus ingest (exact + LSH dedup within batch,
     // persisted-index rejection across batches, idempotent batch=N
     // landing) over documents split in two micro-batches by doc_id
@@ -280,6 +301,8 @@ object QStreaming {
          FROM c JOIN p ON c.user_id = p.user_id
           AND p.purchase_ts >= c.click_ts
           AND p.purchase_ts < c.click_ts + INTERVAL 15 MINUTE""",
+    "q_stream_dedup" ->
+      """SELECT event_id, user_id FROM events WHERE event_type = 'purchase'""",
     "q_stream_enrich" ->
       """SELECT event_id, user_id, n_name
          FROM events JOIN nation ON user_id % 25 = n_nationkey
