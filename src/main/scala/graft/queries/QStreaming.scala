@@ -194,6 +194,29 @@ object QStreaming {
         col("event_type"), col("n"), col("total"))
     }),
 
+    // I3 under the oracle — watermarked SESSION windows in append
+    // mode: 30-min-gap sessions per user over three ordered
+    // micro-batches; a session spanning a batch boundary stays open in
+    // state and emits ONCE when the watermark passes its end
+    // (last event + gap). Emitted set = lag-gap sessions whose end
+    // clears the final watermark, exactly the oracle's cutoff.
+    "q_stream_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val feed = Tables(s, dir).events
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .as[(Long, Long, java.sql.Timestamp)].collect().toSeq
+        .sortBy(r => (r._3.getTime, r._1))
+      val out = withConf(s, "spark.sql.shuffle.partitions" -> "8") {
+        runSliced(s, feed, 3,
+          (ds: org.apache.spark.sql.Dataset[(Long, Long, java.sql.Timestamp)]) =>
+            Streams.sessionAgg(ds.toDF("event_id", "user_id", "ts"),
+              "30 minutes", "10 minutes"))
+      }
+      out.select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"))
+    }),
+
     // I5/E4 — dropDuplicatesWithinWatermark under the oracle: every
     // purchase row is fed TWICE (adjacent in the ordered feed, so the
     // duplicate may land in the same batch or straddle the boundary);
@@ -303,6 +326,30 @@ object QStreaming {
           AND p.purchase_ts < c.click_ts + INTERVAL 15 MINUTE""",
     "q_stream_dedup" ->
       """SELECT event_id, user_id FROM events WHERE event_type = 'purchase'""",
+    "q_stream_sessions" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                  CASE WHEN CAST(ts AS TIMESTAMP)
+                            - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            >= INTERVAL 30 MINUTE OR
+                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events),
+         sessions AS (
+           SELECT user_id, ts,
+                  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM flagged),
+         agg AS (
+           SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                  count(*) AS n_events
+           FROM sessions GROUP BY user_id, session_id),
+         m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events)
+         SELECT user_id,
+                strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+                n_events
+         FROM agg, m
+         WHERE session_end + INTERVAL 30 MINUTE <= mx - INTERVAL 10 MINUTE""",
     "q_stream_enrich" ->
       """SELECT event_id, user_id, n_name
          FROM events JOIN nation ON user_id % 25 = n_nationkey
