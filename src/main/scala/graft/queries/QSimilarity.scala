@@ -165,6 +165,31 @@ object QSimilarity {
         nprobe = 2, k = 5)
     }),
 
+    // J2-eval — ANN quality read-out: recall@10 of the nprobe=2 IVF
+    // search against brute-force ground truth over the same query —
+    // the acceptance metric every ANN deployment tracks (probe fewer
+    // clusters, trade recall for scan fraction). Pure composition of
+    // the two oracle-proven searches; one row out.
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head()
+        .getSeq[Float](0)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val base = emb.select(col("vec_id"), col("embedding"))
+      val truth = Similarity.cosineTopK(base, "embedding", "vec_id", q, 10)
+        .select(col("vec_id"))
+      val approx = Similarity.ivfSearch(base, "embedding", "vec_id",
+          centroids, "cvec", "cid", q, nprobe = 2, k = 10)
+        .select(col("vec_id"))
+      truth.agg(count(lit(1)).as("k"))
+        .crossJoin(broadcast(truth.join(approx, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))))
+        .select(col("k"), col("hits"),
+          round(col("hits").cast("double") / col("k").cast("double"), 6)
+            .as("recall_at_10"))
+    }),
+
     // J2-ext — product quantization, encode side: 64 float dims → 8
     // codes (32× smaller index). Deterministic codebooks (subvectors
     // of vec_id < 16, the IVF seed-centroid contract); encoding is a
@@ -375,6 +400,21 @@ object QSimilarity {
           SELECT vec_id, cid AS cluster_id, dist2 FROM ranked WHERE rn = 1""",
     "q_ivf_search" -> ivfSearchSql,
     "q_ivf_search_pruned" -> ivfSearchSql,
+    "q_ann_recall" ->
+      s"""WITH truth AS (
+            SELECT vec_id FROM embeddings,
+                 (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+            ORDER BY ${dDot("embedding", "qe")} /
+                     (sqrt(${dDot("embedding", "embedding")}) * sqrt(${dDot("qe", "qe")})) DESC,
+                     vec_id ASC
+            LIMIT 10),
+          approx AS (SELECT vec_id FROM ($ivfSearchSql)),
+          k AS (SELECT count(*) AS k FROM truth),
+          h AS (SELECT count(*) AS hits FROM truth
+                WHERE vec_id IN (SELECT vec_id FROM approx))
+         SELECT k, hits,
+                round(CAST(hits AS DOUBLE) / CAST(k AS DOUBLE), 6) AS recall_at_10
+         FROM k, h""",
     "q_ivf_knn_join" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
           q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
