@@ -241,6 +241,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("K38: prorate conserves the amount; every share is base or base+1") {
+    val gen = for {
+      amount <- Gen.choose(1L, 100000L)
+      ws <- Gen.nonEmptyListOf(Gen.choose(1L, 50L)).map(_.take(20))
+    } yield (amount, ws)
+    forAll(gen) { case (amount, ws) =>
+      val df = ws.zipWithIndex.map { case (w, i) => ("g", amount, w, i.toLong) }
+        .toDF("g", "amount", "w", "id")
+      val got = graft.ops.Warehouse.prorate(df, $"g", $"amount", $"w", $"id")
+        .select($"id", $"w", $"share").as[(Long, Long, Long)].collect()
+      assert(got.map(_._3).sum == amount, s"amount=$amount ws=$ws")
+      val totalW = ws.sum
+      got.foreach { case (_, w, s) =>
+        val base = amount * w / totalW
+        assert(s == base || s == base + 1, s"share $s outside [$base, ${base + 1}]")
+      }
+    }
+  }
+
+  test("K37: mergeIntervals partitions the rows into strictly separated islands") {
+    val gen = Gen.nonEmptyListOf(for {
+      st <- Gen.choose(0L, 1000L)
+      len <- Gen.choose(0L, 200L)
+    } yield (st, st + len)).map(_.take(30))
+    forAll(gen) { ivs =>
+      val df = ivs.zipWithIndex.map { case ((s0, e0), i) => (1L, s0, e0, i.toLong) }
+        .toDF("k", "st", "en", "id")
+      val isl = graft.ops.Timeseries.mergeIntervals(df, $"k", $"st", $"en", $"id")
+        .groupBy($"island")
+        .agg(min($"st").as("s"), max($"en").as("e"), count(lit(1)).as("n"))
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+      assert(isl.map(_._4).sum == ivs.size.toLong) // every row in exactly one island
+      isl.sliding(2).foreach { // islands cannot touch or overlap
+        case Array((_, _, e1, _), (_, s2, _, _)) => assert(s2 > e1, s"ivs=$ivs")
+        case _ =>
+      }
+    }
+  }
+
   test("native minhash kernel == declarative min(md5(seed|shingle)) on adversarial text") {
     forAll(textGen, n = 20) { text =>
       val df = Seq((1L, text)).toDF("doc_id", "text")
