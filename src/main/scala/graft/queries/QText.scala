@@ -51,6 +51,30 @@ object QText {
         }.drop("text")
     }),
 
+    // Corpus-self language-model quality score — the canonical LM-based
+    // filter: a word-bigram model trained ON the corpus (c2/c1 MLE —
+    // both counts from the same distinct-bigram frame, so probabilities
+    // normalize per leading word and every seen bigram has c2 >= 1),
+    // each doc scored by its mean log-probability. Boilerplate/dup-heavy
+    // docs score high, line noise scores low. Per-term logs go through
+    // 2^30 fixed-point longs so the cross-partition sum is order-proof.
+    // Two count shuffles + two joins on derived keys; never all-pairs.
+    "q_lm_score" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val big = Dedup.shingles(docs, "text", "doc_id", 2)
+        .withColumn("w1", substring_index(col("shingle"), " ", 1))
+      val cb = big.groupBy(col("shingle")).agg(count(lit(1)).as("c2"))
+      val cu = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      big.join(cb, "shingle").join(cu, "w1")
+        .select(col("doc_id"),
+          floor(log(col("c2").cast("double") / col("c1").cast("double")) *
+            lit(1073741824L)).cast("bigint").as("fx"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round((sum(col("fx")).cast("double") / count(lit(1)).cast("double")) /
+            lit(1073741824.0), 6).as("lm_score"))
+    }),
+
     // Token counting: whitespace + BPE-ish regex tokens.
     "q_token_count" -> ((s, dir) => {
       Tables(s, dir).documents
@@ -556,6 +580,24 @@ object QText {
     "q_dedup_text" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY 1""",
+    "q_lm_score" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          big AS (SELECT DISTINCT doc_id, shingle FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+                                                 i -> array_to_string(w[i:i+1], ' '))) AS shingle
+                    FROM words)),
+          b2 AS (SELECT doc_id, shingle, split_part(shingle, ' ', 1) AS w1 FROM big),
+          cb AS (SELECT shingle, count(*) AS c2 FROM b2 GROUP BY 1),
+          cu AS (SELECT w1, count(*) AS c1 FROM b2 GROUP BY 1),
+          sc AS (SELECT doc_id,
+                        CAST(floor(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                                   * 1073741824) AS BIGINT) AS fx
+                 FROM b2 JOIN cb USING (shingle) JOIN cu USING (w1))
+         SELECT doc_id, count(*) AS n_bigrams,
+                round(CAST(sum(fx) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                      / 1073741824.0, 6) AS lm_score
+         FROM sc GROUP BY doc_id""",
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
