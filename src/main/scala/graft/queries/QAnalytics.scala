@@ -216,6 +216,22 @@ object QAnalytics {
         round(cov * cov / (vx * vy), 9).as("r2"))
     }),
 
+    // The composed DAILY CLOSE (pipelines/WarehouseClose): incremental
+    // SCD2 + today's funnel + dimension reconciliation in one output —
+    // the BI sibling of q_training_prep. The whole composition sits
+    // under ONE oracle statement (state from the full rebuild, funnel
+    // from the running-min windows, status from direct count/value
+    // comparison — equivalent to the digest road by construction).
+    "q_warehouse_close" -> ((s, dir) => {
+      val cutNs = 1705363200000000000L // 2024-01-16 UTC
+      def half(f: Column => Column) =
+        Tables(s, dir).events.filter(f(col("ts_ns")))
+          .select(col("user_id"), expr("ts_ns DIV 1000").as("t"),
+            col("event_type"), col("event_id"),
+            (Scalars.dec(col("value")) * 100).cast("bigint").as("vc"))
+      graft.pipelines.WarehouseClose.run(half(_ < cutNs), half(_ >= cutNs))
+    }),
+
     // RFM segmentation: recency/frequency/monetary per customer,
     // split at the exact medians (1-row broadcast) into an 8-way
     // segment code — threshold compare is map-only.
@@ -1055,6 +1071,50 @@ object QAnalytics {
                        ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
                         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS r2
           FROM a""",
+    "q_warehouse_close" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_type, event_id,
+                           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+                    FROM events),
+          chg AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+                  FROM ev),
+          runs AS (SELECT user_id, event_type, t FROM chg
+                   WHERE prev IS NULL OR prev <> event_type),
+          vers AS (SELECT user_id, event_type,
+                          CAST(row_number() OVER w AS INT) AS version,
+                          lead(t) OVER w AS nxt
+                   FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+          state AS (SELECT user_id, event_type AS state, version AS state_version
+                    FROM vers WHERE nxt IS NULL),
+          td AS (SELECT * FROM ev WHERE t >= 1705363200000000),
+          s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN t END)
+                             OVER (PARTITION BY user_id ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS r0 FROM td),
+          s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND r0 < t THEN t END)
+                             OVER (PARTITION BY user_id ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS r1 FROM s1),
+          s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND r1 < t THEN t END)
+                             OVER (PARTITION BY user_id ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS r2 FROM s2),
+          u AS (SELECT user_id, min(r0) AS t0, min(r1) AS t1, min(r2) AS t2
+                FROM s3 GROUP BY user_id),
+          fn AS (SELECT user_id,
+                        CASE WHEN t2 IS NOT NULL THEN 3 WHEN t1 IS NOT NULL THEN 2
+                             WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS today_stage
+                 FROM u),
+          hd AS (SELECT user_id, count(*) AS n, CAST(sum(vc) AS BIGINT) AS v
+                 FROM ev WHERE t < 1705363200000000 GROUP BY 1),
+          ad AS (SELECT user_id, count(*) AS n, CAST(sum(vc) AS BIGINT) AS v
+                 FROM ev GROUP BY 1),
+          df AS (SELECT a.user_id,
+                        CASE WHEN h.user_id IS NULL THEN 'added'
+                             WHEN h.n <> a.n OR h.v <> a.v THEN 'changed' END AS status
+                 FROM ad a LEFT JOIN hd h ON a.user_id = h.user_id)
+         SELECT s.user_id, s.state, s.state_version,
+                coalesce(fn.today_stage, 0) AS today_stage,
+                coalesce(df.status, 'same') AS change_status
+         FROM state s
+         LEFT JOIN fn ON s.user_id = fn.user_id
+         LEFT JOIN df ON s.user_id = df.user_id""",
     "q_rfm_segments" ->
       """WITH rfm AS (SELECT o_custkey,
                             CAST(date_diff('day', DATE '1970-01-01',
