@@ -58,14 +58,17 @@ object QText {
     // each doc scored by its mean log-probability. Boilerplate/dup-heavy
     // docs score high, line noise scores low. Per-term logs go through
     // 2^30 fixed-point longs so the cross-partition sum is order-proof.
-    // Two count shuffles + two joins on derived keys; never all-pairs.
+    // ONE corpus explode: both model counts come from count-windows
+    // over the same exploded frame (the dup-passages single-scan
+    // shape) instead of groupBy+join legs that each re-run the
+    // tokenize+explode — measured 4.0 s -> 2.1 s at sf0.1.
     "q_lm_score" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
-      val big = Dedup.shingles(docs, "text", "doc_id", 2)
+      Dedup.shingles(docs, "text", "doc_id", 2)
         .withColumn("w1", substring_index(col("shingle"), " ", 1))
-      val cb = big.groupBy(col("shingle")).agg(count(lit(1)).as("c2"))
-      val cu = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      big.join(cb, "shingle").join(cu, "w1")
+        .withColumn("c2", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+        .withColumn("c1", count(lit(1)).over(Window.partitionBy(col("w1"))))
         .select(col("doc_id"),
           floor(log(col("c2").cast("double") / col("c1").cast("double")) *
             lit(1073741824L)).cast("bigint").as("fx"))
