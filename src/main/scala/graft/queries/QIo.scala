@@ -102,6 +102,51 @@ object QIo {
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     }),
 
+    // A-ext — corrupt-record QUARANTINE: a JSONL feed where every 7th
+    // line is truncated mid-object (the staged file is the demo
+    // harness — a bounded, deterministic stand-in for the reference's
+    // defect-laden XML/CSV feeds). One pass routes rows: parseable ->
+    // 'ok' with real fields, broken -> 'quarantined' and KEPT (never
+    // silently dropped). Cut always lands before the closing brace, so
+    // corrupt means corrupt on any JSON parser.
+    "q_quarantine" -> ((s, dir) => {
+      import s.implicits._
+      val path = scratch("q_quarantine", dir)
+      val lines = Tables(s, dir).events.filter(col("event_id") < 700)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id")) // bounded demo file; order fixes WHICH lines break
+        .toJSON.collect().toSeq.zipWithIndex
+        .map { case (l, i) => if (i % 7 == 3) l.take(l.length / 2) else l }
+      s.createDataset(lines).coalesce(1).write.mode("overwrite").text(path)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      s.read.text(path)
+        .withColumn("rec", from_json(col("value"), schema))
+        .select(when(col("rec.event_id").isNotNull, lit("ok"))
+          .otherwise(lit("quarantined")).as("route"),
+          col("rec.event_id").as("eid"))
+        .groupBy(col("route"))
+        .agg(count(lit(1)).as("n"), sum(col("eid")).as("ok_event_id_sum"))
+    }),
+
+    // A-ext — SCHEMA EVOLUTION read: two parquet generations (v2 adds
+    // o_totalprice), one mergeSchema read yielding the union schema
+    // with nulls for the old files — the additive-column road every
+    // long-lived warehouse table walks.
+    "q_schema_evolution" -> ((s, dir) => {
+      val path = scratch("q_schema_evolution", dir)
+      val t = Tables(s, dir)
+      t.orders.filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .write.mode("overwrite").parquet(s"$path/v1")
+      t.orders.filter(col("o_orderkey") >= 300 && col("o_orderkey") < 600)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$path/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$path/v1", s"$path/v2")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
     // A6/A8/A10 — ds-partitioned parquet sink with dynamic partition
     // overwrite + size-adaptive compaction, then read back and
     // summarize per partition. Proves write->read row conservation and
@@ -158,6 +203,18 @@ object QIo {
     "q_orc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
          FROM orders WHERE o_orderkey < 500""",
+    "q_quarantine" ->
+      """WITH d AS (SELECT event_id,
+                          row_number() OVER (ORDER BY event_id) - 1 AS i
+                   FROM events WHERE event_id < 700)
+         SELECT CASE WHEN i % 7 = 3 THEN 'quarantined' ELSE 'ok' END AS route,
+                count(*) AS n,
+                CAST(sum(CASE WHEN i % 7 <> 3 THEN event_id END) AS BIGINT) AS ok_event_id_sum
+         FROM d GROUP BY 1""",
+    "q_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey,
+                CASE WHEN o_orderkey >= 300 THEN o_totalprice END AS o_totalprice
+         FROM orders WHERE o_orderkey < 600""",
     "q_dsv2_slices" ->
       """SELECT t.t AS slice_start,
                 'app' || CAST(i.i % 5 AS VARCHAR) AS app,
