@@ -75,5 +75,5 @@ object SparkEntry {
     * the one-time write it depends on. Keyed by query name.
     */
   def stages: Map[String, (SparkSession, String) => Unit] =
-    QIo.stages ++ QScale.stages ++ QSimilarity.stages
+    QIo.stages ++ QScale.stages ++ QSimilarity.stages ++ QAnalytics.stages
 }
