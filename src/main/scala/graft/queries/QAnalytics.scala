@@ -907,6 +907,39 @@ object QAnalytics {
     // equality, balance proximity) with log-odds weights, keep pairs
     // above threshold. The blocking equi-join is the 100 TB shape —
     // candidate pairs per block, never all-pairs.
+    // End-to-end ENTITY RESOLUTION: three record generations (clean +
+    // two independently-corrupted variants), blocked Jaro-Winkler
+    // matching (never all-pairs), transitive closure via connected
+    // components — records never directly compared still merge through
+    // a shared match — and a canonical min-key per cluster. The
+    // composition q_record_linkage's pairs feed in production.
+    "q_entity_resolution" -> ((s, dir) => {
+      val c = Tables(s, dir).customer
+      def blk = substring(col("c_name"), 15, 4) // untouched by both corruptions
+      val clean = c.select(col("c_custkey").as("key"), col("c_name").as("name"),
+        col("c_nationkey").as("nk"), blk.as("blk"))
+      val dirty1 = c.select((col("c_custkey") + 2000000).as("key"),
+        concat(substring(col("c_name"), 1, 8), substring(col("c_name"), 10, 1),
+          substring(col("c_name"), 9, 1), expr("substring(c_name, 11)")).as("name"),
+        col("c_nationkey").as("nk"), blk.as("blk"))
+      val dirty2 = c.select((col("c_custkey") + 4000000).as("key"),
+        concat(substring(col("c_name"), 1, 6), lit("_"),
+          expr("substring(c_name, 8)")).as("name"),
+        col("c_nationkey").as("nk"), blk.as("blk"))
+      val recs = clean.unionByName(dirty1).unionByName(dirty2)
+      val jw = round(StringSimilarityExpressions.jaroWinkler(
+        col("a_name"), col("b_name")), 6)
+      val edges = recs.select(col("key").as("id_a"), col("name").as("a_name"),
+          col("nk"), col("blk"))
+        .join(recs.select(col("key").as("id_b"), col("name").as("b_name"),
+          col("nk"), col("blk")), Seq("nk", "blk"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("jw", jw).filter(col("jw") >= 0.9)
+        .select(col("id_a"), col("id_b"))
+      graft.ops.Dedup.connectedComponents(edges, "id_a", "id_b")
+        .select(col("node").as("record_key"), col("cluster_id").as("canonical_key"))
+    }),
+
     "q_record_linkage" -> ((s, dir) => {
       val c = Tables(s, dir).customer
       val clean = c.select(col("c_custkey").as("clean_key"),
@@ -1629,6 +1662,34 @@ object QAnalytics {
                       substr(c_name, 2) || substr(c_name, 1, 1)), 6) AS jw_rot,
                 round(jaro_winkler_similarity(c_name, c_mktsegment), 6) AS jw_seg
          FROM customer""",
+    "q_entity_resolution" ->
+      """WITH RECURSIVE
+          c0 AS (SELECT c_custkey AS key, c_name AS name, c_nationkey AS nk,
+                        substr(c_name, 15, 4) AS blk
+                 FROM customer),
+          d1 AS (SELECT c_custkey + 2000000 AS key,
+                        substr(c_name, 1, 8) || substr(c_name, 10, 1) ||
+                          substr(c_name, 9, 1) || substr(c_name, 11) AS name,
+                        c_nationkey AS nk, substr(c_name, 15, 4) AS blk
+                 FROM customer),
+          d2 AS (SELECT c_custkey + 4000000 AS key,
+                        substr(c_name, 1, 6) || '_' || substr(c_name, 8) AS name,
+                        c_nationkey AS nk, substr(c_name, 15, 4) AS blk
+                 FROM customer),
+          recs AS (SELECT * FROM c0 UNION ALL SELECT * FROM d1
+                   UNION ALL SELECT * FROM d2),
+          e0 AS (SELECT a.key AS ka, b.key AS kb
+                 FROM recs a JOIN recs b
+                   ON a.nk = b.nk AND a.blk = b.blk AND a.key < b.key
+                 WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.9),
+          ed AS (SELECT ka AS src, kb AS dst FROM e0
+                 UNION SELECT kb, ka FROM e0),
+          rc(node, label) AS (
+            SELECT DISTINCT src, src FROM ed
+            UNION
+            SELECT e.dst, r.label FROM ed e JOIN rc r ON r.node = e.src)
+         SELECT node AS record_key, CAST(min(label) AS BIGINT) AS canonical_key
+         FROM rc GROUP BY node""",
     "q_record_linkage" ->
       """WITH clean AS (SELECT c_custkey AS clean_key, c_name AS clean_name,
                               c_mktsegment AS clean_seg, c_nationkey AS nk,
