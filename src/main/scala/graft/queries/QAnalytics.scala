@@ -342,6 +342,25 @@ object QAnalytics {
           min(col("t")).as("session_start_us"), max(col("t")).as("session_end_us"))
     }),
 
+    // Funnel WITHIN sessions: sessionize (K31) feeds the funnel windows
+    // (K4) keyed by (user, session) — "did the user convert within one
+    // sitting", the composition product funnels actually ship. Both
+    // operators share the (user, time, tie) sort discipline.
+    "q_session_funnel" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), expr("ts_ns DIV 1000").as("t"),
+          col("event_id"), col("event_type"))
+      val sess = Timeseries.sessionize(ev, col("user_id"), col("t"),
+        col("event_id"), 30L * 60 * 1000000)
+      Warehouse.funnelStages(sess,
+          struct(col("user_id"), col("session_idx")), col("t"),
+          col("event_type"), Seq("view", "click", "purchase"),
+          Seq(col("event_id")))
+        .select(col("user.user_id").as("user_id"),
+          col("user.session_idx").cast("bigint").as("session_idx"),
+          col("stage"))
+    }),
+
     // Two-proportion A/B z-test on conversion (a high-value purchase,
     // value >= 90 — "any purchase" saturates both arms to p = 1.0 and
     // the pooled variance collapses to 0/0) between the user_id-parity
@@ -1222,6 +1241,32 @@ object QAnalytics {
                 count(*) AS n_events,
                 min(t) AS session_start_us, max(t) AS session_end_us
          FROM sx GROUP BY 1, 2""",
+    "q_session_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events),
+          l AS (SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+                FROM e),
+          f AS (SELECT *, CASE WHEN prev IS NULL OR t - prev > 1800000000
+                               THEN 1 ELSE 0 END AS op
+                FROM l),
+          sx AS (SELECT user_id, t, event_id, event_type,
+                        CAST(sum(op) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+                 FROM f),
+          s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN t END)
+                             OVER (PARTITION BY user_id, session_idx ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS r0 FROM sx),
+          s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND r0 < t THEN t END)
+                             OVER (PARTITION BY user_id, session_idx ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS r1 FROM s1),
+          s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND r1 < t THEN t END)
+                             OVER (PARTITION BY user_id, session_idx ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS r2 FROM s2),
+          u AS (SELECT user_id, session_idx, min(r0) AS t0, min(r1) AS t1, min(r2) AS t2
+                FROM s3 GROUP BY 1, 2)
+         SELECT user_id, session_idx,
+                CASE WHEN t2 IS NOT NULL THEN 3 WHEN t1 IS NOT NULL THEN 2
+                     WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS stage
+         FROM u""",
     "q_ab_test" ->
       """WITH conv AS (SELECT user_id,
                              max(CASE WHEN event_type = 'purchase' AND value >= 90
