@@ -137,6 +137,32 @@ object QAnalytics {
     "q_retention_cohort" -> ((s, dir) =>
       Warehouse.retentionCohorts(Tables(s, dir).events, col("user_id"), col("ts"))),
 
+    // Cohort LTV curves: per (signup-week cohort, week offset) purchase
+    // revenue and its running cumulative — the "how much is a cohort
+    // worth by week N" read-out on top of the retention machinery.
+    // Cents stay integer end to end; the cumulative is a window over
+    // the tiny cohort-cell frame, not the event log.
+    "q_cohort_ltv" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      val base = Tables(s, dir).events
+        .select(col("user_id"), col("ts"),
+          when(col("event_type") === "purchase",
+            (Scalars.dec(col("value")) * 100).cast("bigint")).otherwise(0L).as("vc"))
+        .withColumn("cohort", date_trunc("week", min(col("ts")).over(w)))
+        .withColumn("week_offset",
+          (datediff(to_date(date_trunc("week", col("ts"))), to_date(col("cohort"))) / 7)
+            .cast("int"))
+      val cell = base
+        .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"))
+        .agg(sum(col("vc")).as("rev_c"))
+      cell.withColumn("cum_rev_c",
+          sum(col("rev_c")).over(Window.partitionBy(col("cohort_week"))
+            .orderBy(col("week_offset"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("cohort_week"), col("week_offset"), col("rev_c"), col("cum_rev_c"))
+    }),
+
     // Funnel conversion latency: integer-µs sums (exact, no float
     // summation order) over users completing the full path.
     "q_funnel_timing" -> ((s, dir) => {
@@ -429,6 +455,24 @@ object QAnalytics {
           15L * 60 * 1000000)
         .select(col("user_id"), col("purchase_id"), col("pt"),
           col("touch_id").as("click_id"), col("touch_t").as("click_t"))
+    }),
+
+    // Herfindahl-Hirschman concentration of customer spend per market
+    // segment — "is this segment's revenue a few whales or a long
+    // tail". All sums in exact decimal cents (sum of squares exceeds
+    // long range at scale), ONE double conversion each at the end.
+    "q_hhi" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val spend = t.orders.groupBy(col("o_custkey"))
+        .agg(sum((Scalars.dec(col("o_totalprice")) * 100).cast("bigint"))
+          .cast("decimal(20,0)").as("v"))
+      t.customer.join(spend, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("v")).as("tot"), sum(col("v") * col("v")).as("sq"))
+        .select(col("seg"), col("n_customers"),
+          round(col("sq").cast("double") /
+            (col("tot").cast("double") * col("tot").cast("double")), 9).as("hhi"))
     }),
 
     // Exact per-group mode with a total-order tie-break (most frequent
@@ -1096,6 +1140,23 @@ object QAnalytics {
                  CAST(date_diff('day', cohort, wk) // 7 AS INT) AS week_offset,
                  count(DISTINCT user_id) AS n_users
           FROM wks GROUP BY 1, 2""",
+    "q_cohort_ltv" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                          CASE WHEN event_type = 'purchase'
+                               THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                               ELSE 0 END AS vc
+                   FROM events),
+          c AS (SELECT *, date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS cohort,
+                       date_trunc('week', ts) AS wk
+                FROM e),
+          cell AS (SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+                          CAST(date_diff('day', cohort, wk) // 7 AS INT) AS week_offset,
+                          CAST(sum(vc) AS BIGINT) AS rev_c
+                   FROM c GROUP BY 1, 2)
+         SELECT cohort_week, week_offset, rev_c,
+                CAST(sum(rev_c) OVER (PARTITION BY cohort_week ORDER BY week_offset
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_c
+         FROM cell""",
     "q_event_pattern" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events),
           lagged AS (SELECT user_id, event_type, t,
@@ -1318,6 +1379,19 @@ object QAnalytics {
                 CASE WHEN pt - ct < 900000000 THEN click_id END AS click_id,
                 CASE WHEN pt - ct < 900000000 THEN ct END AS click_t
          FROM j WHERE rn = 1""",
+    "q_hhi" ->
+      """WITH spend AS (SELECT o_custkey,
+                              CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                                   AS DECIMAL(20,0)) AS v
+                       FROM orders GROUP BY 1),
+          g AS (SELECT c_mktsegment AS seg, count(*) AS n_customers,
+                       sum(v) AS tot, sum(v * v) AS sq
+                FROM customer JOIN spend ON c_custkey = o_custkey
+                GROUP BY 1)
+         SELECT seg, n_customers,
+                round(CAST(sq AS DOUBLE) /
+                      (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 9) AS hhi
+         FROM g""",
     "q_mode" ->
       """WITH cnt AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
                       FROM orders GROUP BY 1, 2),
