@@ -475,6 +475,28 @@ object QAnalytics {
             (col("tot").cast("double") * col("tot").cast("double")), 9).as("hhi"))
     }),
 
+    // Gini coefficient of customer spend per segment (HHI's sibling):
+    // rank-weighted closed form G = 2*Σ(i·v)/(n·Σv) − (n+1)/n over one
+    // (segment)-sorted window; ranks tie-broken by custkey so the
+    // statistic is deterministic, sums exact decimal.
+    "q_gini" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val spend = t.orders.groupBy(col("o_custkey"))
+        .agg(sum((Scalars.dec(col("o_totalprice")) * 100).cast("bigint"))
+          .cast("decimal(20,0)").as("v"))
+      val seg = t.customer.join(spend, col("c_custkey") === col("o_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("c_custkey"), col("v"))
+      val w = Window.partitionBy(col("seg")).orderBy(col("v"), col("c_custkey"))
+      def d(c: Column) = c.cast("double")
+      seg.withColumn("i", row_number().over(w).cast("decimal(20,0)"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).cast("decimal(20,0)").as("n"),
+          sum(col("v")).as("sv"), sum(col("i") * col("v")).as("siv"))
+        .select(col("seg"), col("n").cast("bigint").as("n_customers"),
+          round((lit(2.0) * d(col("siv"))) / (d(col("n")) * d(col("sv"))) -
+            (d(col("n")) + lit(1.0)) / d(col("n")), 9).as("gini"))
+    }),
+
     // Exact per-group mode with a total-order tie-break (most frequent
     // order priority per order status).
     "q_mode" -> ((s, dir) => {
@@ -1391,6 +1413,23 @@ object QAnalytics {
          SELECT seg, n_customers,
                 round(CAST(sq AS DOUBLE) /
                       (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 9) AS hhi
+         FROM g""",
+    "q_gini" ->
+      """WITH spend AS (SELECT o_custkey,
+                              CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                                   AS DECIMAL(20,0)) AS v
+                       FROM orders GROUP BY 1),
+          seg AS (SELECT c_mktsegment AS seg, c_custkey, v
+                  FROM customer JOIN spend ON c_custkey = o_custkey),
+          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY seg ORDER BY v, c_custkey)
+                               AS DECIMAL(20,0)) AS i
+                FROM seg),
+          g AS (SELECT seg, CAST(count(*) AS DECIMAL(20,0)) AS n,
+                       sum(v) AS sv, sum(i * v) AS siv
+                FROM r GROUP BY 1)
+         SELECT seg, CAST(n AS BIGINT) AS n_customers,
+                round((2.0 * CAST(siv AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE)) -
+                      (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 9) AS gini
          FROM g""",
     "q_mode" ->
       """WITH cnt AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
