@@ -215,6 +215,33 @@ object QAnalytics {
           col("n_test"))
     }),
 
+    // Forecast evaluation: per-type MAE and bias of the seasonal-naive
+    // forecaster over its hour-of-day cells — the model read-out that
+    // closes the forecast loop (q_ann_recall's sibling for time
+    // series). Per-cell signed errors go through 2^30 fixed-point
+    // longs; the cross-cell sums are partition-order-proof.
+    "q_forecast_error" -> ((s, dir) => {
+      val e = Tables(s, dir).events.withColumn("hr", hour(col("ts")))
+      def meanByCell(df: DataFrame, out: String): DataFrame =
+        df.groupBy(col("event_type"), col("hr"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("s"), count(lit(1)).as("n"))
+          .select(col("event_type"), col("hr"),
+            (col("s").cast("double") / col("n")).as(out))
+      val cutNs = 1706054400000000000L // 2024-01-24 UTC; raw-ns pushdown
+      val train = meanByCell(e.filter(col("ts_ns") < cutNs), "forecast")
+      val test = meanByCell(e.filter(col("ts_ns") >= cutNs), "actual")
+      train.join(test, Seq("event_type", "hr"))
+        .select(col("event_type"),
+          floor((col("forecast") - col("actual")) * lit(1073741824L))
+            .cast("bigint").as("fx"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_cells"),
+          round((sum(abs(col("fx"))).cast("double") / count(lit(1)).cast("double")) /
+            lit(1073741824.0), 6).as("mae"),
+          round((sum(col("fx")).cast("double") / count(lit(1)).cast("double")) /
+            lit(1073741824.0), 6).as("bias"))
+    }),
+
     // Sequence-pattern detection (MATCH_RECOGNIZE-lite): click
     // immediately followed by error within 1 h, per user — one lag
     // window, no self-join. Times in µs for oracle parity.
@@ -1128,6 +1155,22 @@ object QAnalytics {
                  round(actual, 6) AS actual,
                  round(abs(forecast - actual), 6) AS abs_err, n_test
           FROM tr JOIN te USING (event_type, hr)""",
+    "q_forecast_error" ->
+      """WITH tr AS (SELECT event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+                            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS forecast
+                     FROM events WHERE ts < TIMESTAMP '2024-01-24' GROUP BY 1, 2),
+          te AS (SELECT event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+                        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS actual
+                 FROM events WHERE ts >= TIMESTAMP '2024-01-24' GROUP BY 1, 2),
+          fx AS (SELECT event_type,
+                        CAST(floor((forecast - actual) * 1073741824) AS BIGINT) AS fx
+                 FROM tr JOIN te USING (event_type, hr))
+         SELECT event_type, count(*) AS n_cells,
+                round(CAST(sum(abs(fx)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                      / 1073741824.0, 6) AS mae,
+                round(CAST(sum(fx) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                      / 1073741824.0, 6) AS bias
+         FROM fx GROUP BY event_type""",
     "q_dense_ids" ->
       """SELECT o_orderkey, o_orderpriority,
                 CAST(dense_rank() OVER (ORDER BY o_orderpriority) - 1 AS INT) AS priority_code
