@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.streaming.{Streams, TypedEvent}
+import graft.streaming.{Streams, TypedEvent, UserEvent}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -217,6 +217,26 @@ object QStreaming {
         col("n_events"))
     }),
 
+    // H-ext under the oracle — flatMapGroupsWithState running counts:
+    // each micro-batch emits every touched user's count-so-far, so the
+    // emitted SET is exactly {(user, per-batch running count)} — the
+    // oracle reconstructs it by replaying the deterministic slice
+    // boundary (first ceil(n/2) rows by event_id).
+    "q_stream_counts" -> ((s, dir) => {
+      import s.implicits._
+      val feed = Tables(s, dir).events
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+        .map(r => UserEvent(r._1, r._2, r._3))
+      val out = withConf(s, "spark.sql.shuffle.partitions" -> "8") {
+        runSliced(s, feed, 2,
+          (ds: org.apache.spark.sql.Dataset[UserEvent]) =>
+            Streams.runningCounts(ds))
+      }
+      out.select(col("user_id"), col("n"))
+    }),
+
     // I5/E4 — dropDuplicatesWithinWatermark under the oracle: every
     // purchase row is fed TWICE (adjacent in the ordered feed, so the
     // duplicate may land in the same batch or straddle the boundary);
@@ -324,6 +344,20 @@ object QStreaming {
          FROM c JOIN p ON c.user_id = p.user_id
           AND p.purchase_ts >= c.click_ts
           AND p.purchase_ts < c.click_ts + INTERVAL 15 MINUTE""",
+    "q_stream_counts" ->
+      """WITH p AS (SELECT event_id, user_id,
+                          row_number() OVER (ORDER BY event_id) AS rn,
+                          count(*) OVER () AS tot
+                   FROM events WHERE event_type = 'purchase'),
+          b AS (SELECT user_id,
+                       CASE WHEN rn <= (tot + 1) // 2 THEN 0 ELSE 1 END AS batch
+                FROM p),
+          em AS (SELECT DISTINCT user_id, batch FROM b),
+          c AS (SELECT e.user_id, e.batch, count(*) AS n
+                FROM em e JOIN b x
+                  ON x.user_id = e.user_id AND x.batch <= e.batch
+                GROUP BY 1, 2)
+         SELECT user_id, n FROM c""",
     "q_stream_dedup" ->
       """SELECT event_id, user_id FROM events WHERE event_type = 'purchase'""",
     "q_stream_sessions" ->
