@@ -146,6 +146,34 @@ object Text {
     }.toSeq.toDF(bandCol, "band_offset")
   }
 
+  /** Curriculum ordering for training corpora: a global position
+    * sorted by ascending difficulty band with a deterministic md5
+    * shuffle WITHIN each band — the easy→hard annealing schedule
+    * (length or quality warmup) with intra-band mixing. Same
+    * no-bottleneck shape as [[corpusShuffle]]: the composite
+    * (difficulty, md5-prefix) band keys a partitioned window and the
+    * ≤ bands×256 offsets fold on the driver, so there is no
+    * single-task global sort at any corpus size. `difficulty` must be
+    * a non-negative integer < 1000 (lpad keeps lexicographic band
+    * order == numeric order).
+    */
+  def curriculumOrder(df: org.apache.spark.sql.DataFrame, idCol: String,
+      difficulty: Column, seed: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withKey = df
+      .withColumn("shuffle_key",
+        md5(concat_ws("|", lit(seed), col(idCol).cast("string"))))
+      .withColumn("band", concat(
+        lpad(difficulty.cast("bigint").cast("string"), 3, "0"),
+        substring(col("shuffle_key"), 1, 2)))
+    withKey.join(broadcast(bandOffsets(withKey, "band", count(lit(1)))), "band")
+      .withColumn("curriculum_rank",
+        col("band_offset") + row_number().over(
+          Window.partitionBy("band")
+            .orderBy(col("shuffle_key"), col(idCol))).cast("bigint"))
+      .drop("band", "band_offset")
+  }
+
   def corpusShuffle(df: org.apache.spark.sql.DataFrame, idCol: String,
       seed: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window

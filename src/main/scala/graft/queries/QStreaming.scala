@@ -237,6 +237,29 @@ object QStreaming {
       out.select(col("user_id"), col("n"))
     }),
 
+    // H-ext under the oracle — transformWithState (the Spark-4 named
+    // -state API) running value totals: value is fed as floor(value *
+    // 100) — an INTEGER-valued double, so the per-batch partial sums
+    // are order-independent and bit-exact cross-engine (double adds of
+    // integers < 2^53 are exact; raw doubles would make the running
+    // sum depend on iterator order). Each batch emits every touched
+    // user's total-so-far; the oracle replays the deterministic
+    // half-split boundary.
+    "q_stream_totals" -> ((s, dir) => {
+      import s.implicits._
+      val feed = Tables(s, dir).events
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), floor(col("value") * 100).as("cents"))
+        .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+        .map(r => UserEvent(r._1, r._2, r._3))
+      val out = withRocksDb(s) {
+        runSliced(s, feed, 2,
+          (ds: org.apache.spark.sql.Dataset[UserEvent]) =>
+            Streams.runningTotals(ds))
+      }
+      out.select(col("user_id"), col("total"))
+    }),
+
     // I5/E4 — dropDuplicatesWithinWatermark under the oracle: every
     // purchase row is fed TWICE (adjacent in the ordered feed, so the
     // duplicate may land in the same batch or straddle the boundary);
@@ -358,6 +381,20 @@ object QStreaming {
                   ON x.user_id = e.user_id AND x.batch <= e.batch
                 GROUP BY 1, 2)
          SELECT user_id, n FROM c""",
+    "q_stream_totals" ->
+      """WITH p AS (SELECT event_id, user_id, floor(value * 100) AS cents,
+                          row_number() OVER (ORDER BY event_id) AS rn,
+                          count(*) OVER () AS tot
+                   FROM events WHERE event_type = 'purchase'),
+          b AS (SELECT user_id, cents,
+                       CASE WHEN rn <= (tot + 1) // 2 THEN 0 ELSE 1 END AS batch
+                FROM p),
+          em AS (SELECT DISTINCT user_id, batch FROM b),
+          c AS (SELECT e.user_id, e.batch, CAST(sum(x.cents) AS DOUBLE) AS total
+                FROM em e JOIN b x
+                  ON x.user_id = e.user_id AND x.batch <= e.batch
+                GROUP BY 1, 2)
+         SELECT user_id, total FROM c""",
     "q_stream_dedup" ->
       """SELECT event_id, user_id FROM events WHERE event_type = 'purchase'""",
     "q_stream_sessions" ->

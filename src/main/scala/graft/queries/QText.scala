@@ -315,6 +315,61 @@ object QText {
         .select(col("term"), col("est"), coalesce(col("n_exact"), lit(0L)).as("n_exact"))
     }),
 
+    // Two-phase exact heavy hitters: the frequent-items pattern for
+    // ultra-high-cardinality key spaces. Phase 1 builds the d×w
+    // count-min sketch (the shuffle carries ≤ d·w·partitions cells)
+    // and collects it to the driver — 4×1024 longs, the same bounded
+    // driver-state contract as the IVF centroid table. Phase 2
+    // re-scans the corpus probing the sketch per ROW via broadcast
+    // array-literal lookups (map-only): only rows whose min-estimate
+    // clears the threshold shuffle into the exact recount. CMS never
+    // underestimates, so the candidate set is a guaranteed SUPERSET of
+    // the true frequent terms and the final HAVING makes the result
+    // exact — the long-tail keys (the overwhelming majority at corpus
+    // scale) never cross the wire. The threshold is relative
+    // (n·500 ≥ total tokens), so the query is scale-invariant.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val w = 1024
+      val d = 4
+      val tok = Tables(s, dir).documents
+        .select(explode(Text.tokens(col("text"))).as("term"))
+      val cellRows = tok
+        .select(explode(array((0 until d).map(r =>
+          struct(lit(r).as("r"),
+            (Text.md5Int(concat(lit(s"$r|"), col("term"))) % w).as("b"))): _*)).as("rb"))
+        .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+      val sketch = Array.fill(d, w)(0L)
+      cellRows.foreach { row =>
+        sketch(row.getInt(0))(row.getLong(1).toInt) = row.getLong(2)
+      }
+      val total = sketch(0).sum // every token hits row 0 exactly once
+      val est = least((0 until d).map { r =>
+        element_at(typedLit(sketch(r).toSeq),
+          (Text.md5Int(concat(lit(s"$r|"), col("term"))) % w).cast("int") + 1)
+      }: _*)
+      tok.filter(est * 500 >= lit(total))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .filter(col("n") * 500 >= lit(total))
+    }),
+
+    // Curriculum ordering (easy→hard annealing): ascending length-
+    // decile difficulty bands, deterministic md5 shuffle within each
+    // band — the sequence-length warmup schedule, through the banded
+    // global-rank machinery (driver-folded offsets, no single-task
+    // sort). Difficulty uses exact integer decile math on the global
+    // max so the band is oracle-reproducible.
+    "q_curriculum" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val stats = docs.agg(max(col("n_chars")).as("mx"))
+      val banded = docs.crossJoin(broadcast(stats))
+        .withColumn("difficulty", expr("least(9, (n_chars * 10) DIV (mx + 1))"))
+        .select(col("doc_id"), col("difficulty"))
+      Text.curriculumOrder(banded, "doc_id", col("difficulty"), "curr1")
+        .select(col("doc_id"), col("difficulty"), col("curriculum_rank"))
+    }),
+
     // Per-source quota: cap every source at its 5 longest documents —
     // the "no single crawl dominates the mix" rule, through the native
     // heap top-k operator (no sort of the corpus, shuffle carries at
@@ -455,6 +510,20 @@ object QText {
                     GROUP BY term)
          SELECT est.term, est.est, coalesce(exact.n_exact, 0) AS n_exact
          FROM est LEFT JOIN exact USING (term)""",
+    "q_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+          tot AS (SELECT count(*) AS t FROM tok)
+         SELECT term, count(*) AS n FROM tok GROUP BY term
+         HAVING count(*) * 500 >= (SELECT t FROM tot)""",
+    "q_curriculum" ->
+      """WITH m AS (SELECT max(n_chars) AS mx FROM documents),
+          d AS (SELECT doc_id,
+                       least(9, (n_chars * 10) // ((SELECT mx FROM m) + 1)) AS difficulty,
+                       md5('curr1|' || CAST(doc_id AS VARCHAR)) AS k
+                FROM documents)
+         SELECT doc_id, difficulty,
+                row_number() OVER (ORDER BY difficulty, k, doc_id) AS curriculum_rank
+         FROM d""",
     "q_tfidf_topterms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
           tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
