@@ -146,6 +146,47 @@ object Text {
     }.toSeq.toDF(bandCol, "band_offset")
   }
 
+  /** Two-phase EXACT heavy hitters over an unbounded key space: all
+    * keys whose count times `den` is at least the total row count
+    * (i.e. frequency ≥ 1/den). Phase 1 aggregates a d×w count-min
+    * sketch (the shuffle carries at most d·w·partitions cells) and
+    * collects it to the driver — d·w longs, the same bounded
+    * driver-state contract as the IVF centroid table. Phase 2 re-scans
+    * the input probing the sketch per ROW through broadcast
+    * array-literal lookups (map-only): only rows whose min-estimate
+    * clears the threshold shuffle into the exact recount. The sketch
+    * never underestimates, so the candidates are a guaranteed superset
+    * of the true frequent keys and the final filter makes the result
+    * exact — long-tail keys (the overwhelming majority at corpus
+    * scale) never cross the wire. Two scans of the input is the
+    * inherent trade of every sketch-prefilter algorithm; persist the
+    * key frame when the upstream is expensive.
+    */
+  def exactHeavyHitters(keys: org.apache.spark.sql.DataFrame, key: Column,
+      den: Int, d: Int = 4, w: Int = 1024): org.apache.spark.sql.DataFrame = {
+    val tok = keys.select(key.cast("string").as("__k"))
+    val cellRows = tok
+      .select(explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"),
+          (md5Int(concat(lit(s"$r|"), col("__k"))) % w).as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+    val sketch = Array.fill(d, w)(0L)
+    cellRows.foreach { row =>
+      sketch(row.getInt(0))(row.getLong(1).toInt) = row.getLong(2)
+    }
+    val total = sketch(0).sum // every row hits sketch row 0 exactly once
+    val est = least((0 until d).map { r =>
+      element_at(typedLit(sketch(r).toSeq),
+        (md5Int(concat(lit(s"$r|"), col("__k"))) % w).cast("int") + 1)
+    }: _*)
+    tok.filter(est * den >= lit(total))
+      .groupBy(col("__k")).agg(count(lit(1)).as("n"))
+      .filter(col("n") * den >= lit(total))
+      .withColumnRenamed("__k", "key")
+  }
+
   /** Curriculum ordering for training corpora: a global position
     * sorted by ascending difficulty band with a deterministic md5
     * shuffle WITHIN each band — the easy→hard annealing schedule

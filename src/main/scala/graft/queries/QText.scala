@@ -329,29 +329,10 @@ object QText {
     // scale) never cross the wire. The threshold is relative
     // (n·500 ≥ total tokens), so the query is scale-invariant.
     "q_heavy_hitters" -> ((s, dir) => {
-      val w = 1024
-      val d = 4
       val tok = Tables(s, dir).documents
         .select(explode(Text.tokens(col("text"))).as("term"))
-      val cellRows = tok
-        .select(explode(array((0 until d).map(r =>
-          struct(lit(r).as("r"),
-            (Text.md5Int(concat(lit(s"$r|"), col("term"))) % w).as("b"))): _*)).as("rb"))
-        .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
-        .agg(count(lit(1)).as("c"))
-        .collect()
-      val sketch = Array.fill(d, w)(0L)
-      cellRows.foreach { row =>
-        sketch(row.getInt(0))(row.getLong(1).toInt) = row.getLong(2)
-      }
-      val total = sketch(0).sum // every token hits row 0 exactly once
-      val est = least((0 until d).map { r =>
-        element_at(typedLit(sketch(r).toSeq),
-          (Text.md5Int(concat(lit(s"$r|"), col("term"))) % w).cast("int") + 1)
-      }: _*)
-      tok.filter(est * 500 >= lit(total))
-        .groupBy(col("term")).agg(count(lit(1)).as("n"))
-        .filter(col("n") * 500 >= lit(total))
+      Text.exactHeavyHitters(tok, col("term"), 500)
+        .withColumnRenamed("key", "term")
     }),
 
     // Curriculum ordering (easy→hard annealing): ascending length-

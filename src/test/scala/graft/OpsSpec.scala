@@ -234,6 +234,43 @@ class OpsSpec extends SparkSpec {
     assert(got.exists(r => other(r._1) != r._3))
   }
 
+  test("curriculum order: permutation, difficulty-monotone, shuffled within band") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val df = spark.range(0, 500).toDF("id")
+      .withColumn("difficulty", expr("id DIV 100"))
+    val got = Text.curriculumOrder(df, "id", col("difficulty"), "c1")
+      .select("id", "difficulty", "curriculum_rank")
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(_._3).sorted.toSeq == (1L to 500L)) // permutation, no gaps
+    val byRank = got.sortBy(_._3)
+    assert(byRank.map(_._2).toSeq == byRank.map(_._2).sorted.toSeq) // easy -> hard
+    // each band holds exactly its documents, internally md5-shuffled
+    val band0 = byRank.filter(_._2 == 0L).map(_._1)
+    assert(band0.toSet == (0L until 100L).toSet)
+    assert(band0.toSeq != band0.sorted.toSeq)
+    // deterministic: same seed reproduces the exact ordering
+    val again = Text.curriculumOrder(df, "id", col("difficulty"), "c1")
+      .select("id", "curriculum_rank").as[(Long, Long)].collect().toMap
+    assert(got.forall(r => again(r._1) == r._3))
+  }
+
+  test("exact heavy hitters equal the naive group-by over a skewed stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // zipf-ish: key k repeats 600/k times -> a handful of frequent keys
+    // over a wide tail
+    val rows = (1 to 200).flatMap(k => Seq.fill(600 / k)(s"k$k")).toDF("t")
+    val got = Text.exactHeavyHitters(rows, col("t"), 50)
+      .as[(String, Long)].collect().toMap
+    val naive = rows.groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = naive.values.sum
+    val expected = naive.filter { case (_, n) => n * 50 >= total }
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < naive.size) // the tail was pruned
+  }
+
   test("pii redaction hits emails, phones, IPs; leaves near-misses alone") {
     import spark.implicits._
     val rows = Seq(
