@@ -146,7 +146,26 @@ object Multimodal {
       * reference would do with an audio lib. Non-PCM/non-16-bit
       * payloads return None (the stub's territory).
       */
-    def wavRms16(b: Array[Byte]): Option[Double] = {
+    def wavRms16(b: Array[Byte]): Option[Double] =
+      wavSamples16(b).map { samples =>
+        if (samples.isEmpty) 0.0
+        else {
+          var acc = 0.0
+          var i = 0
+          while (i < samples.length) {
+            val s = samples(i).toDouble
+            acc += s * s
+            i += 1
+          }
+          math.sqrt(acc / samples.length)
+        }
+      }
+
+    /** The 16-bit PCM samples of a WAV blob: chunk-walk to the data
+      * chunk, decode the little-endian int16 stream. The shared
+      * extraction under [[wavRms16]] and the frame-level features.
+      */
+    def wavSamples16(b: Array[Byte]): Option[Array[Short]] = {
       if (!(tag(b, 0, "RIFF") && tag(b, 8, "WAVE"))) return None
       parseWav(b).filter(_.bitsPerSample == 16).flatMap { _ =>
         var off = 12
@@ -155,17 +174,13 @@ object Multimodal {
         if (off + 8 > b.length) None
         else {
           val n = math.min(le32(b, off + 4), b.length - off - 8) / 2
-          if (n == 0) Some(0.0)
-          else {
-            var acc = 0.0
-            var i = 0
-            while (i < n) {
-              val s = le16(b, off + 8 + 2 * i).toShort.toDouble
-              acc += s * s
-              i += 1
-            }
-            Some(math.sqrt(acc / n))
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            out(i) = le16(b, off + 8 + 2 * i).toShort
+            i += 1
           }
+          Some(out)
         }
       }
     }
@@ -204,6 +219,41 @@ object Multimodal {
           val (w, h) = decodeDims(r.bytes)
           DecodedMeta(r.media_id, r.bytes.length.toLong, w, h, ok = true)
         }
+      }
+    }
+  }
+
+  final case class AudioFrame(media_id: Long, frame_no: Int, energy: Long)
+
+  /** Frame-level audio feature extraction over 16-bit PCM WAV blobs:
+    * chunk-walk to the data chunk, split the samples into complete
+    * frames of `frameSamples`, emit each frame's energy (sum of squared
+    * samples) — EXACT integer math, so the extracted features
+    * themselves sit under the cross-engine oracle, not just counts.
+    * One blob row flatMaps to F feature rows entirely inside its
+    * partition (no shuffle, no driver): the shape scales with corpus
+    * bytes. Non-PCM16 blobs yield no rows (the codec stub's
+    * territory); a trailing partial frame is dropped.
+    */
+  def audioFrameEnergies(ds: Dataset[MediaRecord],
+      frameSamples: Int): Dataset[AudioFrame] = {
+    implicit val enc: Encoder[AudioFrame] = Encoders.product[AudioFrame]
+    ds.flatMap { rec =>
+      Headers.wavSamples16(rec.bytes) match {
+        case None => Iterator.empty[AudioFrame]
+        case Some(samples) =>
+          val nf = samples.length / frameSamples
+          (0 until nf).iterator.map { f =>
+            var acc = 0L
+            var i = f * frameSamples
+            val end = i + frameSamples
+            while (i < end) {
+              val s = samples(i).toLong
+              acc += s * s
+              i += 1
+            }
+            AudioFrame(rec.media_id, f, acc)
+          }
       }
     }
   }

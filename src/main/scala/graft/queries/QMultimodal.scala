@@ -56,6 +56,44 @@ object QMultimodal {
         .select(col("media_id"), col("byte_len"), col("width"), col("height"))
     }),
 
+    // REAL audio feature extraction: deterministic 16-bit PCM WAV files
+    // on disk, ingested through binaryFile, chunk-walked, and reduced
+    // to per-frame energies (sum of squared samples over 32-sample
+    // frames — exact LONG math). The oracle restates the sample
+    // generator's arithmetic, so a WAV-parse, frame-split, or energy
+    // regression breaks the hash. File i holds 160+16i samples with
+    // s(t) = (37i + 13t) mod 2048 - 1024; odd i leaves a partial frame
+    // that must be DROPPED.
+    "q_audio_energy" -> ((s, dir) => {
+      import s.implicits._
+      val path = s"target/tmp/q_audio_energy_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val d = new java.io.File(path)
+      if (!d.exists()) {
+        d.mkdirs()
+        (0 until 10).foreach { i =>
+          val n = 160 + 16 * i
+          val dataBytes = 2 * n
+          val b = java.nio.ByteBuffer.allocate(44 + dataBytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          b.put("RIFF".getBytes); b.putInt(36 + dataBytes); b.put("WAVE".getBytes)
+          b.put("fmt ".getBytes); b.putInt(16)
+          b.putShort(1); b.putShort(1) // PCM, mono
+          b.putInt(16000); b.putInt(32000); b.putShort(2); b.putShort(16)
+          b.put("data".getBytes); b.putInt(dataBytes)
+          (0 until n).foreach(t => b.putShort(((37 * i + 13 * t) % 2048 - 1024).toShort))
+          java.nio.file.Files.write(
+            new java.io.File(d, f"audio_$i%03d.wav").toPath, b.array())
+        }
+      }
+      val recs = s.read.format("binaryFile").load(path)
+        .select(
+          regexp_extract(col("path"), "audio_(\\d+)\\.wav", 1).cast("long").as("media_id"),
+          col("content").as("bytes"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.audioFrameEnergies(recs, frameSamples = 32).toDF()
+        .select(col("media_id"), col("frame_no"), col("energy"))
+    }),
+
     // Frame sampling: 32-byte chunks, every 2nd kept — count + the md5
     // of the first sampled frame (content-addressed, engine-portable).
     "q_multimodal_frames" -> ((s, dir) => {
@@ -83,6 +121,16 @@ object QMultimodal {
                 CAST(100 + range AS INT) AS width,
                 CAST(50 + 2 * range AS INT) AS height
          FROM range(20)""",
+    "q_audio_energy" ->
+      """WITH s AS (SELECT i.range AS media_id, t.range AS t,
+                           (i.range * 37 + t.range * 13) % 2048 - 1024 AS v
+                    FROM range(10) i CROSS JOIN range(304) t
+                    WHERE t.range < 160 + 16 * i.range)
+         SELECT media_id, CAST(t // 32 AS INT) AS frame_no,
+                CAST(sum(v * v) AS BIGINT) AS energy
+         FROM s
+         WHERE t < ((160 + 16 * media_id) // 32) * 32
+         GROUP BY 1, 2""",
     "q_multimodal_frames" ->
       """SELECT doc_id AS media_id,
                 CAST((greatest(CAST(ceil(length(text) / 32.0) AS INT), 1) + 1) // 2 AS BIGINT) AS n_frames,

@@ -218,6 +218,25 @@ class OpsSpec extends SparkSpec {
     assert(Headers.wavRms16("RIFFxxxxWAVE".getBytes).isEmpty)
   }
 
+  test("audio frame energies: exact per-frame sums, partial tail dropped") {
+    import spark.implicits._
+    import Multimodal.{AudioFrame, MediaRecord}
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // 5 samples [1,-2,3,-4,5]: frames of 2 -> (1+4), (9+16); the 5th
+    // sample is a partial frame and must be dropped
+    val samples = Seq(1, -2, 3, -4, 5)
+    val wav = "RIFF".getBytes ++ le32(36 + 2 * samples.size) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(2 * samples.size) ++
+      samples.flatMap(v => le16(v & 0xffff)).toArray
+    val ds = Seq(MediaRecord(7L, wav), MediaRecord(8L, "notawav".getBytes)).toDS()
+    val got = Multimodal.audioFrameEnergies(ds, frameSamples = 2).collect().toSet
+    assert(got == Set(AudioFrame(7L, 0, 5L), AudioFrame(7L, 1, 25L)))
+  }
+
   test("corpus shuffle: banded rank is an exact permutation in key order") {
     import spark.implicits._
     val df = spark.range(0, 1000).toDF("id")
