@@ -826,6 +826,37 @@ object QAnalytics {
           col("n_events"), col("active_users"), col("new_users"), col("cum_events"))
     }),
 
+    // Discrete time-to-conversion survival table: for each user, days
+    // from first view to first purchase at-or-after it; hazard(d) =
+    // conversions on day d over users still unconverted entering day
+    // d. Risk counts are total users minus the banded running sum of
+    // EARLIER conversions (Text.orderedCumsum, driver-folded offsets)
+    // — no per-(user, day) expansion and no global window, so the
+    // shape holds at any user count. Day arithmetic is exact integer
+    // µs division and the hazard one division, so the whole table is
+    // oracle-exact.
+    "q_survival" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), col("event_type"), expr("ts_ns DIV 1000").as("t_us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("t_us")).as("t0"))
+      val convDay = v
+        .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("t_us").as("tp")), Seq("user_id"))
+        .filter(col("tp") >= col("t0"))
+        .groupBy(col("user_id"))
+        .agg(min(expr("(tp - t0) DIV 86400000000")).as("day"))
+      val perDay = convDay.groupBy(col("day")).agg(count(lit(1)).as("n_conv"))
+      val total = v.agg(count(lit(1)).as("total"))
+      Text.orderedCumsum(perDay, "day", "n_conv", "cum_conv")
+        .crossJoin(broadcast(total))
+        .select(col("day"), col("n_conv"),
+          (col("total") - (col("cum_conv") - col("n_conv"))).as("n_risk"),
+          round(col("n_conv").cast("double") /
+            (col("total") - (col("cum_conv") - col("n_conv"))).cast("double"), 6)
+            .as("hazard"))
+    }),
+
     // Leave-one-out target encoding: per-category mean of the target
     // EXCLUDING the row itself (the standard leakage guard). Category
     // stats are a tiny broadcast — the per-row encode is map-only, no
@@ -1735,6 +1766,25 @@ object QAnalytics {
                  CAST(sum(n_events) OVER (ORDER BY day_num ROWS UNBOUNDED PRECEDING)
                       AS BIGINT) AS cum_events
           FROM d LEFT JOIN nu USING (day_num)""",
+    "q_survival" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+          pu AS (SELECT user_id, epoch_us(ts) AS tp FROM events
+                 WHERE event_type = 'purchase'),
+          cd AS (SELECT v.user_id, min((tp - t0) // 86400000000) AS day
+                 FROM v JOIN pu ON pu.user_id = v.user_id AND pu.tp >= v.t0
+                 GROUP BY v.user_id),
+          pd AS (SELECT day, count(*) AS n_conv FROM cd GROUP BY day),
+          tot AS (SELECT count(*) AS total FROM v),
+          c AS (SELECT day, n_conv,
+                       CAST(sum(n_conv) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS cum
+                FROM pd)
+         SELECT day, n_conv,
+                (SELECT total FROM tot) - (cum - n_conv) AS n_risk,
+                round(CAST(n_conv AS DOUBLE)
+                      / ((SELECT total FROM tot) - (cum - n_conv)), 6) AS hazard
+         FROM c""",
     "q_target_encode" ->
       """WITH o AS (SELECT o_orderkey, o_orderpriority AS cat,
                           CAST(o_totalprice AS DECIMAL(18,2)) AS y

@@ -138,6 +138,30 @@ object QText {
       Dedup.ngramJaccardPairs(Tables(s, dir).documents, "text", "doc_id", 3, 1, 5)
     }),
 
+    // Candidate-generation RECALL for the LSH dedup family — the dedup
+    // analogue of q_ann_recall: ground truth is EVERY pair with exact
+    // 3-gram Jaccard >= 1/3, found by the inverted-index join (any
+    // pair with J > 0 shares a shingle, so the index finds all
+    // qualifying pairs with no all-pairs compare); candidates are the
+    // 8-band LSH bucket pairs the production dedup uses. Threshold and
+    // overlap are integer predicates and recall is one division, so
+    // the evaluation itself is oracle-exact. At corpus scale the truth
+    // side runs over a stratified sample (or with the DF-cut skew
+    // guard) — the eval is a QA job, not the pipeline.
+    "q_minhash_recall" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val truth = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 1, 3)
+        .select(col("id_a"), col("id_b"))
+      val sig = Dedup.minhashSignature(docs, "text", "doc_id", 8)
+      val cand = Dedup.minhashCandidates(sig, "doc_id", bands = 8, rowsPerBand = 1)
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("hits"))))
+        .select(col("n_truth"), col("hits"),
+          round(col("hits").cast("double") / col("n_truth").cast("double"), 6)
+            .as("recall"))
+    }),
+
     // Sequence packing: assign documents to ~512-token training bins
     // by running token cumsum (greedy in doc_id order) — via the
     // banded distributed cumsum, so no single-task global window.
@@ -781,6 +805,35 @@ object QText {
           JOIN sizes sa ON sa.doc_id = id_a
           JOIN sizes sb ON sb.doc_id = id_b
           WHERE n_inter * 5 >= (sa.n_sh + sb.n_sh - n_inter) * 1""",
+    "q_minhash_recall" ->
+      s"""WITH $shingleCte,
+          shh AS (SELECT doc_id,
+                         CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS sh_h
+                  FROM sh),
+          sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+          inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                    FROM shh a JOIN shh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+          truth AS (SELECT id_a, id_b
+                    FROM inter
+                    JOIN sizes sa ON sa.doc_id = id_a
+                    JOIN sizes sb ON sb.doc_id = id_b
+                    WHERE n_inter * 3 >= (sa.n_sh + sb.n_sh - n_inter) * 1),
+          mh AS (SELECT doc_id,
+                        ${(0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")}
+                 FROM sh GROUP BY doc_id),
+          bands AS (${(0 until 8).map(i =>
+            s"SELECT doc_id, $i AS band, md5(mh$i) AS bucket FROM mh").mkString(" UNION ALL ")}),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+          k AS (SELECT count(*) AS n_truth FROM truth),
+          h AS (SELECT count(*) AS hits FROM truth t
+                WHERE EXISTS (SELECT 1 FROM cand c
+                              WHERE c.id_a = t.id_a AND c.id_b = t.id_b))
+         SELECT n_truth, hits,
+                round(CAST(hits AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall
+         FROM k, h""",
     "q_corpus_clean" ->
       s"""WITH survivors AS (
             SELECT d.* FROM documents d
