@@ -75,6 +75,26 @@ object QSimilarity {
         .limit(10)
     }),
 
+    // Matryoshka (MRL) truncated-dimension search: cosine top-k over
+    // the FIRST 16 of 64 dims — the cheap first-stage ranking a
+    // matryoshka-trained embedding admits (4× less I/O and FLOPs per
+    // candidate; survivors re-rank at full width via q_cosine_topk).
+    // Truncation is a map-only slice; scoring stays on the native
+    // codegen dot kernel.
+    "q_embed_truncate" -> ((s, dir) => {
+      VectorExpressions.register(s)
+      val emb = Tables(s, dir).embeddings
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head()
+        .getSeq[Float](0).take(16)
+      val qv = typedlit(q)
+      val d = VectorExpressions.dot _
+      val t = slice(col("embedding"), 1, 16)
+      emb.select(col("vec_id"),
+        (d(t, qv) / (sqrt(d(t, t)) * sqrt(d(qv, qv)))).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // IVF assignment: nearest of 8 seed centroids (vec_id < 8) by
     // J2 — cosine LSH: 8 deterministic ±1 hyperplanes hash each
     // embedding to a sign-pattern bucket (map-only scan, no centroids
@@ -384,6 +404,14 @@ object QSimilarity {
                  ${dDot("embedding", "qe")} /
                  (sqrt(${dDot("embedding", "embedding")}) * sqrt(${dDot("qe", "qe")})) AS cos_sim
           FROM embeddings, q
+          ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
+    "q_embed_truncate" ->
+      s"""WITH q AS (SELECT embedding[1:16] AS qe FROM embeddings WHERE vec_id = 0),
+          e AS (SELECT vec_id, embedding[1:16] AS te FROM embeddings)
+          SELECT vec_id,
+                 ${dDot("te", "qe")} /
+                 (sqrt(${dDot("te", "te")}) * sqrt(${dDot("qe", "qe")})) AS cos_sim
+          FROM e, q
           ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
     "q_ivf_assign" ->
       """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
