@@ -826,6 +826,36 @@ object QAnalytics {
           col("n_events"), col("active_users"), col("new_users"), col("cum_events"))
     }),
 
+    // CUSUM change-point flags over daily revenue per event type: the
+    // classic drift detector, kept integer-exact by cross-multiplying
+    // the mean away — s_d = n·prefix_d − idx_d·total is n× the
+    // cumulative deviation from the per-type daily mean, so sign and
+    // threshold decisions are exact BIGINT math with no division
+    // anywhere. One shuffle on event_type; the windows partition by
+    // type (never empty) over day-grain rows, so the window width is
+    // bounded by the calendar, not row volume.
+    "q_cusum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables(s, dir).events
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("ts_ns DIV 1000000000 DIV 86400").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cents")).as("x"))
+      val wp = Window.partitionBy(col("event_type"))
+      val wo = wp.orderBy(col("day"))
+      val dev = col("n") * col("prefix") - col("idx") * col("tot")
+      daily
+        .withColumn("n", count(lit(1)).over(wp))
+        .withColumn("tot", sum(col("x")).over(wp))
+        .withColumn("prefix",
+          sum(col("x")).over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("idx", row_number().over(wo).cast("bigint"))
+        .select(col("event_type"), col("day"), col("x"),
+          dev.as("s"), (abs(dev) * 5 > col("n") * col("tot")).as("drift_flag"))
+    }),
+
     // Discrete time-to-conversion survival table: for each user, days
     // from first view to first purchase at-or-after it; hazard(d) =
     // conversions on day d over users still unconverted entering day
@@ -1766,6 +1796,23 @@ object QAnalytics {
                  CAST(sum(n_events) OVER (ORDER BY day_num ROWS UNBOUNDED PRECEDING)
                       AS BIGINT) AS cum_events
           FROM d LEFT JOIN nu USING (day_num)""",
+    "q_cusum" ->
+      """WITH daily AS (SELECT event_type,
+                              epoch_us(ts) // 1000000 // 86400 AS day,
+                              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+                       FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+          t AS (SELECT event_type, day, x,
+                       CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+                       CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+                       CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix,
+                       CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                            AS BIGINT) AS idx
+                FROM daily)
+         SELECT event_type, day, x,
+                n * prefix - idx * tot AS s,
+                abs(n * prefix - idx * tot) * 5 > n * tot AS drift_flag
+         FROM t""",
     "q_survival" ->
       """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
                    WHERE event_type = 'view' GROUP BY user_id),

@@ -194,6 +194,27 @@ object QStreaming {
         col("event_type"), col("n"), col("total"))
     }),
 
+    // I2 under the oracle — watermarked SLIDING windows in append
+    // mode: 1-hour windows hopping every 30 min, so each event lands
+    // in exactly two windows; emitted set = windows whose END clears
+    // the final watermark, the same cutoff as q_stream_window.
+    "q_stream_sliding" -> ((s, dir) => {
+      import s.implicits._
+      val feed = Tables(s, dir).events
+        .select(col("event_id"), col("event_type"), col("ts"))
+        .as[(Long, String, java.sql.Timestamp)].collect().toSeq
+        .sortBy(r => (r._3.getTime, r._1))
+      val out = withConf(s, "spark.sql.shuffle.partitions" -> "8") {
+        runSliced(s, feed, 3,
+          (ds: org.apache.spark.sql.Dataset[(Long, String, java.sql.Timestamp)]) =>
+            Streams.slidingAgg(ds.toDF("event_id", "event_type", "ts"),
+              "1 hour", "30 minutes", "10 minutes"))
+      }
+      out.select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"))
+    }),
+
     // I3 under the oracle — watermarked SESSION windows in append
     // mode: 30-min-gap sessions per user over three ordered
     // micro-batches; a session spanning a batch boundary stays open in
@@ -433,6 +454,17 @@ object QStreaming {
                 FROM events GROUP BY 1, 2)
          SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
                 event_type, n, total
+         FROM b, m
+         WHERE w + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE""",
+    "q_stream_sliding" ->
+      """WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+          e AS (SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS b30,
+                       event_type FROM events),
+          w2 AS (SELECT b30 AS w, event_type FROM e
+                 UNION ALL
+                 SELECT b30 - INTERVAL 30 MINUTE AS w, event_type FROM e),
+          b AS (SELECT w, event_type, count(*) AS n FROM w2 GROUP BY 1, 2)
+         SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, n
          FROM b, m
          WHERE w + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE""",
     "q_stream_scd2" ->

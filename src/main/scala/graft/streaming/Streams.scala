@@ -40,6 +40,19 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(Scalars.dec(col("value"))).cast("double").as("total"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total"))
 
+  /** I2 streaming twin — watermarked SLIDING (hopping) window
+    * aggregate: each event lands in width/slide overlapping windows
+    * (state holds width/slide open windows per key instead of one);
+    * append mode emits a window once its end clears the watermark.
+    */
+  def slidingAgg(events: DataFrame, width: String = "1 hour",
+      slide: String = "30 minutes", lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
   /** I-ext — stream-static enrichment join: the static dimension is
     * broadcast into every micro-batch (re-resolved per batch, so a
     * refreshed dim table is picked up on the next trigger). Stateless —

@@ -378,6 +378,21 @@ class PlanShapeSpec extends SparkSpec {
       s"band offsets should broadcast, not shuffle the corpus:\n$plan")
   }
 
+  test("heavy-hitter recount: map-only sketch probe, one exchange, no join") {
+    val tok = Tables(spark, sfDir).documents
+      .select(explode(split(col("text"), " ")).as("t"))
+    val plan = graft.ops.Text.exactHeavyHitters(tok, col("t"), 500)
+      .queryExecution.executedPlan.toString
+    // the candidate filter must be a literal-array probe in the scan
+    // stage — no join against a sketch table, and the only exchange is
+    // the exact recount's aggregate
+    assert(!plan.contains("Join"),
+      s"sketch probe should be a broadcast literal, not a join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected exactly one exchange (final recount), got $exchanges:\n$plan")
+  }
+
   test("duplicatePassages tokenizes the corpus once (single documents scan)") {
     val qe = graft.ops.Text
       .duplicatePassages(Tables(spark, sfDir).documents, "text", "doc_id", 15)
