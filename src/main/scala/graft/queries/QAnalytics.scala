@@ -826,6 +826,58 @@ object QAnalytics {
           col("n_events"), col("active_users"), col("new_users"), col("cum_events"))
     }),
 
+    // C5-ext — interval × interval OVERLAP join with exact durations:
+    // merged 30-min view islands per user against 1-hour post-purchase
+    // windows, joined on user_id (keyed shuffle, never a cartesian);
+    // overlap = least(ends) − greatest(starts) where positive, exact
+    // µs integer math. Completes the join family: as-of (point→
+    // latest), range (point ∈ interval), and interval ∩ interval.
+    "q_interval_overlap" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts_ns DIV 1000").as("t_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("t_us").as("st"),
+          (col("t_us") + 1800000000L).as("en"), col("event_id"))
+      val islands = Timeseries.mergeIntervals(views, col("user_id"), col("st"),
+          col("en"), col("event_id"))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("st")).as("v_st"), max(col("en")).as("v_en"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("t_us").as("p_st"), (col("t_us") + 3600000000L).as("p_en"))
+      islands.join(buys, Seq("user_id"))
+        .filter(greatest(col("v_st"), col("p_st")) < least(col("v_en"), col("p_en")))
+        .select(col("user_id"), col("island"), col("purchase_id"),
+          (least(col("v_en"), col("p_en")) - greatest(col("v_st"), col("p_st")))
+            .as("overlap_us"))
+    }),
+
+    // 7-day rolling distinct users (WAU) + DAU/WAU stickiness: each
+    // (user, active-day) pair fans out MAP-SIDE to the ≤7 trailing
+    // windows that contain it, then one shuffle counts distincts per
+    // day — the scalable form of windowed-distinct (window functions
+    // can't express countDistinct, and re-scanning a 7-day slice per
+    // day is 7 passes at corpus scale). Fan-out days past the data's
+    // max day are clipped.
+    "q_rolling_wau" -> ((s, dir) => {
+      val ud = Tables(s, dir).events
+        .select(col("user_id"), expr("ts_ns DIV 1000000000 DIV 86400").as("day"))
+        .distinct()
+      val mx = ud.agg(max(col("day")).as("mxd"))
+      val contrib = ud
+        .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("d"))
+        .crossJoin(broadcast(mx))
+        .filter(col("d") <= col("mxd"))
+      val wau = contrib.groupBy(col("d").as("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      dau.join(wau, Seq("day"))
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau").cast("double"), 6)
+            .as("stickiness"))
+    }),
+
     // CUSUM change-point flags over daily revenue per event type: the
     // classic drift detector, kept integer-exact by cross-multiplying
     // the mean away — s_d = n·prefix_d − idx_d·total is n× the
@@ -1796,6 +1848,42 @@ object QAnalytics {
                  CAST(sum(n_events) OVER (ORDER BY day_num ROWS UNBOUNDED PRECEDING)
                       AS BIGINT) AS cum_events
           FROM d LEFT JOIN nu USING (day_num)""",
+    "q_interval_overlap" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS t_us
+                    FROM events),
+          v AS (SELECT user_id, t_us AS st, t_us + 1800000000 AS en, event_id
+                FROM ev WHERE event_type = 'view'),
+          m AS (SELECT *, max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+                FROM v),
+          o AS (SELECT *, CASE WHEN pme IS NULL OR st > pme THEN 1 ELSE 0 END AS opens
+                FROM m),
+          isl AS (SELECT *, CAST(sum(opens) OVER (PARTITION BY user_id
+                              ORDER BY st, event_id ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS island
+                  FROM o),
+          vi AS (SELECT user_id, island, min(st) AS v_st, max(en) AS v_en
+                 FROM isl GROUP BY 1, 2),
+          p AS (SELECT user_id, event_id AS purchase_id, t_us AS p_st,
+                       t_us + 3600000000 AS p_en
+                FROM ev WHERE event_type = 'purchase')
+         SELECT vi.user_id, island, purchase_id,
+                least(v_en, p_en) - greatest(v_st, p_st) AS overlap_us
+         FROM vi JOIN p ON p.user_id = vi.user_id
+         WHERE greatest(v_st, p_st) < least(v_en, p_en)""",
+    "q_rolling_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+                            epoch_us(ts) // 1000000 // 86400 AS day
+                     FROM events),
+          mx AS (SELECT max(day) AS mxd FROM ud),
+          c AS (SELECT user_id, day + o.x AS d
+                FROM ud CROSS JOIN (SELECT unnest(range(7)) AS x) o
+                WHERE day + o.x <= (SELECT mxd FROM mx)),
+          wau AS (SELECT d AS day, count(DISTINCT user_id) AS wau FROM c GROUP BY d),
+          dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day)
+         SELECT day, dau, wau,
+                round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness
+         FROM dau JOIN wau USING (day)""",
     "q_cusum" ->
       """WITH daily AS (SELECT event_type,
                               epoch_us(ts) // 1000000 // 86400 AS day,
