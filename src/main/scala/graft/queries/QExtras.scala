@@ -96,6 +96,29 @@ object QExtras {
           expr("percentile(l_quantity, 0.9)").as("p90_qty"))
     }),
 
+    // E-ext — exact WEIGHTED median: smallest price whose cumulative
+    // quantity reaches half the group's total (lower weighted median —
+    // a deterministic pick, no interpolation, no floats until the
+    // final cents→currency cast). The cumulative weight uses a RANGE
+    // frame over integer cents, so tied prices accumulate as one block
+    // and the window is deterministic without a tie-break column.
+    "q_weighted_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables(s, dir).lineitem.select(col("l_returnflag"),
+        (Scalars.dec(col("l_extendedprice")) * 100).cast("bigint").as("cents"),
+        col("l_quantity").cast("bigint").as("qty"))
+      val wr = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wp = Window.partitionBy(col("l_returnflag"))
+      li.withColumn("cum", sum(col("qty")).over(wr))
+        .withColumn("tot", sum(col("qty")).over(wp))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("cents")).as("mc"))
+        .select(col("l_returnflag"),
+          (col("mc").cast("double") / 100.0d).as("w_median_price"))
+    }),
+
     // Winsorization: clamp a measure into its group's [P05, P95] band
     // — the standard outlier treatment before aggregating noisy
     // telemetry or pricing data. One percentile aggregation broadcast
@@ -318,6 +341,19 @@ object QExtras {
                 quantile_cont(l_quantity, 0.5) AS median_qty,
                 quantile_cont(l_quantity, 0.9) AS p90_qty
          FROM lineitem GROUP BY l_returnflag""",
+    "q_weighted_median" ->
+      """WITH li AS (SELECT l_returnflag,
+                           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                           CAST(l_quantity AS BIGINT) AS qty
+                    FROM lineitem),
+          c AS (SELECT l_returnflag, cents,
+                       CAST(sum(qty) OVER (PARTITION BY l_returnflag ORDER BY cents
+                                           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS cum,
+                       CAST(sum(qty) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+                FROM li)
+         SELECT l_returnflag, CAST(min(cents) AS DOUBLE) / 100.0 AS w_median_price
+         FROM c WHERE cum * 2 >= tot GROUP BY l_returnflag""",
     "q_winsorize" ->
       """WITH b AS (SELECT l_returnflag AS rf,
                            quantile_cont(l_extendedprice, 0.05) AS p05,
