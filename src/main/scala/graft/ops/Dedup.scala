@@ -315,6 +315,39 @@ object Dedup {
     * near-dup pipelines usually want to ignore anyway. Off (0) by
     * default; the oracle-checked demo runs exact.
     */
+  /** Asymmetric CONTAINMENT pairs: directed (contained, container)
+    * rows where at least `num`/`den` of the contained document's
+    * distinct n-gram shingles also occur in the container — the
+    * quote/boilerplate/subset signal symmetric Jaccard misses (a short
+    * doc fully quoted inside a long one has low Jaccard but containment
+    * ≈ 1). Same inverted-index shape as [[ngramJaccardPairs]]: the join
+    * ships 60-bit shingle hashes, candidates are pairs sharing ≥ 1
+    * shingle, and the threshold is an integer cross-multiplication.
+    * Both directions derive from ONE undirected intersect frame.
+    */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
+      num: Int, den: Int): DataFrame = {
+    val hashed = Par.widen(df).select(col(idCol),
+      graft.expressions.TextSketchExpressions.shingleHash64(col(textCol), n).as("shs"))
+      .cache()
+    val sh = hashed.select(col(idCol), explode(col("shs")).as("sh_h"))
+    val sizes = hashed.select(col(idCol), size(col("shs")).cast("bigint").as("n_sh"))
+    val inter = sh.select(col(idCol).as("id_a"), col("sh_h"))
+      .join(sh.select(col(idCol).as("id_b"), col("sh_h")), Seq("sh_h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+    val ws = inter
+      .join(sizes.withColumnRenamed("n_sh", "n_a"), col("id_a") === sizes(idCol)).drop(idCol)
+      .join(sizes.withColumnRenamed("n_sh", "n_b"), col("id_b") === sizes(idCol)).drop(idCol)
+    val aInB = ws.filter(col("n_inter") * den >= col("n_a") * num)
+      .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+        (col("n_inter").cast("double") / col("n_a").cast("double")).as("containment"))
+    val bInA = ws.filter(col("n_inter") * den >= col("n_b") * num)
+      .select(col("id_b").as("contained_id"), col("id_a").as("container_id"),
+        (col("n_inter").cast("double") / col("n_b").cast("double")).as("containment"))
+    aInB.unionAll(bInA)
+  }
+
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
       thresholdNum: Int, thresholdDen: Int, maxDocFreq: Long = 0L): DataFrame = {
     // Join on a 60-bit md5-prefix hash of the shingle, not the string:

@@ -152,6 +152,51 @@ object QStreaming {
       s.table(sink).select(col("user_id"), col("click_id"), col("purchase_id"))
     }),
 
+    // I-ext — stream-stream LEFT OUTER interval join: same two
+    // watermarked streams as q_stream_attribution, but clicks with no
+    // purchase in their 15-min window are emitted with a NULL
+    // purchase_id once the watermark passes their match horizon
+    // (click_ts + 15 min) — the state-EXPIRY semantics only an outer
+    // streaming join exercises. Matched pairs emit immediately;
+    // unmatched clicks younger than the final watermark's horizon stay
+    // in state and never emit. The GLOBAL watermark is the MIN of the
+    // two per-stream watermarks, so the oracle's cutoff base is
+    // least(max click ts, max purchase ts) − lateness, not the
+    // all-events max.
+    "q_stream_outer" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = Tables(s, dir).events
+      def side(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .as[(Long, Long, java.sql.Timestamp)].collect().toSeq
+        .sortBy(r => (r._3.getTime, r._2))
+      val clicks = side("click")
+      val purchases = side("purchase")
+      val cut = {
+        val all = (clicks ++ purchases).map(_._3.getTime).sorted
+        all(all.size / 2)
+      }
+      val memC = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val memP = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val sink = s"q_stream_sink_${sinkSeq.incrementAndGet()}"
+      withConf(s, "spark.sql.shuffle.partitions" -> "8") {
+        val q = Streams.attributionJoin(
+            memC.toDF().toDF("user_id", "event_id", "ts"),
+            memP.toDF().toDF("user_id", "event_id", "ts"),
+            joinType = "leftOuter")
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        try {
+          Seq[Long => Boolean](_ < cut, _ >= cut).foreach { in =>
+            memC.addData(clicks.filter(r => in(r._3.getTime)))
+            memP.addData(purchases.filter(r => in(r._3.getTime)))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      s.table(sink).select(col("user_id"), col("click_id"), col("purchase_id"))
+    }),
+
     // I-ext — stream-static enrichment: purchases stream in two
     // micro-batches, each joined against the broadcast nation dim
     // (stateless, no watermark); the emitted set equals the batch
@@ -388,6 +433,29 @@ object QStreaming {
          FROM c JOIN p ON c.user_id = p.user_id
           AND p.purchase_ts >= c.click_ts
           AND p.purchase_ts < c.click_ts + INTERVAL 15 MINUTE""",
+    "q_stream_outer" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+                    FROM events WHERE event_type = 'click'),
+          p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+                FROM events WHERE event_type = 'purchase'),
+          m AS (SELECT least(
+                  (SELECT max(CAST(ts AS TIMESTAMP)) FROM events
+                   WHERE event_type = 'click'),
+                  (SELECT max(CAST(ts AS TIMESTAMP)) FROM events
+                   WHERE event_type = 'purchase')) AS mx)
+         SELECT c.user_id, c.click_id, p.purchase_id
+         FROM c JOIN p ON c.user_id = p.user_id
+          AND p.purchase_ts >= c.click_ts
+          AND p.purchase_ts < c.click_ts + INTERVAL 15 MINUTE
+         UNION ALL
+         SELECT c.user_id, c.click_id, NULL AS purchase_id
+         FROM c, m
+         WHERE CAST(c.click_ts AS TIMESTAMP) + INTERVAL 15 MINUTE
+                 <= mx - INTERVAL 10 MINUTE
+           AND NOT EXISTS (SELECT 1 FROM p
+                           WHERE p.user_id = c.user_id
+                             AND p.purchase_ts >= c.click_ts
+                             AND p.purchase_ts < c.click_ts + INTERVAL 15 MINUTE)""",
     "q_stream_counts" ->
       """WITH p AS (SELECT event_id, user_id,
                           row_number() OVER (ORDER BY event_id) AS rn,

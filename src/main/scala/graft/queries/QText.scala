@@ -138,6 +138,14 @@ object QText {
       Dedup.ngramJaccardPairs(Tables(s, dir).documents, "text", "doc_id", 3, 1, 5)
     }),
 
+    // Asymmetric containment (quote/subset detection): directed pairs
+    // where >= 9/10 of the contained doc's 3-gram shingles occur in
+    // the container — the signal symmetric Jaccard misses when a short
+    // doc is quoted whole inside a long one.
+    "q_doc_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(Tables(s, dir).documents, "text", "doc_id", 3, 9, 10)
+    }),
+
     // Candidate-generation RECALL for the LSH dedup family — the dedup
     // analogue of q_ann_recall: ground truth is EVERY pair with exact
     // 3-gram Jaccard >= 1/3, found by the inverted-index join (any
@@ -805,6 +813,25 @@ object QText {
           JOIN sizes sa ON sa.doc_id = id_a
           JOIN sizes sb ON sb.doc_id = id_b
           WHERE n_inter * 5 >= (sa.n_sh + sb.n_sh - n_inter) * 1""",
+    "q_doc_containment" ->
+      s"""WITH $shingleCte,
+          shh AS (SELECT doc_id,
+                         CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS sh_h
+                  FROM sh),
+          sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+          inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                    FROM shh a JOIN shh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+          ws AS (SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+                 FROM inter
+                 JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b)
+         SELECT id_a AS contained_id, id_b AS container_id,
+                CAST(n_inter AS DOUBLE) / n_a AS containment
+         FROM ws WHERE n_inter * 10 >= n_a * 9
+         UNION ALL
+         SELECT id_b, id_a, CAST(n_inter AS DOUBLE) / n_b
+         FROM ws WHERE n_inter * 10 >= n_b * 9""",
     "q_minhash_recall" ->
       s"""WITH $shingleCte,
           shh AS (SELECT doc_id,

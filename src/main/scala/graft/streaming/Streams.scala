@@ -233,7 +233,8 @@ object Streams {
     * Batch twin (oracle-checked): `q_range_join`.
     */
   def attributionJoin(clicks: DataFrame, purchases: DataFrame,
-      within: String = "15 minutes", lateness: String = "10 minutes"): DataFrame = {
+      within: String = "15 minutes", lateness: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = clicks.withWatermark("ts", lateness)
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
     val r = purchases.withWatermark("ts", lateness)
@@ -242,7 +243,8 @@ object Streams {
     l.join(r,
       col("user_id") === col("r_user_id") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") < col("click_ts") + expr(s"INTERVAL $within"))
+        col("purchase_ts") < col("click_ts") + expr(s"INTERVAL $within"),
+      joinType)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("click_ts"), col("purchase_ts"))
   }
