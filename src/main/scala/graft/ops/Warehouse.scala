@@ -77,6 +77,34 @@ object Warehouse {
     closed.select(outCols: _*).unionByName(tail.select(outCols: _*))
   }
 
+  /** Apply a CDC changelog to a keyed snapshot — the `MERGE INTO`
+    * re-expression (Delta/Debezium change-feed shape). The log carries
+    * (key, op ∈ I/U/D, payload, seq); only each key's LAST change by
+    * `seq` decides final state: D drops the key (even if the same
+    * batch inserted it earlier), I and U both upsert the payload
+    * (idempotent MERGE: I on an existing key behaves as U). Keys the
+    * log never mentions pass through unchanged.
+    *
+    * Shape for 100 TB: one window pass reduces the log to its last
+    * change per key (one shuffle on `key`, log rows ship once), then a
+    * single full-outer join on `key` against the snapshot — no
+    * per-change rescans of the base table, which is how a naive
+    * replay-each-batch loop dies at scale. `seq` must totally order
+    * each key's changes or the surviving change is nondeterministic.
+    */
+  def applyChangelog(snapshot: DataFrame, log: DataFrame, key: String,
+      opCol: String, seq: Seq[Column], payload: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(seq.map(_.desc): _*)
+    val last = log
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col(key) +: col(opCol).as("__op") +:
+        payload.map(c => col(c).as(s"__new_$c")): _*)
+    snapshot.join(last, Seq(key), "full_outer")
+      .filter(coalesce(col("__op"), lit("KEEP")) =!= "D")
+      .select(col(key) +: payload.map(c =>
+        when(col("__op").isNotNull, col(s"__new_$c")).otherwise(col(c)).as(c)): _*)
+  }
+
   /** Row-level diff of two snapshots of the same keyed table: `added`
     * (key only in `next`), `removed` (key only in `prev`), `changed`
     * (both sides, tracked columns differ). Unchanged rows are dropped.

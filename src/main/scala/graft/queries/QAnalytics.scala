@@ -92,6 +92,27 @@ object QAnalytics {
           col("effective_to").as("eff_to_us"), col("is_current"))
     }),
 
+    // CDC changelog application (MERGE INTO shape): a deterministic
+    // I/U/D change feed derived from orders is applied to the customer
+    // snapshot. Last change per key wins (window, one shuffle); one
+    // full-outer merge join — no per-batch base rescans. A final D
+    // drops the key; I and U both upsert (idempotent MERGE).
+    "q_cdc_apply" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val log = t.orders.select(
+        expr("CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 100000 ELSE o_custkey END")
+          .as("c_custkey"),
+        expr("CASE WHEN o_orderkey % 10 = 0 THEN 'D' WHEN o_orderkey % 7 = 0 THEN 'I' ELSE 'U' END")
+          .as("op"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderpriority").as("c_mktsegment"),
+        col("o_orderdate"), col("o_orderkey"))
+      Warehouse.applyChangelog(
+        t.customer.select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment")),
+        log, "c_custkey", "op", Seq(col("o_orderdate"), col("o_orderkey")),
+        Seq("c_acctbal", "c_mktsegment"))
+    }),
+
     // Snapshot reconciliation: md5-digest diff of two simulated
     // customer snapshots (rows dropped / added / acctbal bumped) —
     // only (key, digest) pairs reach the full-outer join.
@@ -1203,6 +1224,24 @@ object QAnalytics {
                  lead(tus) OVER w AS eff_to_us,
                  (lead(tus) OVER w IS NULL) AS is_current
           FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)""",
+    "q_cdc_apply" ->
+      """WITH ch AS (SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 100000
+                                 ELSE o_custkey END AS c_custkey,
+                            CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+                                 WHEN o_orderkey % 7 = 0 THEN 'I'
+                                 ELSE 'U' END AS op,
+                            o_totalprice AS nb, o_orderpriority AS ns,
+                            o_orderdate, o_orderkey
+                     FROM orders),
+          last AS (SELECT c_custkey, op, nb, ns
+                   FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                         FROM ch) WHERE rn = 1)
+         SELECT COALESCE(c.c_custkey, l.c_custkey) AS c_custkey,
+                CASE WHEN l.op IS NULL THEN c.c_acctbal ELSE l.nb END AS c_acctbal,
+                CASE WHEN l.op IS NULL THEN c.c_mktsegment ELSE l.ns END AS c_mktsegment
+         FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.c_custkey
+         WHERE COALESCE(l.op, 'K') <> 'D'""",
     "q_snapshot_diff" ->
       """WITH prev AS (SELECT c_custkey,
                              md5(concat_ws('|', c_name, c_mktsegment,

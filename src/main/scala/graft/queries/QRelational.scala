@@ -142,6 +142,22 @@ object QRelational {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
     }),
 
+    // B7-ext — deterministic STRATIFIED sample: exactly 5 rows per
+    // o_orderpriority stratum, picked by md5 rank (reproducible across
+    // runs and engines, unlike rand()-based sampleBy). Rides the
+    // native two-phase top-k: per-partition bounded heaps cut to ≤5
+    // rows per stratum before the exchange, so the shuffle ships
+    // k×strata rows per partition — per-group sampling never sorts or
+    // ships a full 100 TB stratum.
+    "q_group_sample" -> ((s, dir) => {
+      graft.plans.NativeOps.topKPerGroup(
+        Tables(s, dir).orders
+          .withColumn("h", md5(col("o_orderkey").cast("string")))
+          .select(col("o_orderpriority"), col("h"), col("o_orderkey")),
+        Seq("o_orderpriority"), Seq(("h", true), ("o_orderkey", true)), 5)
+        .select(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
     // C-ext — NOT IN with a nullable subquery column: three-valued
     // logic means ONE null in the list empties the result unless nulls
     // are excluded — the classic silent-wrong-answer trap; stated
@@ -280,6 +296,13 @@ object QRelational {
       """SELECT o_orderkey, o_custkey, o_orderstatus
          FROM orders
          WHERE CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 0""",
+    "q_group_sample" ->
+      """SELECT o_orderpriority, o_orderkey FROM
+           (SELECT o_orderpriority, o_orderkey,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+            FROM orders)
+         WHERE rn <= 5""",
     "q_not_in_null" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE c_custkey NOT IN (

@@ -17,6 +17,20 @@ object QScale {
   private def manifestPath(dir: String): String =
     s"target/tmp/q_manifest_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
 
+  /** Run `body` with conf overrides, restoring previous values after.
+    * Plans that depend on the overrides must be materialized INSIDE
+    * `body` (optimization happens at action time, not declaration).
+    */
+  private[graft] def withConf[A](s: SparkSession, kvs: (String, String)*)(body: => A): A = {
+    val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(p)) => s.conf.set(k, p)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   /** Untimed setup (see [[QIo.stages]]): the range-laid-out write +
     * sidecar manifest is staged before the query loop so the timed
     * query is the pruned READ the manifest exists to make fast.
@@ -95,6 +109,33 @@ object QScale {
           col("zkey"))
     }),
 
+    // Runtime bloom-filter pushdown: the selective dim filter
+    // (p_size < 5, ~8% of part) builds a bloom filter that Catalyst
+    // injects as a bloom_filter_might_contain probe on lineitem's scan
+    // side BEFORE the join shuffle — at 100 TB the ~92% of fact rows
+    // that cannot match never cross the wire. Broadcast is disabled
+    // inside the conf scope so the shuffle-join + bloom path is the
+    // one exercised (a broadcast join would prune by other means), and
+    // the plan is materialized eagerly (localCheckpoint) while the
+    // confs are still active — the bloom decision happens at
+    // optimization time. The groupBy output is ~25 brands, so the
+    // checkpointed frame is tiny. PlanShapeSpec asserts the probe
+    // appears in the executed plan; the oracle is the plain join.
+    "q_runtime_bloom" -> ((s, dir) => withConf(s,
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+      val t = Tables(s, dir)
+      t.lineitem.select(col("l_partkey"), Scalars.dec(col("l_quantity")).as("qty"))
+        .join(t.part.filter(col("p_size") < 5)
+          .select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"), sum(col("qty")).cast("double").as("total_qty"))
+        .localCheckpoint(true)
+    }),
+
     // A-ext — manifest-driven FILE skipping: data written range-laid-out
     // by l_shipdate with a per-file [min,max] sidecar; the date-range
     // read consults the manifest and opens only overlapping files
@@ -148,6 +189,12 @@ object QScale {
                  CAST($terms AS BIGINT) AS zkey
           FROM bkt"""
     },
+    "q_runtime_bloom" ->
+      """SELECT p_brand, count(*) AS n_items,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size < 5
+         GROUP BY p_brand""",
     "q_manifest_skip" ->
       """SELECT l_orderkey,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -143,6 +143,24 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains((1L, 3L)))
   }
 
+  test("containment: short doc quoted inside long doc is directed and jaccard-invisible") {
+    val quoted = "alpha beta gamma delta epsilon zeta"
+    val container = quoted + " one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq((1L, quoted), (2L, container),
+      (3L, "totally different words occupy this entire other document"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "text", "doc_id", 3, 9, 10)
+      .select("contained_id", "container_id", "containment")
+      .as[(Long, Long, Double)].collect()
+    // every shingle of 1 occurs in 2; the direction matters and the
+    // reverse (2 in 1) is far below the 9/10 bar
+    assert(got.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+    assert(got.head._3 == 1.0)
+    // symmetric Jaccard at the same bar misses the pair entirely
+    val jac = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 9, 10)
+    assert(jac.count() == 0)
+  }
+
   test("ngram jaccard DF-cut: ubiquitous shingles stop generating pairs") {
     // Two docs that share ONLY a boilerplate header; two true near-dups.
     val header = "terms of service apply to all content"

@@ -39,6 +39,25 @@ class PlanShapeSpec extends SparkSpec {
       s"ds filter did not become a partition filter:\n$plan")
   }
 
+  test("runtime bloom filter probes the fact scan side before the join shuffle") {
+    graft.queries.QScale.withConf(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+      val t = Tables(spark, "/root/testdata/sf0.001")
+      val plan = t.lineitem.select(col("l_partkey"), col("l_quantity"))
+        .join(t.part.filter(col("p_size") < 5).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+        .queryExecution.executedPlan.toString
+      // physical form: Filter(... AND might_contain(Subquery ...)) fed by
+      // a bloom_filter_agg subquery over the filtered dim
+      assert(plan.contains("might_contain(") && plan.contains("bloom_filter_agg"),
+        s"no runtime bloom probe on the fact side:\n$plan")
+    }
+  }
+
   test("flagship enrichment joins broadcast the dimensions (no fact shuffle)") {
     val plan = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in flagship:\n$plan")

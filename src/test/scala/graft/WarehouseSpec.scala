@@ -101,6 +101,20 @@ class WarehouseSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, "removed"), (3L, "changed"), (4L, "added")))
   }
 
+  test("applyChangelog: last change wins, D drops, I/U upsert, untouched pass through") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val log = Seq(
+      (1L, "U", "a2", 1), (1L, "D", "x", 2),  // update then delete -> dropped
+      (2L, "D", "x", 1), (2L, "U", "b2", 2),  // delete then update -> upserted
+      (3L, "I", "c2", 1),                     // I on existing key behaves as U
+      (5L, "I", "e", 1),                      // new key inserted
+      (6L, "I", "f", 1), (6L, "D", "x", 2))   // inserted then deleted -> absent
+      .toDF("k", "op", "v", "seq")
+    val got = Warehouse.applyChangelog(snap, log, "k", "op", Seq(col("seq")), Seq("v"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((2L, "b2"), (3L, "c2"), (4L, "d"), (5L, "e")))
+  }
+
   test("dictEncode assigns dense codes in sorted-value order via broadcast") {
     val df = Seq("m", "z", "a", "m", "a").toDF("v")
     val got = Warehouse.dictEncode(df, "v", "code")
