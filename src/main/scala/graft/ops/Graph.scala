@@ -116,6 +116,58 @@ object Graph {
     visited
   }
 
+  /** Bounded-hop single-source shortest paths (frontier Bellman-Ford)
+    * over integer-weighted undirected edges (`src`, `dst`, `w` > 0).
+    * After round r the distance column is EXACTLY the min cost over
+    * paths with ≤ r edges (the classic relaxation invariant — the
+    * frontier variant preserves it because every prefix of a best
+    * ≤r-hop path put its endpoint in some earlier frontier), so a
+    * fixed `rounds` bound makes the result engine-independent: the
+    * oracle replays the same bound as a hop-limited recursive CTE.
+    * Early exit on an empty frontier is safe — a fixed point means no
+    * path of ANY length improves, which subsumes the hop bound.
+    *
+    * Per round: frontier ⋈ edges (cost scales with the frontier's
+    * out-edges, not the graph) + a full-outer min-merge into the
+    * distance frame; both shuffle on the node key. Integer weights
+    * keep every distance exact (no float-sum drift cross-engine).
+    * Rounds are `localCheckpoint`ed and superseded blocks freed — the
+    * same lineage discipline as [[pageRank]]/[[bfsLevels]].
+    */
+  def shortestPaths(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    val und = edges.select(col("src"), col("dst"), col("w"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w")).cache()
+    def cpBlocks(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    var dist = sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var r = 0
+    while (r < rounds && !frontier.isEmpty) {
+      r += 1
+      val cand = und.join(frontier, und("src") === frontier("node"))
+        .select(und("dst").as("node"), (col("dist") + col("w")).as("d2"))
+        .groupBy(col("node")).agg(min(col("d2")).as("d2"))
+      val merged = dist.join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("dist"), col("d2")), coalesce(col("d2"), col("dist"))).as("dist"),
+          (col("dist").isNull || (col("d2").isNotNull && col("d2") < col("dist")))
+            .as("__improved"))
+        .localCheckpoint()
+      val nextFrontier = merged.filter(col("__improved"))
+        .select(col("node"), col("dist")).localCheckpoint()
+      cpBlocks(dist).foreach(_.unpersist(blocking = false))
+      cpBlocks(frontier).foreach(_.unpersist(blocking = false))
+      dist = merged.select(col("node"), col("dist"))
+      frontier = nextFrontier
+    }
+    und.unpersist(blocking = false)
+    dist
+  }
+
   /** Triangle count via DEGREE-ORDERED edge orientation — the standard
     * bounded-wedge formulation. Undirected input edges (`src`, `dst`;
     * duplicates and self-loops tolerated) are oriented from the

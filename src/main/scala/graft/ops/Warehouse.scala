@@ -236,6 +236,48 @@ object Warehouse {
       .withColumn("touch_t",
         when(col("touch_id").isNotNull, col("touch_t")))
 
+  /** K-ext — POSITION-BASED (U-shaped) multi-touch attribution: every
+    * touch in `(conv_t − window, conv_t]` for the conversion's key gets
+    * credit — first and last touch 0.4 each, interior touches split the
+    * remaining 0.2 evenly; a lone touch gets 1.0 and exactly two split
+    * 0.5/0.5 (the standard degenerate cases). Credits per conversion
+    * sum to 1 by construction.
+    *
+    * Shape: one equi-join on `key` with the range predicate as a
+    * residual (keyed shuffle, never an interval nested loop — the
+    * [[graft.ops.AsOf]] contract), then position/count windows
+    * partitioned by the conversion id over the SAME key partitioning.
+    * `(touchTime, touchId)` totally orders each window so the
+    * first/last labels are deterministic under time ties.
+    *
+    * Output: (key, conversion id, touch_id, touch_t, weight) — one row
+    * per credited touch; conversions with no in-window touch emit no
+    * rows (unattributed spend is the caller's left-join).
+    */
+  def positionBasedAttribution(conversions: DataFrame, touches: DataFrame,
+      key: String, convId: String, convTime: String, touchId: String,
+      touchTime: String, window: Long): DataFrame = {
+    val joined = conversions
+      .select(col(key), col(convId), col(convTime))
+      .join(touches.select(col(key).as("__tk"), col(touchId).as("touch_id"),
+          col(touchTime).as("touch_t")),
+        col(key) === col("__tk") &&
+          col("touch_t") <= col(convTime) &&
+          col("touch_t") > col(convTime) - window)
+      .drop("__tk")
+    val w = Window.partitionBy(col(key), col(convId))
+    val byT = w.orderBy(col("touch_t"), col("touch_id"))
+    joined
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__pos", row_number().over(byT))
+      .withColumn("weight",
+        when(col("__n") === 1, lit(1.0))
+          .when(col("__n") === 2, lit(0.5))
+          .when(col("__pos") === 1 || col("__pos") === col("__n"), lit(0.4))
+          .otherwise(lit(0.2) / (col("__n") - 2).cast("double")))
+      .drop("__n", "__pos")
+  }
+
   /** K-ext — PRORATION by the largest-remainder method: allocate each
     * group's integer `amount` (e.g. cents) across its rows proportional
     * to `weight`, exactly — shares sum to the amount per group by

@@ -29,7 +29,7 @@ object QAnalytics {
     * from the raw tables.
     */
   private def edgesPath(dir: String): String =
-    s"target/tmp/brand_edges_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s"target/tmp/brand_edges_w_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
 
   private def buildBrandEdges(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
@@ -39,7 +39,7 @@ object QAnalytics {
         col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
       .groupBy(col("x.b").as("src"), col("y.b").as("dst"))
       .agg(count(lit(1)).as("cab")).filter(col("cab") >= 20)
-      .select(col("src"), col("dst"))
+      .select(col("src"), col("dst"), col("cab"))
   }
 
   private def stageBrandEdges(s: SparkSession, dir: String): Unit =
@@ -505,6 +505,25 @@ object QAnalytics {
           col("touch_id").as("click_id"), col("touch_t").as("click_t"))
     }),
 
+    // Position-based (U-shaped) multi-touch attribution: every click
+    // in the 72 h before a purchase gets credit — first/last 0.4 each,
+    // interior split 0.2 evenly (1 touch -> 1.0, 2 -> 0.5/0.5). One
+    // keyed join + two windows sharing the shuffle; credits per
+    // purchase sum to 1.
+    "q_attribution_multi" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), expr("ts_ns DIV 1000").as("ct"),
+          col("event_id").as("click_id"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts_ns DIV 1000").as("pt"),
+          col("event_id").as("purchase_id"))
+      Warehouse.positionBasedAttribution(pur, clicks, "user_id", "purchase_id",
+          "pt", "click_id", "ct", 72L * 3600 * 1000000)
+        .select(col("user_id"), col("purchase_id"),
+          col("touch_id").as("click_id"), col("weight"))
+    }),
+
     // Herfindahl-Hirschman concentration of customer spend per market
     // segment — "is this segment's revenue a few whales or a long
     // tail". All sums in exact decimal cents (sum of squares exceeds
@@ -734,6 +753,22 @@ object QAnalytics {
         .select(least(col("src"), col("dst")).as("node"))
         .agg(min(col("node")).as("node"))
       Graph.bfsLevels(edges, sources, maxDepth = 3)
+    }),
+
+    // Weighted single-source shortest paths over the brand co-basket
+    // graph: frontier Bellman-Ford, 4 rounds. Weights are small
+    // integers (1 + cab % 5) so distances stay exact AND the oracle's
+    // hop-limited recursive CTE keeps a tiny distinct-(node, cost)
+    // state instead of enumerating paths. After r rounds the distance
+    // is exactly the min cost over <=r-hop paths — the same bound the
+    // oracle replays.
+    "q_sssp" -> ((s, dir) => {
+      val edges = brandEdges(s, dir)
+        .select(col("src"), col("dst"), expr("1 + cab % 5").cast("bigint").as("w"))
+      val sources = edges
+        .select(least(col("src"), col("dst")).as("node"))
+        .agg(min(col("node")).as("node"))
+      Graph.shortestPaths(edges, sources, rounds = 4)
     }),
 
     // 2-D Pareto skyline per market segment: customers not dominated
@@ -1804,6 +1839,46 @@ object QAnalytics {
             FROM walk w JOIN und u ON u.src = w.node
             WHERE w.level < 3)
          SELECT node, CAST(min(level) AS INT) AS level
+         FROM walk GROUP BY node""",
+    "q_attribution_multi" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS ct, event_id AS click_id
+                    FROM events WHERE event_type = 'click'),
+          p AS (SELECT user_id, epoch_us(ts) AS pt, event_id AS purchase_id
+                FROM events WHERE event_type = 'purchase'),
+          j AS (SELECT p.user_id, purchase_id, click_id,
+                       count(*) OVER (PARTITION BY p.user_id, purchase_id) AS n,
+                       row_number() OVER (PARTITION BY p.user_id, purchase_id
+                                          ORDER BY ct, click_id) AS pos
+                FROM p JOIN c ON p.user_id = c.user_id
+                 AND ct <= pt AND ct > pt - 259200000000)
+         SELECT user_id, purchase_id, click_id,
+                CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+                     WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+                     WHEN pos = 1 OR pos = n THEN CAST(0.4 AS DOUBLE)
+                     ELSE CAST(0.2 AS DOUBLE) / CAST(n - 2 AS DOUBLE)
+                END AS weight
+         FROM j""",
+    "q_sssp" ->
+      """WITH RECURSIVE
+          items AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+                    FROM lineitem JOIN part ON l_partkey = p_partkey),
+          e AS (SELECT a, b, CAST(1 + cab % 5 AS BIGINT) AS w FROM (
+                  SELECT x.b AS a, y.b AS b, count(*) AS cab
+                  FROM items x JOIN items y ON x.ok = y.ok AND x.b < y.b
+                  GROUP BY 1, 2)
+                WHERE cab >= 20),
+          und AS (SELECT src, dst, min(w) AS w FROM (
+                    SELECT a AS src, b AS dst, w FROM e
+                    UNION ALL SELECT b, a, w FROM e)
+                  GROUP BY 1, 2),
+          s AS (SELECT min(src) AS node FROM und),
+          walk(node, d, hops) AS (
+            SELECT node, CAST(0 AS BIGINT), 0 FROM s
+            UNION
+            SELECT u.dst, w.d + u.w, w.hops + 1
+            FROM walk w JOIN und u ON u.src = w.node
+            WHERE w.hops < 4)
+         SELECT node, CAST(min(d) AS BIGINT) AS dist
          FROM walk GROUP BY node""",
     "q_skyline" ->
       """WITH spend AS (SELECT o_custkey,

@@ -534,6 +534,39 @@ class OpsSpec extends SparkSpec {
     assert(d1 == Map("a" -> 0, "b" -> 1, "d" -> 1))
   }
 
+  test("shortestPaths: cheap long path beats expensive direct edge; hop bound binds") {
+    // a-e direct costs 10; the 4-hop chain a-b-c-d-e costs 4. With 4
+    // rounds the chain wins (dist e = 4); with 2 rounds only paths of
+    // <= 2 edges exist, so e falls back to the direct 10.
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L),
+      ("d", "e", 1L), ("a", "e", 10L), ("a", "e", 12L)) // dup edge: min wins
+      .toDF("src", "dst", "w")
+    val src = Seq("a").toDF("node")
+    val got = Graph.shortestPaths(edges, src, rounds = 4)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L, "e" -> 4L))
+    val bounded = Graph.shortestPaths(edges, src, rounds = 2)
+      .as[(String, Long)].collect().toMap
+    // <=2-hop world: e via the direct 10, d only via e (10+1)
+    assert(bounded == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 11L, "e" -> 10L))
+  }
+
+  test("positionBasedAttribution: U-shape weights, degenerate n=1/n=2, window cut") {
+    val conv = Seq((1L, 100L, 1000L), (2L, 200L, 1000L), (3L, 300L, 1000L))
+      .toDF("user_id", "conv_id", "ct")
+    val touches = Seq(
+      (1L, 11L, 910L), (1L, 12L, 940L), (1L, 13L, 970L), (1L, 14L, 1000L),
+      (1L, 15L, 890L), // outside the 100-tick window -> no credit
+      (2L, 21L, 950L), (2L, 22L, 990L),
+      (3L, 31L, 980L))
+      .toDF("user_id", "touch_id", "tt")
+    val got = Warehouse.positionBasedAttribution(conv, touches,
+        "user_id", "conv_id", "ct", "touch_id", "tt", 100L)
+      .select($"touch_id", $"weight").as[(Long, Double)].collect().toMap
+    assert(got == Map(11L -> 0.4, 12L -> 0.1, 13L -> 0.1, 14L -> 0.4,
+      21L -> 0.5, 22L -> 0.5, 31L -> 1.0))
+  }
+
   test("triangleCount: K4 plus a pendant edge") {
     // K4 = 4 triangles; pendant d-e adds an edge but no triangle.
     // Duplicate + reversed + self-loop rows must not change the count.
