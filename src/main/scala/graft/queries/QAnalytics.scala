@@ -416,6 +416,42 @@ object QAnalytics {
           min(col("t")).as("session_start_us"), max(col("t")).as("session_end_us"))
     }),
 
+    // Longest consecutive-day activity streak per user: distinct
+    // active epoch-days -> gaps-and-islands (day minus row_number is
+    // constant within a run), longest island per user. One shuffle on
+    // user_id; the distinct, the window, and both aggregates share it.
+    "q_streak" -> ((s, dir) => {
+      val days = Tables(s, dir).events
+        .select(col("user_id"),
+          expr("CAST(ts_ns DIV 86400000000000 AS BIGINT)").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      days.withColumn("island", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("island")).agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id")).agg(max(col("len")).as("max_streak"))
+    }),
+
+    // Top session paths (the sankey/flow input): first 3 event types
+    // of each 30-min session concatenated, sessions counted per path.
+    // Sessionize + ranking ride ONE (user)-shuffled sort; the path agg
+    // is a second shuffle on the path string.
+    "q_event_paths" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), expr("ts_ns DIV 1000").as("t"),
+          col("event_id"), col("event_type"))
+      val sess = Timeseries.sessionize(ev, col("user_id"), col("t"),
+        col("event_id"), 30L * 60 * 1000000)
+      val w = Window.partitionBy(col("user_id"), col("session_idx"))
+        .orderBy(col("t"), col("event_id"))
+      sess.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(max(when(col("rn") === 1, col("event_type"))).as("e1"),
+          max(when(col("rn") === 2, col("event_type"))).as("e2"),
+          max(when(col("rn") === 3, col("event_type"))).as("e3"))
+        .groupBy(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+    }),
+
     // Funnel WITHIN sessions: sessionize (K31) feeds the funnel windows
     // (K4) keyed by (user, session) — "did the user convert within one
     // sitting", the composition product funnels actually ship. Both
@@ -1554,6 +1590,34 @@ object QAnalytics {
                 count(*) AS n_events,
                 min(t) AS session_start_us, max(t) AS session_end_us
          FROM sx GROUP BY 1, 2""",
+    "q_streak" ->
+      """WITH days AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                      FROM events),
+          isl AS (SELECT user_id, day,
+                         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+                  FROM days),
+          runs AS (SELECT user_id, island, count(*) AS len FROM isl GROUP BY 1, 2)
+         SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak
+         FROM runs GROUP BY 1""",
+    "q_event_paths" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events),
+          l AS (SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+                FROM e),
+          f AS (SELECT *, CASE WHEN prev IS NULL OR t - prev > 1800000000 THEN 1 ELSE 0 END AS op
+                FROM l),
+          sx AS (SELECT *, SUM(op) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_idx
+                 FROM f),
+          rn AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_idx
+                                              ORDER BY t, event_id) AS rn
+                 FROM sx),
+          p AS (SELECT user_id, session_idx,
+                       max(CASE WHEN rn = 1 THEN event_type END) AS e1,
+                       max(CASE WHEN rn = 2 THEN event_type END) AS e2,
+                       max(CASE WHEN rn = 3 THEN event_type END) AS e3
+                FROM rn WHERE rn <= 3 GROUP BY 1, 2)
+         SELECT concat_ws('>', e1, e2, e3) AS path, count(*) AS n_sessions
+         FROM p GROUP BY 1""",
     "q_session_funnel" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events),
           l AS (SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev

@@ -95,6 +95,27 @@ object QSimilarity {
         .limit(10)
     }),
 
+    // J2-ext — packed-bit Hamming prefilter: binarize each embedding
+    // to ONE 64-bit sign sketch (bit i set iff component i > 0), rank
+    // by popcount(xor) against vec_id=0's sketch. This is the cheapest
+    // possible first stage at 100 TB: 8 bytes per vector (32× less
+    // I/O than the floats) and one xor+popcount per candidate, no
+    // multiplies; survivors re-rank at full width (q_cosine_topk).
+    // Map-only sketch + TakeOrdered. The oracle never packs — it
+    // counts sign mismatches positionally, proving
+    // popcount(xor(pack(a), pack(b))) == sign-mismatch count.
+    "q_hamming_topk" -> ((s, dir) => {
+      val packSql = "aggregate(sequence(0, 63), 0L, (acc, i) -> " +
+        "acc + IF(element_at(embedding, i + 1) > CAST(0.0 AS FLOAT), shiftleft(1L, i), 0L))"
+      val packed = Tables(s, dir).embeddings
+        .select(col("vec_id"), expr(packSql).as("sk"))
+      val qsk = packed.filter(col("vec_id") === 0).head().getLong(1)
+      packed.select(col("vec_id"),
+          bit_count(col("sk").bitwiseXOR(lit(qsk))).cast("bigint").as("hamming"))
+        .orderBy(col("hamming").asc, col("vec_id").asc)
+        .limit(20)
+    }),
+
     // IVF assignment: nearest of 8 seed centroids (vec_id < 8) by
     // J2 — cosine LSH: 8 deterministic ±1 hyperplanes hash each
     // embedding to a sign-pattern bucket (map-only scan, no centroids
@@ -398,6 +419,13 @@ object QSimilarity {
                      ELSE CAST(floor(CAST(u['v'] AS DOUBLE) / mx * 127.0 + 0.5) AS INT)
                 END AS qval
          FROM m""",
+    "q_hamming_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id,
+                CAST(len(list_filter(range(1, 65),
+                         i -> (embedding[i] > 0) <> (qe[i] > 0))) AS BIGINT) AS hamming
+         FROM embeddings, q
+         ORDER BY hamming, vec_id LIMIT 20""",
     "q_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
           SELECT vec_id,
