@@ -299,6 +299,41 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("bigint")
 
+  /** SimHash near-duplicate PAIRS within Hamming distance `radius`,
+    * found by pigeonhole block blocking — the scale path for simhash
+    * dedup. Split the `bits`-bit fingerprint into `radius + 1` equal
+    * blocks: two fingerprints within distance `radius` differ in at
+    * most `radius` bit positions, so at least one block matches
+    * EXACTLY (pigeonhole), and candidates are same-(block, value)
+    * bucket equi-joins — never all-pairs. The exact popcount(xor)
+    * filter then removes false candidates, so blocking is lossless.
+    * The join ships (id, long fingerprint) only; at corpus scale use
+    * 64-bit fingerprints (8-bit blocks keep buckets near n/256). The
+    * ≤-radius filter runs BEFORE pair dedup so the distinct sees only
+    * true near-dup rows, not the full candidate stream.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      bits: Int, radius: Int): DataFrame = {
+    val blocks = radius + 1
+    require(bits % blocks == 0, s"bits=$bits must split into ${blocks} blocks")
+    val w = bits / blocks
+    val mask = (1L << w) - 1
+    val fp = Par.widen(df).select(col(idCol), simhash(col(textCol), bits).as("fp"))
+    val banded = fp.select(col(idCol), col("fp"),
+      explode(array((0 until blocks).map(b =>
+        struct(lit(b).as("blk"),
+          shiftrightunsigned(col("fp"), b * w).bitwiseAND(lit(mask)).as("v"))): _*)).as("bk"))
+      .select(col(idCol), col("fp"), col("bk.blk").as("blk"), col("bk.v").as("v"))
+    banded.select(col(idCol).as("id_a"), col("fp").as("fp_a"), col("blk"), col("v"))
+      .join(banded.select(col(idCol).as("id_b"), col("fp").as("fp_b"), col("blk"), col("v")),
+        Seq("blk", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", hamming(col("fp_a"), col("fp_b")))
+      .filter(col("hamming") <= radius)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
+  }
+
   /** n-gram Jaccard similarity over candidate pairs sharing >= 1
     * shingle (inverted-index self-join). `jaccard = |A∩B| / (|A|+|B|-|A∩B|)`
     * computed from exact integer counts. The threshold filter uses an

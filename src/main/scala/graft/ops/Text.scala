@@ -83,6 +83,36 @@ object Text {
     )
   }
 
+  /** Gopher-style quality-rule bundle (Rae et al. 2021 §A1.1 shape):
+    * per-document integer features and the boolean rule flags derived
+    * from them. Every threshold is an integer cross-multiplication
+    * (mean word length in [3,10] becomes `3n <= sumLen <= 10n`), so
+    * the rule set is float-free and the whole bundle evaluates in one
+    * codegen'd scan — at 100 TB this is a map-only filter pass in
+    * front of the dedup/mixing stages.
+    */
+  def gopherRules(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nWords = size(toks).cast("bigint")
+    val sumLen = length(regexp_replace(text, " ", "")).cast("bigint")
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("bigint")
+    val nStop = size(filter(toks, t => t.isin(enStopwords: _*))).cast("bigint")
+    val okWords = nWords >= 5 && nWords <= 1000
+    val okMeanLen = sumLen >= nWords * 3 && sumLen <= nWords * 10
+    val okAlpha = nAlpha * 10 >= nWords * 8
+    val okStop = nStop >= 2
+    Seq(
+      "n_words" -> nWords,
+      "sum_word_len" -> sumLen,
+      "n_alpha_words" -> nAlpha,
+      "n_stopwords" -> nStop,
+      "ok_word_count" -> okWords,
+      "ok_mean_word_len" -> okMeanLen,
+      "ok_alpha_ratio" -> okAlpha,
+      "ok_stopwords" -> okStop,
+      "keep" -> (okWords && okMeanLen && okAlpha && okStop))
+  }
+
   /** Polynomial rolling-hash document fingerprint over word hashes,
     * mod 1e9+7: order-sensitive (unlike a bag-of-words hash) so
     * reordered near-dups get distinct fingerprints, while whitespace

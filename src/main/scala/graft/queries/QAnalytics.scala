@@ -1000,6 +1000,31 @@ object QAnalytics {
           dev.as("s"), (abs(dev) * 5 > col("n") * col("tot")).as("drift_flag"))
     }),
 
+    // Rolling anomaly flags over per-type daily counts: trailing 7-day
+    // RANGE frame (calendar days, not rows — gap days shrink the
+    // window), flag when the day's count departs from the window mean
+    // by more than 2 window standard deviations. The z² test is kept
+    // in exact BIGINT by clearing denominators: (x−μ)² > 4σ² over the
+    // window becomes (x·n − Σx)² > 4·(n·Σx² − (Σx)²) — no sqrt, no
+    // float boundary, so the flag itself is oracle-checkable. One
+    // shuffle (the groupBy); the windows ride its partitioning.
+    "q_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables(s, dir).events
+        .select(col("event_type"), expr("ts_ns DIV 1000000000 DIV 86400").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rangeBetween(-6, Window.currentRow)
+      daily
+        .withColumn("w_cnt", count(lit(1)).over(w))
+        .withColumn("w_sum", sum(col("n")).over(w))
+        .withColumn("w_sumsq", sum(col("n") * col("n")).over(w))
+        .select(col("event_type"), col("day"), col("n"), col("w_cnt"),
+          ((col("n") * col("w_cnt") - col("w_sum")) * (col("n") * col("w_cnt") - col("w_sum")) >
+            (col("w_cnt") * col("w_sumsq") - col("w_sum") * col("w_sum")) * 4).as("is_anomaly"))
+    }),
+
     // Discrete time-to-conversion survival table: for each user, days
     // from first view to first purchase at-or-after it; hazard(d) =
     // conversions on day d over users still unconverted entering day
@@ -2079,6 +2104,22 @@ object QAnalytics {
                 n * prefix - idx * tot AS s,
                 abs(n * prefix - idx * tot) * 5 > n * tot AS drift_flag
          FROM t""",
+    "q_anomaly" ->
+      """WITH daily AS (SELECT event_type,
+                              epoch_us(ts) // 1000000 // 86400 AS day,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+          w AS (SELECT event_type, day, n,
+                       CAST(count(*) OVER win AS BIGINT) AS w_cnt,
+                       CAST(sum(n) OVER win AS BIGINT) AS w_sum,
+                       CAST(sum(n*n) OVER win AS BIGINT) AS w_sumsq
+                FROM daily
+                WINDOW win AS (PARTITION BY event_type ORDER BY day
+                               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+         SELECT event_type, day, n, w_cnt,
+                ((n*w_cnt - w_sum)*(n*w_cnt - w_sum) >
+                 (w_cnt*w_sumsq - w_sum*w_sum)*4) AS is_anomaly
+         FROM w""",
     "q_survival" ->
       """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
                    WHERE event_type = 'view' GROUP BY user_id),

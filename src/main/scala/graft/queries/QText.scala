@@ -132,10 +132,30 @@ object QText {
         .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash"))
     }),
 
+    // SimHash near-dup PAIRS via pigeonhole block blocking: 32-bit
+    // fingerprints, Hamming radius 3, 4 blocks of 8 bits — candidates
+    // only ever join within same-(block, value) buckets (~n/256 each),
+    // never all-pairs; the exact popcount filter makes blocking
+    // lossless. The oracle IS the naive all-pairs form, proving
+    // completeness.
+    "q_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(Tables(s, dir).documents, "text", "doc_id", 32, 3)
+    }),
+
     // Exact n-gram Jaccard over inverted-index candidate pairs,
     // threshold 1/5 as an integer cross-multiplication.
     "q_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(Tables(s, dir).documents, "text", "doc_id", 3, 1, 5)
+    }),
+
+    // Gopher-style quality rules: integer features + float-free rule
+    // flags (all thresholds are integer cross-multiplications), one
+    // codegen'd scan for the whole bundle.
+    "q_gopher_rules" -> ((s, dir) => {
+      Text.gopherRules(col("text"))
+        .foldLeft(Tables(s, dir).documents.select(col("doc_id"), col("text"))) {
+          case (df, (name, c)) => df.withColumn(name, c)
+        }.drop("text")
     }),
 
     // Asymmetric containment (quote/subset detection): directed pairs
@@ -798,6 +818,37 @@ object QText {
                    s"t -> CASE WHEN (${mdInt.format("t")} >> $j) % 2 = 1 THEN 1 ELSE -1 END)) > 0 " +
                    s"THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS simhash
           FROM documents""",
+    "q_simhash_pairs" ->
+      s"""WITH fp AS (SELECT doc_id,
+                 ${(0 until 32).map(j =>
+                   s"(CASE WHEN list_sum(list_transform(string_split(text,' '), " +
+                   s"t -> CASE WHEN (${mdInt.format("t")} >> $j) % 2 = 1 THEN 1 ELSE -1 END)) > 0 " +
+                   s"THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS fp
+          FROM documents)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.fp, b.fp)) <= 3""",
+    "q_gopher_rules" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+                  CAST(len(replace(text,' ','')) AS BIGINT) AS sum_word_len,
+                  CAST(len(list_filter(string_split(text,' '),
+                       t -> regexp_matches(t,'[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+                  CAST(len(list_filter(string_split(text,' '),
+                       t -> list_contains(['the','a','of','and','to','in','is','for'], t)))
+                    AS BIGINT) AS n_stopwords
+           FROM documents)
+         SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stopwords,
+                (n_words BETWEEN 5 AND 1000) AS ok_word_count,
+                (sum_word_len >= n_words*3 AND sum_word_len <= n_words*10) AS ok_mean_word_len,
+                (n_alpha_words*10 >= n_words*8) AS ok_alpha_ratio,
+                (n_stopwords >= 2) AS ok_stopwords,
+                ((n_words BETWEEN 5 AND 1000)
+                  AND sum_word_len >= n_words*3 AND sum_word_len <= n_words*10
+                  AND n_alpha_words*10 >= n_words*8 AND n_stopwords >= 2) AS keep
+         FROM f""",
     "q_ngram_jaccard" ->
       s"""WITH $shingleCte,
           shh AS (SELECT doc_id,
