@@ -383,6 +383,58 @@ object Dedup {
     aInB.unionAll(bInA)
   }
 
+  /** Exact set-similarity JOIN via PPJoin-style prefix filtering
+    * (Chaudhuri et al. 2006 / Xiao et al. 2008): order each document's
+    * distinct shingle hashes by GLOBAL rarity (document frequency asc,
+    * hash asc — a total order shared by all documents), and keep only
+    * each document's first `|S| − ceil(t·|S|) + 1` hashes as its
+    * prefix. Any pair with Jaccard ≥ t MUST share a prefix hash (if
+    * both prefixes miss the other set, the intersection fits inside
+    * both suffixes, ≤ ceil(t·|S|) − 1 < t·|S| ≤ t·|union| — the
+    * pigeonhole lemma), so candidates come from a prefix-only
+    * inverted-index join: vastly fewer postings than the full index
+    * ([[ngramJaccardPairs]] joins every shingle; this joins ~(1−t) of
+    * them, and the rarity order puts the survivors in the SMALLEST
+    * buckets). Verification counts the exact intersection only for
+    * candidate pairs (candidate-driven joins — work scales with
+    * candidates, not with the corpus). Threshold is an integer
+    * cross-multiplication; ceil is integer arithmetic; result is
+    * identical to the naive all-pairs form, which is the oracle.
+    */
+  def prefixJaccardJoin(df: DataFrame, textCol: String, idCol: String, n: Int,
+      thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = Par.widen(df).select(col(idCol),
+      graft.expressions.TextSketchExpressions.shingleHash64(col(textCol), n).as("shs"))
+      .cache()
+    val tok = hashed.select(col(idCol), explode(col("shs")).as("sh_h"))
+    val sizes = hashed.select(col(idCol), size(col("shs")).cast("bigint").as("n_sh"))
+    val ranked = tok
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh_h"))))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col(idCol)).orderBy(col("df"), col("sh_h"))).cast("bigint"))
+      .join(sizes, Seq(idCol))
+    val prefix = ranked.filter(col("rn") <=
+        col("n_sh") - expr(s"CAST((n_sh * $thresholdNum + ${thresholdDen - 1}) DIV $thresholdDen AS BIGINT)") + 1)
+      .select(col(idCol), col("sh_h"))
+    val cand = prefix.select(col(idCol).as("id_a"), col("sh_h"))
+      .join(prefix.select(col(idCol).as("id_b"), col("sh_h")), Seq("sh_h"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val inter = cand
+      .join(tok.select(col(idCol).as("id_a"), col("sh_h")), Seq("id_a"))
+      .join(tok.select(col(idCol).as("id_b"), col("sh_h")), Seq("id_b", "sh_h"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("n_sh", "n_a"), col("id_a") === sizes(idCol)).drop(idCol)
+      .join(sizes.withColumnRenamed("n_sh", "n_b"), col("id_b") === sizes(idCol)).drop(idCol)
+      .filter(col("n_inter") * thresholdDen >=
+        (col("n_a") + col("n_b") - col("n_inter")) * thresholdNum)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
+  }
+
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
       thresholdNum: Int, thresholdDen: Int, maxDocFreq: Long = 0L): DataFrame = {
     // Join on a 60-bit md5-prefix hash of the shingle, not the string:

@@ -116,6 +116,45 @@ object QSimilarity {
         .limit(20)
     }),
 
+    // Reciprocal-rank fusion of two retrieval stages: for each of 4
+    // query vectors, rank the whole corpus by exact cosine AND by the
+    // packed-bit Hamming sketch, fuse with RRF (k=60), keep top-5 per
+    // query. Both metrics come from ONE broadcast-join pass (queries
+    // are a 4-row broadcast; the corpus side never shuffles to score);
+    // the three windows all partition by query_id, so they ride a
+    // single per-query shuffle — the standard per-query ANN partition
+    // shape at cluster scale. RRF score = 1/(60+r₁) + 1/(60+r₂) over
+    // integer ranks: two exact IEEE divisions and one add, identical
+    // in both engines.
+    "q_rrf_fusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      VectorExpressions.register(s)
+      val d = VectorExpressions.dot _
+      val packSql = "aggregate(sequence(0, 63), 0L, (acc, i) -> " +
+        "acc + IF(element_at(embedding, i + 1) > CAST(0.0 AS FLOAT), shiftleft(1L, i), 0L))"
+      val emb = Tables(s, dir).embeddings
+        .select(col("vec_id"), col("embedding"), expr(packSql).as("sk"))
+      val qs = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("sk").as("qsk"))
+      val wq = Window.partitionBy(col("query_id"))
+      val scored = emb.crossJoin(broadcast(qs))
+        .select(col("query_id"), col("vec_id"),
+          (d(col("embedding"), col("qe")) /
+            (sqrt(d(col("embedding"), col("embedding"))) * sqrt(d(col("qe"), col("qe")))))
+            .as("cos_sim"),
+          bit_count(col("sk").bitwiseXOR(col("qsk"))).cast("bigint").as("hamming"))
+        .withColumn("r_cos",
+          row_number().over(wq.orderBy(col("cos_sim").desc, col("vec_id"))).cast("bigint"))
+        .withColumn("r_ham",
+          row_number().over(wq.orderBy(col("hamming").asc, col("vec_id"))).cast("bigint"))
+        .withColumn("rrf",
+          lit(1.0) / (lit(60) + col("r_cos")) + lit(1.0) / (lit(60) + col("r_ham")))
+      scored
+        .withColumn("rn", row_number().over(wq.orderBy(col("rrf").desc, col("vec_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("vec_id"), col("r_cos"), col("r_ham"), col("rrf"))
+    }),
+
     // IVF assignment: nearest of 8 seed centroids (vec_id < 8) by
     // J2 — cosine LSH: 8 deterministic ±1 hyperplanes hash each
     // embedding to a sign-pattern bucket (map-only scan, no centroids
@@ -419,6 +458,29 @@ object QSimilarity {
                      ELSE CAST(floor(CAST(u['v'] AS DOUBLE) / mx * 127.0 + 0.5) AS INT)
                 END AS qval
          FROM m""",
+    "q_rrf_fusion" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 4),
+          scored AS (
+            SELECT q.query_id, e.vec_id,
+                   ${dDot("e.embedding", "q.qe")} /
+                   (sqrt(${dDot("e.embedding", "e.embedding")}) * sqrt(${dDot("q.qe", "q.qe")}))
+                     AS cos_sim,
+                   len(list_filter(range(1, 65),
+                       i -> (e.embedding[i] > 0) <> (q.qe[i] > 0))) AS hamming
+            FROM embeddings e CROSS JOIN q),
+          ranked AS (
+            SELECT query_id, vec_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS r_cos,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY hamming, vec_id) AS BIGINT) AS r_ham
+            FROM scored)
+          SELECT query_id, vec_id, r_cos, r_ham,
+                 1.0/(60+r_cos) + 1.0/(60+r_ham) AS rrf
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY 1.0/(60+r_cos)+1.0/(60+r_ham) DESC, vec_id) AS rn
+                FROM ranked) t
+          WHERE rn <= 5""",
     "q_hamming_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          SELECT vec_id,

@@ -148,6 +148,15 @@ object QText {
       Dedup.ngramJaccardPairs(Tables(s, dir).documents, "text", "doc_id", 3, 1, 5)
     }),
 
+    // PPJoin-style prefix-filtered EXACT Jaccard join at t = 1/2:
+    // candidates only from rarity-ordered shingle prefixes (~half the
+    // postings of the full inverted index, in the smallest buckets);
+    // verification is candidate-driven. Oracle is the naive all-pairs
+    // form — proving the prefix lemma loses nothing.
+    "q_prefix_jaccard" -> ((s, dir) => {
+      Dedup.prefixJaccardJoin(Tables(s, dir).documents, "text", "doc_id", 3, 1, 2)
+    }),
+
     // Gopher-style quality rules: integer features + float-free rule
     // flags (all thresholds are integer cross-multiplications), one
     // codegen'd scan for the whole bundle.
@@ -829,6 +838,21 @@ object QText {
                  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
           FROM fp a JOIN fp b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.fp, b.fp)) <= 3""",
+    "q_prefix_jaccard" ->
+      s"""WITH $shingleCte,
+          shh AS (SELECT doc_id,
+                         CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS sh_h
+                  FROM sh),
+          sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shh GROUP BY doc_id),
+          inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+                    FROM shh a JOIN shh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+                 CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE n_inter * 2 >= (sa.n_sh + sb.n_sh - n_inter) * 1""",
     "q_gopher_rules" ->
       """WITH f AS (
            SELECT doc_id,
