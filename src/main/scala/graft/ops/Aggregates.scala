@@ -103,4 +103,30 @@ object Aggregates {
       sum(col("p_cnt")).as("n_val"),
       min(col("p_min")).as("min_val"),
       max(col("p_max")).as("max_val"))
+
+  /** Per-(keys, bucket) 64-bit membership words over a non-negative
+    * integer id column — the roaring-bitmap idea in relational form.
+    * `bucket = id div 64`, the word is `bit_or(1L << (id mod 64))`.
+    * The words are an EXACT, MERGEABLE distinct-count state: unlike a
+    * `count(distinct)` (whose per-partition state is the id set
+    * itself), partial states here are fixed 8-byte words that combine
+    * by `bit_or` across any batch/partition split, so an incremental
+    * pipeline can store per-day word tables and serve any date range
+    * by re-OR-ing — never rescanning raw history. Shuffle volume is
+    * (keys × occupied buckets) words, independent of event counts.
+    */
+  def bitmapWords(df: DataFrame, keys: Seq[String], idCol: String): DataFrame =
+    df.groupBy((keys.map(col) :+
+        expr(s"CAST(`$idCol` AS BIGINT) DIV 64").as("bucket")): _*)
+      .agg(expr(
+        s"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(CAST(`$idCol` AS BIGINT) % 64 AS INT)))")
+        .as("word"))
+
+  /** Collapse [[bitmapWords]] states to exact distinct counts per
+    * `keys`: distinct = Σ popcount(word) because each id owns exactly
+    * one bit in exactly one (bucket, word).
+    */
+  def bitmapDistinct(words: DataFrame, keys: Seq[String]): DataFrame =
+    words.groupBy(keys.map(col): _*)
+      .agg(sum(expr("bit_count(word)")).cast("long").as("n_distinct"))
 }

@@ -213,4 +213,53 @@ object Graph {
         und.agg(count(lit(1)).as("n_edges")))
       .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
   }
+
+  /** Bounded-round k-core peeling over an undirected graph: each round
+    * drops every node of degree < k (and its edges) simultaneously,
+    * `rounds` times. After r rounds the survivor set is EXACTLY
+    * determined by (graph, k, r) — peeling is a simultaneous fixpoint
+    * step, not an ordering-sensitive removal — so a fixed bound keeps
+    * the result engine-independent and the oracle replays the same
+    * rounds as unrolled SQL. If a round removes nothing the loop exits
+    * early: peeling has reached the true k-core and further rounds are
+    * identity (the same invariant [[shortestPaths]] leans on).
+    *
+    * Per round: one degree aggregation + one semi-join of edges
+    * against the surviving nodes per endpoint — cost scales with the
+    * REMAINING edge set, which only shrinks. Rounds are
+    * `localCheckpoint`ed with superseded blocks freed, the shared
+    * lineage discipline of this file's iterative ops. Returns the
+    * surviving nodes with their within-core degree.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    def cpBlocks(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    var und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var nEdges = und.count()
+    var r = 0
+    var removedSomething = true
+    while (r < rounds && removedSomething) {
+      r += 1
+      val deg = und.select(col("a").as("node"))
+        .unionAll(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("node"))
+      val pruned = und
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b")).localCheckpoint()
+      val nPruned = pruned.count()
+      removedSomething = nPruned < nEdges
+      nEdges = nPruned
+      cpBlocks(und).foreach(_.unpersist(blocking = false))
+      und = pruned
+    }
+    und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).cast("long").as("core_degree"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.expressions.StringSimilarityExpressions
-import graft.ops.{Graph, Scalars, Text, Timeseries, Warehouse}
+import graft.ops.{Aggregates, Graph, Scalars, Text, Timeseries, Warehouse}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -51,7 +51,8 @@ object QAnalytics {
   }
 
   val stages: Map[String, (SparkSession, String) => Unit] = Map(
-    "q_triangle_count" -> ((s, dir) => stageBrandEdges(s, dir)))
+    "q_triangle_count" -> ((s, dir) => stageBrandEdges(s, dir)),
+    "q_kcore" -> ((s, dir) => stageBrandEdges(s, dir)))
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -430,6 +431,51 @@ object QAnalytics {
         .groupBy(col("user_id"), col("island")).agg(count(lit(1)).as("len"))
         .groupBy(col("user_id")).agg(max(col("len")).as("max_streak"))
     }),
+
+    // Exact distinct users per event_type through MERGEABLE bitmap
+    // states: per-(type, day) 64-bit words (bucket = id div 64) are
+    // the stored partials; serving re-ORs words and sums popcounts.
+    // Unlike count(distinct) — whose partial state is the id set
+    // itself — the states are fixed 8-byte words, so an incremental
+    // pipeline serves any date range without rescanning history. The
+    // oracle is the plain count(DISTINCT): the sketch is exact.
+    "q_bitmap_distinct" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(col("event_type"),
+        expr("CAST(ts_ns DIV 86400000000000 AS BIGINT)").as("day"),
+        col("user_id"))
+      val daily = Aggregates.bitmapWords(ev, Seq("event_type", "day"), "user_id")
+      val merged = daily.groupBy(col("event_type"), col("bucket"))
+        .agg(expr("bit_or(word)").as("word"))
+      Aggregates.bitmapDistinct(merged, Seq("event_type"))
+    }),
+
+    // Cumulative distinct users per (event_type, day) — the running
+    // countDistinct a window function cannot express. First-occurrence
+    // day per (type, user) turns it into a running SUM of per-day new
+    // users: two keyed aggregations + one per-type window, never a
+    // per-day rescan of history (a day-loop would be O(days) passes).
+    "q_running_distinct" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(col("event_type"), col("user_id"),
+        expr("CAST(ts_ns DIV 86400000000000 AS BIGINT)").as("day"))
+      val first = ev.groupBy(col("event_type"), col("user_id"))
+        .agg(min(col("day")).as("day"))
+      val newPerDay = first.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("new_users"))
+      val activeDays = ev.select(col("event_type"), col("day")).distinct()
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      activeDays.join(newPerDay, Seq("event_type", "day"), "left")
+        .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+        .withColumn("cum_users", sum(col("new_users")).over(w).cast("long"))
+    }),
+
+    // Bounded-round 3-core of the brand co-basket graph: each round
+    // simultaneously drops nodes of degree < 3 — the dense-subgraph
+    // peel community detection and fraud pipelines run. Per round one
+    // degree agg + two semi-joins over the SHRINKING edge set; the
+    // oracle unrolls the same three rounds (simultaneous peeling is
+    // ordering-free, so fixed rounds are engine-independent).
+    "q_kcore" -> ((s, dir) =>
+      Graph.kCore(brandEdges(s, dir), k = 3, rounds = 3)),
 
     // Top session paths (the sankey/flow input): first 3 event types
     // of each 30-min session concatenated, sessions counted per path.
@@ -1624,6 +1670,49 @@ object QAnalytics {
           runs AS (SELECT user_id, island, count(*) AS len FROM isl GROUP BY 1, 2)
          SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak
          FROM runs GROUP BY 1""",
+    "q_bitmap_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+         FROM events GROUP BY 1""",
+    "q_running_distinct" ->
+      """WITH e AS (SELECT event_type, user_id,
+                           epoch_us(ts) // 86400000000 AS day FROM events),
+          f AS (SELECT event_type, user_id, min(day) AS day FROM e GROUP BY 1, 2),
+          nu AS (SELECT event_type, day, count(*) AS n FROM f GROUP BY 1, 2),
+          ad AS (SELECT DISTINCT event_type, day FROM e)
+         SELECT ad.event_type, ad.day,
+                CAST(coalesce(n, 0) AS BIGINT) AS new_users,
+                CAST(sum(coalesce(n, 0)) OVER (PARTITION BY ad.event_type
+                  ORDER BY ad.day) AS BIGINT) AS cum_users
+         FROM ad LEFT JOIN nu ON ad.event_type = nu.event_type AND ad.day = nu.day""",
+    "q_kcore" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+                        FROM lineitem JOIN part ON l_partkey = p_partkey),
+          e0 AS (SELECT a, b FROM (
+                   SELECT x.b AS a, y.b AS b, count(*) AS cab
+                   FROM items x JOIN items y ON x.ok = y.ok AND x.b < y.b
+                   GROUP BY 1, 2)
+                 WHERE cab >= 20),
+          d1 AS (SELECT node, count(*) AS d
+                 FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+                 GROUP BY 1),
+          e1 AS (SELECT a, b FROM e0
+                 WHERE a IN (SELECT node FROM d1 WHERE d >= 3)
+                   AND b IN (SELECT node FROM d1 WHERE d >= 3)),
+          d2 AS (SELECT node, count(*) AS d
+                 FROM (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1)
+                 GROUP BY 1),
+          e2 AS (SELECT a, b FROM e1
+                 WHERE a IN (SELECT node FROM d2 WHERE d >= 3)
+                   AND b IN (SELECT node FROM d2 WHERE d >= 3)),
+          d3 AS (SELECT node, count(*) AS d
+                 FROM (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+                 GROUP BY 1),
+          e3 AS (SELECT a, b FROM e2
+                 WHERE a IN (SELECT node FROM d3 WHERE d >= 3)
+                   AND b IN (SELECT node FROM d3 WHERE d >= 3))
+         SELECT node, CAST(count(*) AS BIGINT) AS core_degree
+         FROM (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
+         GROUP BY 1""",
     "q_event_paths" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events),
           l AS (SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev

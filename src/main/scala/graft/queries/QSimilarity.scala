@@ -322,6 +322,35 @@ object QSimilarity {
         .groupBy(col("label"), col("dim").cast("bigint").as("dim"))
         .agg((sum(Scalars.fxLong(col("v"))).cast("double") / lit(Scalars.fxScale) / count(lit(1)))
           .as("centroid"))
+    }),
+
+    // Per-dimension z-score standardization of the embedding corpus —
+    // the feature-scaling pass ahead of clustering/ANN training. The
+    // cross-row mean and sum-of-squares accumulate in DECIMAL over
+    // 2^53 fixed-point longs (fx² ≤ 32 digits, Σ fits decimal(38,0)),
+    // so partition order cannot perturb them; the final mean/std/z
+    // derivation is the SAME IEEE double op sequence on both engines,
+    // making raw (unrounded) z values hash-comparable. One shuffle
+    // (the 64-row per-dim agg) + a broadcast join back; map-only
+    // otherwise at any scale.
+    "q_embed_normalize" -> ((s, dir) => {
+      val ex = Tables(s, dir).embeddings
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos").cast("bigint").as("pos"),
+          Scalars.fxLong(col("v")).as("fx"))
+      val stats = ex.groupBy(col("pos")).agg(
+        sum(col("fx").cast("decimal(28,0)")).as("s"),
+        sum(col("fx").cast("decimal(19,0)") * col("fx").cast("decimal(19,0)"))
+          .as("ss"),
+        count(lit(1)).as("n"))
+      val mean = col("s").cast("double") / lit(Scalars.fxScale) /
+        col("n").cast("double")
+      val ex2 = col("ss").cast("double") / lit(Scalars.fxScale) /
+        lit(Scalars.fxScale) / col("n").cast("double")
+      ex.join(broadcast(stats), Seq("pos"))
+        .select(col("vec_id"), col("pos"),
+          ((col("fx").cast("double") / lit(Scalars.fxScale) - mean) /
+            sqrt(ex2 - mean * mean)).as("z"))
     })
   )
 
@@ -578,6 +607,26 @@ object QSimilarity {
                       unnest(list_transform(range(1, len(embedding) + 1),
                              i -> struct_pack(dim := i - 1, v := embedding[i]))) AS u
                FROM embeddings)
-         GROUP BY label, dim"""
+         GROUP BY label, dim""",
+    "q_embed_normalize" ->
+      """WITH ex AS (SELECT vec_id, CAST(u['pos'] AS BIGINT) AS pos,
+                            CAST(CAST(u['v'] AS DOUBLE) * 9007199254740992 AS BIGINT) AS fx
+                     FROM (SELECT vec_id,
+                                  unnest(list_transform(range(1, len(embedding) + 1),
+                                         i -> struct_pack(pos := i - 1, v := embedding[i]))) AS u
+                           FROM embeddings)),
+          st AS (SELECT pos, sum(fx) AS s,
+                        sum(CAST(fx AS HUGEINT) * CAST(fx AS HUGEINT)) AS ss,
+                        count(*) AS n
+                 FROM ex GROUP BY 1)
+         SELECT vec_id, pos,
+                CAST((CAST(fx AS DOUBLE) / 9007199254740992.0
+                      - (CAST(s AS DOUBLE) / 9007199254740992.0 / CAST(n AS DOUBLE)))
+                 / sqrt(CAST(ss AS DOUBLE) / 9007199254740992.0 / 9007199254740992.0
+                          / CAST(n AS DOUBLE)
+                        - (CAST(s AS DOUBLE) / 9007199254740992.0 / CAST(n AS DOUBLE))
+                          * (CAST(s AS DOUBLE) / 9007199254740992.0 / CAST(n AS DOUBLE)))
+                 AS DOUBLE) AS z
+         FROM ex JOIN st USING (pos)"""
   )
 }

@@ -577,4 +577,42 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().head
     assert(got == ((5L, 7L, 4L)))
   }
+
+  test("kCore: cascading peel reaches the 2-core; round bound binds") {
+    // K3 (a,b,c) with a tail c-d-e: e has degree 1, peeling it drops d
+    // to 1, so the 2-core is exactly the triangle — but only after TWO
+    // rounds (the cascade). rounds=1 keeps d — with within-core degree
+    // 1, since e's edge is already gone.
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val core = Graph.kCore(edges, k = 2, rounds = 5)
+      .as[(String, Long)].collect().toMap
+    assert(core == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    val one = Graph.kCore(edges, k = 2, rounds = 1)
+      .as[(String, Long)].collect().toMap
+    assert(one == Map("a" -> 2L, "b" -> 2L, "c" -> 3L, "d" -> 1L))
+    // k above the max degree empties the graph
+    assert(Graph.kCore(edges, k = 4, rounds = 3).isEmpty)
+  }
+
+  test("bitmapWords/bitmapDistinct: exact across bucket boundaries and merges") {
+    // ids straddle the 64-wide bucket boundary (63, 64) and repeat
+    // across rows/keys; words from two "batches" OR-merge to the same
+    // exact count a direct pass gives.
+    val ev = Seq(("a", 0L), ("a", 63L), ("a", 64L), ("a", 63L),
+      ("b", 1L), ("b", 1L), ("b", 130L)).toDF("k", "id")
+    val words = Aggregates.bitmapWords(ev, Seq("k"), "id")
+    val got = Aggregates.bitmapDistinct(words, Seq("k"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 3L, "b" -> 2L))
+    // mergeability: split the rows into two batches, OR the word
+    // states, recount — identical (the incremental serving path).
+    val b1 = Aggregates.bitmapWords(ev.limit(3), Seq("k"), "id")
+    val b2 = Aggregates.bitmapWords(ev.exceptAll(ev.limit(3)), Seq("k"), "id")
+    val merged = b1.unionAll(b2).groupBy($"k", $"bucket")
+      .agg(expr("bit_or(word)").as("word"))
+    val got2 = Aggregates.bitmapDistinct(merged, Seq("k"))
+      .as[(String, Long)].collect().toMap
+    assert(got2 == got)
+  }
 }
