@@ -52,7 +52,8 @@ object QAnalytics {
 
   val stages: Map[String, (SparkSession, String) => Unit] = Map(
     "q_triangle_count" -> ((s, dir) => stageBrandEdges(s, dir)),
-    "q_kcore" -> ((s, dir) => stageBrandEdges(s, dir)))
+    "q_kcore" -> ((s, dir) => stageBrandEdges(s, dir)),
+    "q_item_similarity" -> ((s, dir) => stageBrandEdges(s, dir)))
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -476,6 +477,60 @@ object QAnalytics {
     // ordering-free, so fixed rounds are engine-independent).
     "q_kcore" -> ((s, dir) =>
       Graph.kCore(brandEdges(s, dir), k = 3, rounds = 3)),
+
+    // Theil–Sen robust trend: per event_type, the MEDIAN of all
+    // pairwise day-over-day slopes of the daily event count — one
+    // outlier day skews an OLS fit, not a slope median. The pair
+    // expansion is per-group quadratic by definition, so the operator
+    // contract is bounded group width (≤ a few thousand days — the
+    // same bounded-basket contract as q_basket_lift); the median is
+    // picked by explicit row_number so both engines average the SAME
+    // middle elements (engine median() interpolation differs in ulps).
+    "q_theil_sen" -> ((s, dir) => {
+      val daily = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          expr("CAST(ts_ns DIV 86400000000000 AS BIGINT)").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val p = daily.as("x").join(daily.as("y"),
+          col("x.event_type") === col("y.event_type") &&
+            col("x.day") < col("y.day"))
+        .select(col("x.event_type").as("event_type"),
+          ((col("y.n") - col("x.n")).cast("double") /
+            (col("y.day") - col("x.day")).cast("double")).as("slope"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("slope"))
+      val cw = Window.partitionBy(col("event_type"))
+      p.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(cw))
+        .filter(col("rn") === expr("(cnt + 1) DIV 2") ||
+          col("rn") === expr("cnt DIV 2 + 1"))
+        .groupBy(col("event_type"))
+        .agg((sum(col("slope")) / count(lit(1)).cast("double")).as("ts_slope"))
+    }),
+
+    // Item-item cosine similarity over the co-basket counts (the
+    // classic neighborhood recommender): cos(a,b) = c_ab /
+    // sqrt(n_a·n_b) on the staged brand edge list, top-3 neighbors
+    // per brand. Reuses the amortized edge index; the per-item counts
+    // broadcast. Ties broken by neighbor id — deterministic ranks.
+    "q_item_similarity" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val items = t.lineitem.join(t.part, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("b")).distinct()
+      val nOrd = items.groupBy(col("b")).agg(count(lit(1)).as("n"))
+      val e = brandEdges(s, dir)
+      val sym = e.select(col("src").as("b"), col("dst").as("other"), col("cab"))
+        .unionAll(e.select(col("dst").as("b"), col("src").as("other"), col("cab")))
+      val scored = sym
+        .join(broadcast(nOrd.select(col("b"), col("n").as("na"))), Seq("b"))
+        .join(broadcast(nOrd.select(col("b").as("other"), col("n").as("nb"))),
+          Seq("other"))
+        .select(col("b"), col("other"),
+          (col("cab").cast("double") /
+            sqrt((col("na") * col("nb")).cast("double"))).as("cosine"))
+      Aggregates.topKPerGroup(scored, Seq("b"),
+          Seq(col("cosine").desc, col("other")), 3)
+        .select(col("b"), col("other"), col("cosine"), col("rn").cast("bigint").as("rn"))
+    }),
 
     // Top session paths (the sankey/flow input): first 3 event types
     // of each 30-min session concatenated, sessions counted per path.
@@ -1713,6 +1768,39 @@ object QAnalytics {
          SELECT node, CAST(count(*) AS BIGINT) AS core_degree
          FROM (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
          GROUP BY 1""",
+    "q_theil_sen" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                               count(*) AS n
+                        FROM events GROUP BY 1, 2),
+          p AS (SELECT x.event_type,
+                       CAST(y.n - x.n AS DOUBLE) / CAST(y.day - x.day AS DOUBLE) AS slope
+                FROM daily x JOIN daily y
+                  ON x.event_type = y.event_type AND x.day < y.day),
+          r AS (SELECT event_type, slope,
+                       row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS cnt
+                FROM p)
+         SELECT event_type, CAST(sum(slope) / count(*) AS DOUBLE) AS ts_slope
+         FROM r WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+         GROUP BY 1""",
+    "q_item_similarity" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+                        FROM lineitem JOIN part ON l_partkey = p_partkey),
+          e AS (SELECT a, b, cab FROM (
+                  SELECT x.b AS a, y.b AS b, count(*) AS cab
+                  FROM items x JOIN items y ON x.ok = y.ok AND x.b < y.b
+                  GROUP BY 1, 2)
+                WHERE cab >= 20),
+          nn AS (SELECT b, count(*) AS n FROM items GROUP BY 1),
+          sym AS (SELECT a AS b, b AS other, cab FROM e
+                  UNION ALL SELECT b, a, cab FROM e),
+          sc AS (SELECT s.b, s.other,
+                        CAST(s.cab AS DOUBLE) / sqrt(CAST(na.n * nb.n AS DOUBLE)) AS cosine
+                 FROM sym s JOIN nn na ON na.b = s.b JOIN nn nb ON nb.b = s.other),
+          r AS (SELECT *, row_number() OVER (PARTITION BY b
+                            ORDER BY cosine DESC, other) AS rn
+                FROM sc)
+         SELECT b, other, cosine, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 3""",
     "q_event_paths" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events),
           l AS (SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
