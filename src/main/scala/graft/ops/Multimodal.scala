@@ -184,6 +184,52 @@ object Multimodal {
         }
       }
     }
+
+    /** REAL image feature extraction for uncompressed 24bpp BMP: walk
+      * the pixel array (4-byte-padded rows, blue channel as the gray
+      * proxy — our fixtures write equal channels; a photo pipeline
+      * would average) and reduce to a 16-bit BLOCK-MEAN perceptual
+      * hash: a 4×4 grid of block means, bit b set iff block b's mean
+      * exceeds the global mean. All comparisons are cross-multiplied
+      * integer sums (`bs·tp > ts·bc`), so the hash is exact and
+      * engine-replayable — no float means. Block/row indices follow
+      * STORED row order (BMPs store bottom-up; a vertical flip
+      * permutes blocks consistently across all images, which leaves
+      * equal-content grouping — the dedup signal — unchanged).
+      * Non-24bpp or truncated payloads return None.
+      */
+    def bmpBlockHash(b: Array[Byte]): Option[Long] = {
+      if (b.length < 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) return None
+      val off = le32(b, 10)
+      val w = le32(b, 18)
+      val h = le32(b, 22)
+      val bpp = le16(b, 28)
+      if (bpp != 24 || w <= 0 || h <= 0) return None
+      val stride = ((w * 3 + 3) / 4) * 4
+      if (b.length.toLong < off.toLong + stride.toLong * h) return None
+      val bs = new Array[Long](16)
+      val bc = new Array[Long](16)
+      var ts = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = b(off + y * stride + x * 3) & 0xff
+          val bi = (y * 4 / h) * 4 + (x * 4 / w)
+          bs(bi) += v; bc(bi) += 1; ts += v
+          x += 1
+        }
+        y += 1
+      }
+      val tp = w.toLong * h
+      var hash = 0L
+      var i = 0
+      while (i < 16) {
+        if (bs(i) * tp > ts * bc(i)) hash |= (1L << i)
+        i += 1
+      }
+      Some(hash)
+    }
   }
 
   /** The codec seam. Deterministic fake: "decodes" dimensions from the

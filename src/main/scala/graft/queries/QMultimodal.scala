@@ -94,6 +94,54 @@ object QMultimodal {
         .select(col("media_id"), col("frame_no"), col("energy"))
     }),
 
+    // REAL image dedup: deterministic 16×16 24bpp BMPs on disk (files
+    // 10–14 repeat files 0–4's pixel content), ingested via binaryFile
+    // and PIXEL-WALKED to a 16-bit block-mean perceptual hash; equal
+    // hashes group duplicates under a min-id canonical. The oracle
+    // replays the pixel-generator arithmetic through the same
+    // cross-multiplied integer block comparisons, so a stride, pixel
+    // -offset, or bit-packing regression breaks the hash.
+    "q_image_blockhash" -> ((s, dir) => {
+      import s.implicits._
+      val path = s"target/tmp/q_image_blockhash_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val d = new java.io.File(path)
+      if (!d.exists()) {
+        d.mkdirs()
+        (0 until 15).foreach { i =>
+          val w = 16; val h = 16; val stride = w * 3
+          val b = java.nio.ByteBuffer.allocate(54 + stride * h)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          b.put('B'.toByte).put('M'.toByte).putInt(54 + stride * h)
+          b.putInt(0).putInt(54)           // reserved; pixel-array offset
+          b.putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER
+          b.putShort(1).putShort(24)       // planes, bpp
+          b.putInt(0).putInt(stride * h)
+          b.putInt(2835).putInt(2835).putInt(0).putInt(0)
+          val j = i % 10
+          (0 until h).foreach { y =>
+            (0 until w).foreach { x =>
+              val v = ((j * 31 + y * 7 + x * 3) % 256).toByte
+              b.put(v).put(v).put(v)
+            }
+          }
+          java.nio.file.Files.write(
+            new java.io.File(d, f"img_$i%03d.bmp").toPath, b.array())
+        }
+      }
+      val recs = s.read.format("binaryFile").load(path)
+        .select(
+          regexp_extract(col("path"), "img_(\\d+)\\.bmp", 1).cast("long").as("media_id"),
+          col("content").as("bytes"))
+        .as[Multimodal.MediaRecord]
+      val hashed = recs
+        .map(r => (r.media_id,
+          Multimodal.Headers.bmpBlockHash(r.bytes).getOrElse(-1L)))
+        .toDF("media_id", "hash16")
+      hashed.withColumn("canon_id",
+        min(col("media_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("hash16"))))
+    }),
+
     // Frame sampling: 32-byte chunks, every 2nd kept — count + the md5
     // of the first sampled frame (content-addressed, engine-portable).
     "q_multimodal_frames" -> ((s, dir) => {
@@ -131,6 +179,23 @@ object QMultimodal {
          FROM s
          WHERE t < ((160 + 16 * media_id) // 32) * 32
          GROUP BY 1, 2""",
+    "q_image_blockhash" ->
+      """WITH px AS (SELECT i.range AS media_id, y.range AS y, x.range AS x,
+                            ((i.range % 10) * 31 + y.range * 7 + x.range * 3) % 256 AS v
+                     FROM range(15) i CROSS JOIN range(16) y CROSS JOIN range(16) x),
+          blk AS (SELECT media_id, (y // 4) * 4 + (x // 4) AS bi,
+                         sum(v) AS bs, count(*) AS bc
+                  FROM px GROUP BY 1, 2),
+          tot AS (SELECT media_id, sum(v) AS ts, count(*) AS tp
+                  FROM px GROUP BY 1),
+          h AS (SELECT b.media_id,
+                       CAST(sum(CASE WHEN bs * tp > ts * bc
+                                     THEN 1 << bi ELSE 0 END) AS BIGINT) AS hash16
+                FROM blk b JOIN tot t ON b.media_id = t.media_id
+                GROUP BY 1)
+         SELECT media_id, hash16,
+                min(media_id) OVER (PARTITION BY hash16) AS canon_id
+         FROM h""",
     "q_multimodal_frames" ->
       """SELECT doc_id AS media_id,
                 CAST((greatest(CAST(ceil(length(text) / 32.0) AS INT), 1) + 1) // 2 AS BIGINT) AS n_frames,
