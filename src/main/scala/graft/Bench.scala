@@ -38,18 +38,23 @@ object Bench {
     }
     val first = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> timeOne(n))
     // Contention guard (round-3 artifact was ~2.3x host noise): any
-    // query over the 8 s worst-query bar gets ONE re-measurement after
-    // the sweep and keeps the min — a genuinely slow plan stays slow on
-    // the retry, a co-tenant spike does not.
+    // query over the 8 s worst-query bar gets TWO re-measurements after
+    // the sweep and reports the MEDIAN of the three samples — a
+    // genuinely slow plan stays slow on the retries, a co-tenant spike
+    // does not, and unlike min-of-two the estimator is not
+    // one-directionally biased. All raw samples land in the artifact.
     val retried = first.collect { case (n, t) if t > 8.0 => n }
-    val redo = retried.map(n => n -> timeOne(n)).toMap
-    val results = first.map { case (n, t) => n -> math.min(t, redo.getOrElse(n, t)) }
+    val redo = retried.map(n => n -> Seq(timeOne(n), timeOne(n))).toMap
+    val samples = first.map { case (n, t) => n -> (t +: redo.getOrElse(n, Seq.empty)) }
+    val results = samples.map { case (n, ss) => n -> ss.sorted.apply(ss.length / 2) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retriedJson = retried.map { n =>
+      "\"" + n + "\":" + (samples.toMap.apply(n)).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":${loadAvg()},"retried":$retriedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":${loadAvg()},"retried_samples":$retriedJson}"""
     println(line)
     // Also land the full line on disk: stdout goes through sbt's log
     // tail, which truncates long lines in the driver's BENCH artifact —

@@ -15,13 +15,17 @@ final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 cannot read as
-    * a timestamp ([[https://issues.apache.org/jira/browse/SPARK-40819 SPARK-40819]]);
-    * sessions set `spark.sql.legacy.parquet.nanosAsLong=true` (see
-    * [[graft.GraftSession]]) so it arrives as epoch-nanos LongType. We keep
-    * the exact nanos as `ts_ns` (total order identical to the source) and
-    * derive a microsecond-truncated `ts` via integer division — never
-    * double arithmetic, which cannot represent 1e18-scale nanos exactly.
+  /** `events.ts` has shipped in two physical schemas across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark 4 cannot read
+    * as a timestamp ([[https://issues.apache.org/jira/browse/SPARK-40819 SPARK-40819]]),
+    * so sessions set `spark.sql.legacy.parquet.nanosAsLong=true` (see
+    * [[graft.GraftSession]]) and it arrives as epoch-nanos LongType —
+    * and plain TIMESTAMP(MICROS), which arrives as a (ntz) timestamp.
+    * Either way the engine-facing contract is the same two columns:
+    * exact integer epoch-nanos `ts_ns` (the total order every windowed
+    * operator keys on — integer, never double, which cannot represent
+    * 1e18-scale nanos exactly) and a microsecond `ts` timestamp that
+    * matches the oracle's `epoch_us(ts)` view of the same file.
     */
 
   def region: DataFrame     = t("region")
@@ -33,9 +37,18 @@ final case class Tables(spark: SparkSession, dir: String) {
   def lineitem: DataFrame   = t("lineitem")
   def events: DataFrame = {
     import org.apache.spark.sql.functions._
-    t("events")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    import org.apache.spark.sql.types.LongType
+    val raw = t("events")
+    if (raw.schema("ts").dataType == LongType)
+      raw // TIMESTAMP(NANOS) generation, read as epoch-nanos long
+        .withColumn("ts_ns", col("ts"))
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else
+      raw // TIMESTAMP(MICROS) generation: ntz in UTC == instant; cast
+        // to instant-typed ts so downstream ops see the exact column
+        // type the nanos generation produced
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -123,10 +123,48 @@ object Aggregates {
         .as("word"))
 
   /** Collapse [[bitmapWords]] states to exact distinct counts per
-    * `keys`: distinct = Σ popcount(word) because each id owns exactly
-    * one bit in exactly one (bucket, word).
+    * `keys`: first `bit_or`-merge any duplicate (keys, bucket) rows —
+    * so a raw union of per-day word tables is safe input, exactly the
+    * serving pattern [[bitmapWords]] advertises — then distinct =
+    * Σ popcount(word) because each id owns exactly one bit in exactly
+    * one (bucket, word). The extra merge level is a no-op (and nearly
+    * free: partial bit_or combines map-side) when the input is already
+    * merged per (keys, bucket).
     */
+  /** EXACT per-group median of an integer column, returned as the
+    * doubled form `med2 = v_lo + v_hi` (the two middle order
+    * statistics; equal when the count is odd) so callers stay in
+    * integer arithmetic — `median = med2 / 2`.
+    *
+    * Spark's exact `percentile` buffers every value of a group in
+    * aggregation memory, which OOMs a 100×-scale hot group; this form
+    * reduces to a VALUE-FREQUENCY table first (one row per distinct
+    * (keys, value) — shuffle and window cost scale with distinct
+    * values, never with row count) and reads both middle order
+    * statistics off the running cumulative count. Exact for any
+    * distribution, mergeable across days by summing frequency tables.
+    */
+  def medianTimes2(df: DataFrame, keys: Seq[String], valCol: String,
+      alias: String = "med2"): DataFrame = {
+    val freq = df.groupBy((keys.map(col) :+ col(valCol)): _*)
+      .agg(count(lit(1)).as("__c"))
+    val cum = freq
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(keys.map(col): _*).orderBy(col(valCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.partitionBy(keys.map(col): _*)))
+    // 0-indexed middle positions k1=(n-1) div 2, k2=n div 2; the value
+    // at position k is the first value whose cumulative count > k.
+    cum.groupBy(keys.map(col): _*)
+      .agg((min(when(col("__cum") >= expr("(__n + 1) DIV 2"), col(valCol))) +
+            min(when(col("__cum") >= expr("__n DIV 2 + 1"), col(valCol))))
+        .as(alias))
+  }
+
   def bitmapDistinct(words: DataFrame, keys: Seq[String]): DataFrame =
-    words.groupBy(keys.map(col): _*)
-      .agg(sum(expr("bit_count(word)")).cast("long").as("n_distinct"))
+    words.groupBy((keys.map(col) :+ col("bucket")): _*)
+      .agg(expr("bit_or(word)").as("__w"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(expr("bit_count(__w)")).cast("long").as("n_distinct"))
 }

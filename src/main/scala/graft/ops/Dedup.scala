@@ -380,7 +380,14 @@ object Dedup {
     val bInA = ws.filter(col("n_inter") * den >= col("n_b") * num)
       .select(col("id_b").as("contained_id"), col("id_a").as("container_id"),
         (col("n_inter").cast("double") / col("n_b").cast("double")).as("containment"))
-    aInB.unionAll(bInA)
+    // Materialize eagerly, then free the shared shingle cache — a
+    // long-lived session must not accumulate orphaned cache blocks
+    // (checkpoint blocks, unlike cache() entries, are reclaimed by the
+    // ContextCleaner once the frame is unreferenced — the Graph.scala
+    // lineage discipline).
+    val out = aInB.unionAll(bInA).localCheckpoint()
+    hashed.unpersist(blocking = false)
+    out
   }
 
   /** Exact set-similarity JOIN via PPJoin-style prefix filtering
@@ -402,30 +409,47 @@ object Dedup {
     * identical to the naive all-pairs form, which is the oracle.
     */
   def prefixJaccardJoin(df: DataFrame, textCol: String, idCol: String, n: Int,
-      thresholdNum: Int, thresholdDen: Int): DataFrame = {
+      thresholdNum: Int, thresholdDen: Int, maxDocFreq: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hashed = Par.widen(df).select(col(idCol),
       graft.expressions.TextSketchExpressions.shingleHash64(col(textCol), n).as("shs"))
       .cache()
     val tok = hashed.select(col(idCol), explode(col("shs")).as("sh_h"))
     val sizes = hashed.select(col(idCol), size(col("shs")).cast("bigint").as("n_sh"))
-    val ranked = tok
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh_h"))))
+    // Document frequency via groupBy+join, NOT count().over(partitionBy
+    // (sh_h)): the window form sorts the full exploded frame by sh_h,
+    // and boilerplate shingles make those exactly the hot partitions —
+    // the partial-aggregating groupBy ships one (hash, count) row per
+    // distinct shingle instead.
+    val dfc = tok.groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
+    // Optional DF cut (same contract as [[ngramJaccardPairs]]): drop
+    // shingles present in more than maxDocFreq documents from BOTH the
+    // prefix index and the intersection counts while denominators keep
+    // full set sizes, so the reported jaccard is a LOWER BOUND and the
+    // prefix lemma still guarantees completeness for every pair whose
+    // lower bound clears t (n_a + n_b − I' ≥ |S'_a ∪ S'_b| ⟹ bound ≥ t
+    // implies cut-set Jaccard ≥ t, which the cut-set prefix finds).
+    val dfcKept = if (maxDocFreq > 0) dfc.filter(col("df") <= maxDocFreq) else dfc
+    val tokKept = tok.join(dfcKept, Seq("sh_h"))
+    // rn and the per-doc surviving-set size share one (idCol) exchange.
+    val docW = Window.partitionBy(col(idCol))
+    val ranked = tokKept
       .withColumn("rn", row_number()
-        .over(Window.partitionBy(col(idCol)).orderBy(col("df"), col("sh_h"))).cast("bigint"))
-      .join(sizes, Seq(idCol))
+        .over(docW.orderBy(col("df"), col("sh_h"))).cast("bigint"))
+      .withColumn("n_cut", count(lit(1)).over(docW).cast("bigint"))
     val prefix = ranked.filter(col("rn") <=
-        col("n_sh") - expr(s"CAST((n_sh * $thresholdNum + ${thresholdDen - 1}) DIV $thresholdDen AS BIGINT)") + 1)
+        col("n_cut") - expr(s"CAST((n_cut * $thresholdNum + ${thresholdDen - 1}) DIV $thresholdDen AS BIGINT)") + 1)
       .select(col(idCol), col("sh_h"))
     val cand = prefix.select(col(idCol).as("id_a"), col("sh_h"))
       .join(prefix.select(col(idCol).as("id_b"), col("sh_h")), Seq("sh_h"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+    val tokJ = tokKept.select(col(idCol), col("sh_h"))
     val inter = cand
-      .join(tok.select(col(idCol).as("id_a"), col("sh_h")), Seq("id_a"))
-      .join(tok.select(col(idCol).as("id_b"), col("sh_h")), Seq("id_b", "sh_h"))
+      .join(tokJ.select(col(idCol).as("id_a"), col("sh_h")), Seq("id_a"))
+      .join(tokJ.select(col(idCol).as("id_b"), col("sh_h")), Seq("id_b", "sh_h"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
-    inter
+    val out = inter
       .join(sizes.withColumnRenamed("n_sh", "n_a"), col("id_a") === sizes(idCol)).drop(idCol)
       .join(sizes.withColumnRenamed("n_sh", "n_b"), col("id_b") === sizes(idCol)).drop(idCol)
       .filter(col("n_inter") * thresholdDen >=
@@ -433,6 +457,10 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"),
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
+      // Eager materialize + free the shingle cache (see containmentPairs).
+      .localCheckpoint()
+    hashed.unpersist(blocking = false)
+    out
   }
 
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String, n: Int,

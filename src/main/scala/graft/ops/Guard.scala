@@ -53,4 +53,29 @@ object Guard {
       throw new IllegalStateException(
         s"plan will not scale:\n  - ${ps.mkString("\n  - ")}")
   }
+
+  /** RUNTIME width guard for operators whose cost is quadratic (or
+    * worse) in a group's row count — pair expansions, per-group
+    * self-joins. Returns `df` unchanged when every `keys` group holds
+    * at most `limit` rows; otherwise the job FAILS FAST with the
+    * offending group named, instead of silently materializing a
+    * 10⁹-row blowup because someone pointed a bounded-width operator
+    * at per-minute data. Costs one windowed count over the SAME
+    * partitioning the downstream group operation needs, so with
+    * matching keys Catalyst reuses the exchange. The guard rides
+    * inside the plan (no driver-side count/collect): `assert_true`
+    * evaluates per row and the `isNull` filter keeps it from being
+    * pruned.
+    */
+  def maxGroupWidth(df: DataFrame, keys: Seq[String], limit: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    df.withColumn("__gw", count(lit(1)).over(w))
+      .filter(assert_true(col("__gw") <= limit,
+        concat(lit(s"group width exceeds $limit rows for key ("),
+          concat_ws(",", keys.map(k => col(k).cast("string")): _*), lit(")")))
+        .isNull)
+      .drop("__gw")
+  }
 }

@@ -88,14 +88,19 @@ object Multimodal {
       var off = 12
       var fmt: Option[(Int, Int, Int)] = None
       var dataBytes = -1L
-      while (off + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
+      var corrupt = false
+      while (!corrupt && off + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
         val size = le32(b, off + 4)
         if (tag(b, off, "fmt ") && off + 24 <= b.length)
           fmt = Some((le16(b, off + 10), le32(b, off + 12), le16(b, off + 22)))
         else if (tag(b, off, "data"))
           dataBytes = size.toLong & 0xffffffffL
-        off += 8 + size + (size & 1) // chunks are word-aligned
+        // a hostile negative chunk size would walk off backwards
+        // (negative-offset reads / infinite loop): treat as corrupt
+        if (size < 0) corrupt = true
+        else off += 8 + size + (size & 1) // chunks are word-aligned
       }
+      if (corrupt) return None
       fmt.map { case (ch, rate, bits) => WavMeta(ch, rate, bits, math.max(0L, dataBytes)) }
     }
 
@@ -168,12 +173,19 @@ object Multimodal {
     def wavSamples16(b: Array[Byte]): Option[Array[Short]] = {
       if (!(tag(b, 0, "RIFF") && tag(b, 8, "WAVE"))) return None
       parseWav(b).filter(_.bitsPerSample == 16).flatMap { _ =>
+        // Chunk sizes come from untrusted 32-bit fields: a negative
+        // size would walk `off` backwards (infinite loop) and a
+        // negative data size would blow up Array allocation — clamp
+        // both so malformed payloads degrade to None, per contract.
         var off = 12
-        while (off + 8 <= b.length && !tag(b, off, "data"))
-          off += 8 + le32(b, off + 4) + (le32(b, off + 4) & 1)
-        if (off + 8 > b.length) None
+        var corrupt = false
+        while (!corrupt && off + 8 <= b.length && !tag(b, off, "data")) {
+          val sz = le32(b, off + 4)
+          if (sz < 0) corrupt = true else off += 8 + sz + (sz & 1)
+        }
+        if (corrupt || off + 8 > b.length) None
         else {
-          val n = math.min(le32(b, off + 4), b.length - off - 8) / 2
+          val n = math.max(0, math.min(le32(b, off + 4), b.length - off - 8)) / 2
           val out = new Array[Short](n)
           var i = 0
           while (i < n) {

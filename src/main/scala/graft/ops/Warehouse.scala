@@ -61,17 +61,32 @@ object Warehouse {
     * `q_scd2_incremental`): apply(build(past), future) == build(all) —
     * the incremental path costs one shuffle over (open runs + new
     * events), not a rescan of the full history.
+    *
+    * `tieBreak` columns break (key, time) ordering ties — without one,
+    * two same-microsecond events with different values make the run
+    * collapse (and so versions/state) nondeterministic. The open run's
+    * synthetic anchor row carries null tie-breaks, which Spark's
+    * nulls-first ascending default sorts BEFORE any real same-time
+    * change, so the anchor always wins its boundary tie and the
+    * build/apply invariant is preserved for any log whose new events
+    * arrive at `time` >= the open run's start (exact tie at the start
+    * included).
     */
   def scd2Apply(current: DataFrame, changes: DataFrame, key: String,
-      time: String, attr: String): DataFrame = {
+      time: String, attr: String, tieBreak: Seq[String] = Nil): DataFrame = {
     val outCols = Seq(col(key), col(attr), col("version"),
       col("effective_from"), col("effective_to"), col("is_current"))
     val open = current.filter(col("is_current"))
     val closed = current.filter(!col("is_current"))
     val voff = open.select(col(key), (col("version") - 1).as("__voff"))
-    val openEv = open.select(col(key), col("effective_from").as(time), col(attr))
-    val tail = scd2Build(openEv.unionByName(changes.select(col(key), col(time), col(attr))),
-        col(key), Seq(col(time)), col(attr), col(time))
+    val tbTypes = tieBreak.map(c => c -> changes.schema(c).dataType)
+    val openEv = open.select(col(key) +: col("effective_from").as(time) +: col(attr) +:
+      tbTypes.map { case (c, t) => lit(null).cast(t).as(c) }: _*)
+    val ordered = col(time) +: tieBreak.map(col)
+    val tail = scd2Build(
+        openEv.unionByName(changes.select(
+          col(key) +: col(time) +: col(attr) +: tieBreak.map(col): _*)),
+        col(key), ordered, col(attr), col(time))
       .join(voff, Seq(key), "left")
       .withColumn("version", (col("version") + coalesce(col("__voff"), lit(0))).cast("int"))
     closed.select(outCols: _*).unionByName(tail.select(outCols: _*))

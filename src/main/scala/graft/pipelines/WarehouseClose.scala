@@ -31,14 +31,19 @@ import org.apache.spark.sql.functions._
 object WarehouseClose {
 
   def run(hist: DataFrame, today: DataFrame): DataFrame = {
+    // (t, event_id) order everywhere a window orders by time: µs-
+    // truncated timestamps CAN tie within a user (two same-µs events
+    // with different types), and without the event_id tie-break the run
+    // collapse — hence state and version — is nondeterministic and can
+    // diverge from the deterministic (t, event_id)-ordered oracle.
     val current = Warehouse.scd2Build(
-        hist.select(col("user_id"), col("t"), col("event_type")),
-        col("user_id"), Seq(col("t")), col("event_type"), col("t"))
+        hist.select(col("user_id"), col("t"), col("event_type"), col("event_id")),
+        col("user_id"), Seq(col("t"), col("event_id")), col("event_type"), col("t"))
       .select(col("user_id"), col("event_type"), col("version"),
         col("effective_from"), col("effective_to"), col("is_current"))
     val state = Warehouse.scd2Apply(current,
-        today.select(col("user_id"), col("t"), col("event_type")),
-        "user_id", "t", "event_type")
+        today.select(col("user_id"), col("t"), col("event_type"), col("event_id")),
+        "user_id", "t", "event_type", tieBreak = Seq("event_id"))
       .filter(col("is_current"))
       .select(col("user_id"), col("event_type").as("state"),
         col("version").as("state_version"))

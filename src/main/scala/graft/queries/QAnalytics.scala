@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.expressions.StringSimilarityExpressions
-import graft.ops.{Aggregates, Graph, Scalars, Text, Timeseries, Warehouse}
+import graft.ops.{Aggregates, Graph, Guard, Scalars, Text, Timeseries, Warehouse}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -483,14 +483,20 @@ object QAnalytics {
     // outlier day skews an OLS fit, not a slope median. The pair
     // expansion is per-group quadratic by definition, so the operator
     // contract is bounded group width (≤ a few thousand days — the
-    // same bounded-basket contract as q_basket_lift); the median is
-    // picked by explicit row_number so both engines average the SAME
-    // middle elements (engine median() interpolation differs in ulps).
+    // same bounded-basket contract as q_basket_lift); the contract is
+    // now ENFORCED, not just documented: [[Guard.maxGroupWidth]] fails
+    // the job fast (naming the group) if any event_type exceeds 5000
+    // days, instead of silently expanding 10⁹ pairs when someone
+    // points this at per-minute buckets. The median is picked by
+    // explicit row_number so both engines average the SAME middle
+    // elements (engine median() interpolation differs in ulps).
     "q_theil_sen" -> ((s, dir) => {
-      val daily = Tables(s, dir).events
-        .groupBy(col("event_type"),
-          expr("CAST(ts_ns DIV 86400000000000 AS BIGINT)").as("day"))
-        .agg(count(lit(1)).as("n"))
+      val daily = Guard.maxGroupWidth(
+        Tables(s, dir).events
+          .groupBy(col("event_type"),
+            expr("CAST(ts_ns DIV 86400000000000 AS BIGINT)").as("day"))
+          .agg(count(lit(1)).as("n")),
+        Seq("event_type"), limit = 5000L)
       val p = daily.as("x").join(daily.as("y"),
           col("x.event_type") === col("y.event_type") &&
             col("x.day") < col("y.day"))
@@ -1621,12 +1627,12 @@ object QAnalytics {
                     FROM events),
           chg AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
                   FROM ev),
-          runs AS (SELECT user_id, event_type, t FROM chg
+          runs AS (SELECT user_id, event_type, t, event_id FROM chg
                    WHERE prev IS NULL OR prev <> event_type),
           vers AS (SELECT user_id, event_type,
                           CAST(row_number() OVER w AS INT) AS version,
                           lead(t) OVER w AS nxt
-                   FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+                   FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
           state AS (SELECT user_id, event_type AS state, version AS state_version
                     FROM vers WHERE nxt IS NULL),
           td AS (SELECT * FROM ev WHERE t >= 1705363200000000),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.Scalars
+import graft.ops.{Aggregates, Scalars}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -152,23 +152,29 @@ object QExtras {
           ((col("l_quantity") - col("mean_q")) / col("sd_q")).as("z_qty"))
     }),
 
-    // Robust (MAD-based) outlier counting per group: median and the
-    // median absolute deviation are exact interpolated percentiles
-    // (two aggregations, each broadcast back), so unlike mean/stddev a
-    // few wild rows cannot drag the threshold. Output is the per-group
-    // audit summary a data-quality monitor alerts on.
+    // Robust (MAD-based) outlier counting per group. Medians are EXACT
+    // but computed from value-frequency tables ([[Aggregates
+    // .medianTimes2]]) — Spark's exact `percentile` buffers every group
+    // value in aggregation memory (an executor OOM once a group holds
+    // ~10^8 doubles at 100× scale); the frequency form's state scales
+    // with DISTINCT cents, never rows. All math stays integer (prices
+    // as cents, doubled medians, cross-multiplied 1.5× threshold:
+    // dev > 1.5·mad ⟺ 4·dev2 > 3·mad22), so the DuckDB oracle replays
+    // it bit-exactly.
     "q_mad_outliers" -> ((s, dir) => {
-      val li = Tables(s, dir).lineitem
-      val med = li.groupBy(col("l_returnflag").as("rf"))
-        .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
-      val dev = li.join(broadcast(med), col("l_returnflag") === col("rf"))
-        .withColumn("dev", abs(col("l_extendedprice") - col("med")))
-      val mad = dev.groupBy(col("rf").as("rf2"))
-        .agg(expr("percentile(dev, 0.5)").as("mad"))
-      dev.join(broadcast(mad), col("rf") === col("rf2"))
+      val cents = Tables(s, dir).lineitem.select(col("l_returnflag"),
+        (Scalars.dec(col("l_extendedprice")) * 100).cast("bigint").as("cents"))
+      val med = Aggregates.medianTimes2(cents, Seq("l_returnflag"), "cents")
+      val dev = cents.join(broadcast(med), Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          abs(col("cents") * 2 - col("med2")).as("dev2"))
+      val mad = Aggregates.medianTimes2(dev, Seq("l_returnflag"), "dev2",
+        alias = "mad22")
+      dev.join(broadcast(mad), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
-          sum(when(col("dev") > lit(1.5) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+          sum(when(col("dev2") * 4 > col("mad22") * 3, 1L).otherwise(0L))
+            .as("n_outliers"))
     }),
 
     // Row-level expectations: contract rules checked on the ingest
@@ -287,16 +293,19 @@ object QExtras {
 
   val oracles: Map[String, String] = Map(
     "q_mad_outliers" ->
-      """WITH m AS (SELECT l_returnflag AS rf, quantile_cont(l_extendedprice, 0.5) AS med
-                    FROM lineitem GROUP BY l_returnflag),
-          d AS (SELECT l_returnflag, abs(l_extendedprice - med) AS dev
-                FROM lineitem JOIN m ON l_returnflag = rf),
-          md AS (SELECT l_returnflag AS rf2, quantile_cont(dev, 0.5) AS mad
-                 FROM d GROUP BY l_returnflag)
-          SELECT l_returnflag, count(*) AS n_rows,
-                 CAST(SUM(CASE WHEN dev > 1.5 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-          FROM d JOIN md ON l_returnflag = rf2
-          GROUP BY l_returnflag""",
+      """WITH cents AS (SELECT l_returnflag,
+                               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                        FROM lineitem),
+          m AS (SELECT l_returnflag, 2 * median(cents) AS med2
+                FROM cents GROUP BY 1),
+          d AS (SELECT c.l_returnflag, ABS(2 * c.cents - m.med2) AS dev2
+                FROM cents c JOIN m USING (l_returnflag)),
+          md AS (SELECT l_returnflag, 2 * median(dev2) AS mad22
+                 FROM d GROUP BY 1)
+          SELECT d.l_returnflag, count(*) AS n_rows,
+                 CAST(SUM(CASE WHEN 4 * d.dev2 > 3 * md.mad22 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          FROM d JOIN md USING (l_returnflag)
+          GROUP BY d.l_returnflag""",
     "q_expectations" ->
       """SELECT l_orderkey, l_linenumber,
                 concat_ws(',',

@@ -14,10 +14,18 @@ import org.apache.spark.sql.functions._
   * under the DuckDB compare instead of only under unit tests (the
   * `q_watermark_filter` pattern, per the round-3 verdict).
   *
-  * MemoryStream is driver-fed by design (it exists to script batch
-  * boundaries); the collected feed is the demo harness, not the
-  * operator — the operators themselves are the distributed
-  * `transformWithState` / `foreachBatch` pipelines in [[Streams]].
+  * Two feed roads:
+  *  - FILE-BACKED (`stageFeedSlices` + `spark.readStream.parquet`,
+  *    `maxFilesPerTrigger=1`): the heavy feeds (`q_stream_ingest`,
+  *    `q_stream_attribution`, `q_stream_outer`) stage event-time
+  *    slices as parquet and stream them back — fully distributed, no
+  *    row ever transits driver memory, and the same reader pointed at
+  *    a log-landing directory is the production shape.
+  *  - MemoryStream for the remaining state-processor demos, where
+  *    scripting EXACT batch boundaries is the point; the collected
+  *    feed is the demo harness, not the operator — the operators
+  *    themselves are the distributed `transformWithState` /
+  *    `foreachBatch` pipelines in [[Streams]].
   */
 object QStreaming {
   type Q = (SparkSession, String) => DataFrame
@@ -51,6 +59,45 @@ object QStreaming {
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
       "spark.sql.shuffle.partitions" -> "8")(body)
+
+  /** Stage `slices` as consecutive single-file parquet slices under a
+    * fresh feed directory — slice i fully written before i+1, file
+    * mtimes forced strictly increasing — so a file-stream reader with
+    * `maxFilesPerTrigger=1` replays EXACTLY one slice per micro-batch,
+    * in slice order. This is the DISTRIBUTED feed road: rows go
+    * executor → parquet → executor and never transit driver memory
+    * (the `collect()`→MemoryStream seam it replaces capped feeds at
+    * driver heap). The `coalesce(1)` is feed-file staging only — the
+    * pipeline READING the stream is fully distributed, and a real
+    * deployment points the same reader at a log-landing directory.
+    */
+  private def stageFeedSlices(s: SparkSession, slices: Seq[DataFrame],
+      name: String): (String, org.apache.spark.sql.types.StructType) = {
+    val base = new java.io.File(
+      s"target/tmp/feed_${name}_${sinkSeq.incrementAndGet()}")
+    rmrf(base); base.mkdirs()
+    val t0 = System.currentTimeMillis() - slices.size * 60000L
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val tmp = new java.io.File(base, s"_stage_$i")
+      df.coalesce(1).write.parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(base, f"slice-$i%05d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 60000L)
+      rmrf(tmp)
+    }
+    (base.getAbsolutePath, slices.head.schema)
+  }
+
+  /** File-stream reader over a [[stageFeedSlices]] directory: one
+    * staged slice per micro-batch, oldest first.
+    */
+  private def fileStream(s: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", "false")
+      .parquet(dir)
 
   /** Feed `rows` (already event-time sorted) through a MemoryStream in
     * `nBatches` contiguous slices — time-ordered across batches, the
@@ -120,34 +167,28 @@ object QStreaming {
     // state, so the emitted set equals the batch interval join the
     // oracle runs.
     "q_stream_attribution" -> ((s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // FILE-BACKED feed (no driver collect): each side is staged as
+      // two event-time-contiguous parquet slices and read back with
+      // spark.readStream — one slice per micro-batch per side. The
+      // result is boundary-independent (an inner interval join emits
+      // every in-window pair whatever the batching), so the cut only
+      // needs to be deterministic, not any particular value.
       val ev = Tables(s, dir).events
-      def side(t: String) = ev.filter(col("event_type") === t)
-        .select(col("user_id"), col("event_id"), col("ts"))
-        .as[(Long, Long, java.sql.Timestamp)].collect().toSeq
-        .sortBy(r => (r._3.getTime, r._2))
-      val clicks = side("click")
-      val purchases = side("purchase")
-      val cut = {
-        val all = (clicks ++ purchases).map(_._3.getTime).sorted
-        all(all.size / 2)
+      val cut = ev.filter(col("event_type").isin("click", "purchase"))
+        .agg(expr("approx_percentile(ts_ns, 0.5)")).head().getLong(0)
+      def slices(t: String) = {
+        val sd = ev.filter(col("event_type") === t)
+        Seq(sd.filter(col("ts_ns") < cut), sd.filter(col("ts_ns") >= cut))
+          .map(_.select(col("user_id"), col("event_id"), col("ts")))
       }
-      val memC = MemoryStream[(Long, Long, java.sql.Timestamp)]
-      val memP = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val (cdir, cschema) = stageFeedSlices(s, slices("click"), "attr_c")
+      val (pdir, pschema) = stageFeedSlices(s, slices("purchase"), "attr_p")
       val sink = s"q_stream_sink_${sinkSeq.incrementAndGet()}"
       withConf(s, "spark.sql.shuffle.partitions" -> "8") {
         val q = Streams.attributionJoin(
-            memC.toDF().toDF("user_id", "event_id", "ts"),
-            memP.toDF().toDF("user_id", "event_id", "ts"))
+            fileStream(s, cdir, cschema), fileStream(s, pdir, pschema))
           .writeStream.format("memory").queryName(sink).outputMode("append").start()
-        try {
-          Seq[Long => Boolean](_ < cut, _ >= cut).foreach { in =>
-            memC.addData(clicks.filter(r => in(r._3.getTime)))
-            memP.addData(purchases.filter(r => in(r._3.getTime)))
-            q.processAllAvailable()
-          }
-        } finally q.stop()
+        try q.processAllAvailable() finally q.stop()
       }
       s.table(sink).select(col("user_id"), col("click_id"), col("purchase_id"))
     }),
@@ -164,35 +205,29 @@ object QStreaming {
     // least(max click ts, max purchase ts) − lateness, not the
     // all-events max.
     "q_stream_outer" -> ((s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // FILE-BACKED feed, as q_stream_attribution. The outer join's
+      // null emissions depend only on the FINAL watermark (min of the
+      // two sides' max event time − lateness), which is feed-slicing-
+      // independent; the trailing no-data micro-batch after the last
+      // file performs the final state expiry exactly as the
+      // MemoryStream road did.
       val ev = Tables(s, dir).events
-      def side(t: String) = ev.filter(col("event_type") === t)
-        .select(col("user_id"), col("event_id"), col("ts"))
-        .as[(Long, Long, java.sql.Timestamp)].collect().toSeq
-        .sortBy(r => (r._3.getTime, r._2))
-      val clicks = side("click")
-      val purchases = side("purchase")
-      val cut = {
-        val all = (clicks ++ purchases).map(_._3.getTime).sorted
-        all(all.size / 2)
+      val cut = ev.filter(col("event_type").isin("click", "purchase"))
+        .agg(expr("approx_percentile(ts_ns, 0.5)")).head().getLong(0)
+      def slices(t: String) = {
+        val sd = ev.filter(col("event_type") === t)
+        Seq(sd.filter(col("ts_ns") < cut), sd.filter(col("ts_ns") >= cut))
+          .map(_.select(col("user_id"), col("event_id"), col("ts")))
       }
-      val memC = MemoryStream[(Long, Long, java.sql.Timestamp)]
-      val memP = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val (cdir, cschema) = stageFeedSlices(s, slices("click"), "outer_c")
+      val (pdir, pschema) = stageFeedSlices(s, slices("purchase"), "outer_p")
       val sink = s"q_stream_sink_${sinkSeq.incrementAndGet()}"
       withConf(s, "spark.sql.shuffle.partitions" -> "8") {
         val q = Streams.attributionJoin(
-            memC.toDF().toDF("user_id", "event_id", "ts"),
-            memP.toDF().toDF("user_id", "event_id", "ts"),
+            fileStream(s, cdir, cschema), fileStream(s, pdir, pschema),
             joinType = "leftOuter")
           .writeStream.format("memory").queryName(sink).outputMode("append").start()
-        try {
-          Seq[Long => Boolean](_ < cut, _ >= cut).foreach { in =>
-            memC.addData(clicks.filter(r => in(r._3.getTime)))
-            memP.addData(purchases.filter(r => in(r._3.getTime)))
-            q.processAllAvailable()
-          }
-        } finally q.stop()
+        try q.processAllAvailable() finally q.stop()
       }
       s.table(sink).select(col("user_id"), col("click_id"), col("purchase_id"))
     }),
@@ -353,25 +388,26 @@ object QStreaming {
     // parity — duplicates split across the boundary must be caught by
     // the index road, not the intra-batch one.
     "q_stream_ingest" -> ((s, dir) => {
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
       val base = new java.io.File(
         s"target/tmp/q_stream_ingest_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
       rmrf(base) // stale index/checkpoint would reject the whole feed
+      // FILE-BACKED feed: the corpus is staged as two parquet slices
+      // by doc_id parity (the oracle's replayed batch split) and read
+      // back with spark.readStream — batchId 0 = even slice, 1 = odd.
+      // No document text ever transits the driver; this is the real
+      // landing-directory ingest shape, duplicates split across the
+      // batch boundary still must be caught by the persisted index
+      // road, not the intra-batch one.
       val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
-        .as[(Long, String)].collect().toSeq
-      val mem = MemoryStream[(Long, String)]
+      val (fdir, fschema) = stageFeedSlices(s,
+        Seq(docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1)), "ingest")
       withConf(s, "spark.sql.shuffle.partitions" -> "8") {
         val q = Streams.corpusIngest(
-            mem.toDF().toDF("doc_id", "text"),
+            fileStream(s, fdir, fschema),
             s"$base/index", s"$base/out", s"$base/ckpt")
           .start()
-        try {
-          Seq(docs.filter(_._1 % 2 == 0), docs.filter(_._1 % 2 == 1)).foreach { b =>
-            mem.addData(b)
-            q.processAllAvailable()
-          }
-        } finally q.stop()
+        try q.processAllAvailable() finally q.stop()
       }
       s.read.parquet(s"$base/out")
         .select(col("doc_id"), col("batch").cast("int").as("batch"))

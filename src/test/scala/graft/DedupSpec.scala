@@ -183,6 +183,49 @@ class DedupSpec extends SparkSpec {
     assert(capped.contains((3L, 4L)))
   }
 
+  test("prefix jaccard DF-cut: boilerplate pairs drop, near-dups keep, lower bound holds") {
+    val header = "terms of service apply to all content"
+    val docs = Seq(
+      (1L, header + " alpha beta gamma delta epsilon"),
+      (2L, header + " zeta eta theta iota kappa"),
+      (5L, header + " lambda mu nu xi omicron"),
+      (3L, "the quick brown fox jumps over the lazy dog today"),
+      (4L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    // uncut: identical result set to the naive all-pairs form
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 1, 10)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val viaPrefix = Dedup.prefixJaccardJoin(docs, "text", "doc_id", 3, 1, 10)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(viaPrefix == exact)
+    // capped: header shingles (df=3) leave both the prefix index and
+    // the intersection; boilerplate-only pairs vanish, the true
+    // near-dup survives, and surviving similarities are LOWER BOUNDS
+    // of the uncut values (denominators keep full set sizes).
+    val capped = Dedup.prefixJaccardJoin(docs, "text", "doc_id", 3, 1, 10,
+        maxDocFreq = 2)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(!capped.contains((1L, 2L)) && !capped.contains((1L, 5L)))
+    assert(capped.contains((3L, 4L)))
+    capped.foreach { case (k, v) => assert(v <= exact(k) + 1e-12) }
+  }
+
+  test("dedup joins leave no orphaned cache blocks behind") {
+    // containmentPairs/prefixJaccardJoin cache their shingle frame
+    // internally; after the result materializes the cache must be
+    // freed — a long-lived session must not accumulate blocks.
+    spark.catalog.clearCache()
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    Dedup.prefixJaccardJoin(docs, "text", "doc_id", 3, 1, 2).count()
+    Dedup.containmentPairs(docs, "text", "doc_id", 3, 9, 10).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "internal .cache() frames must be unpersisted after materialization")
+  }
+
   test("simhash: near-dups within small hamming distance, unrelated far") {
     val fp = corpus.select($"doc_id", Dedup.simhash($"text", 16).as("h"))
       .as[(Long, Long)].collect().toMap

@@ -614,5 +614,54 @@ class OpsSpec extends SparkSpec {
     val got2 = Aggregates.bitmapDistinct(merged, Seq("k"))
       .as[(String, Long)].collect().toMap
     assert(got2 == got)
+    // a RAW union of batch word tables (duplicate (k, bucket) rows,
+    // NOT pre-merged) must also count exactly: bitmapDistinct folds
+    // the bit_or merge in, so overlapping day tables don't overcount.
+    val got3 = Aggregates.bitmapDistinct(b1.unionAll(b2), Seq("k"))
+      .as[(String, Long)].collect().toMap
+    assert(got3 == got)
+  }
+
+  test("wav decode: hostile negative chunk/data sizes degrade to None") {
+    import Multimodal.Headers
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def wav(dataSize: Int, fmtSize: Int = 16) =
+      "RIFF".getBytes ++ le32(40) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(fmtSize) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+        le32(16000) ++ le16(2) ++ le16(16) ++
+        "data".getBytes ++ le32(dataSize) ++ le16(3) ++ le16(-4 & 0xffff)
+    // negative 32-bit data size: must not allocate a negative array —
+    // the whole payload is treated as corrupt per the None contract
+    assert(Headers.wavSamples16(wav(dataSize = -8)).isEmpty)
+    assert(Headers.wavRms16(wav(dataSize = -8)).isEmpty)
+    // negative intermediate chunk size: must not walk backwards/loop
+    assert(Headers.wavSamples16(wav(dataSize = 4, fmtSize = -32)).isEmpty)
+    // sane payload still decodes through the guarded path
+    assert(Headers.wavSamples16(wav(dataSize = 4)).exists(_.sameElements(
+      Array(3.toShort, (-4).toShort))))
+  }
+
+  test("medianTimes2: exact doubled medians, odd/even counts, dup values") {
+    val df = Seq(("a", 1L), ("a", 3L), ("a", 7L), // odd: med 3 -> med2 6
+      ("b", 2L), ("b", 2L), ("b", 4L), ("b", 10L), // even: (2+4) = 6
+      ("c", 5L)).toDF("k", "v") // singleton: 5+5 = 10
+    val got = Aggregates.medianTimes2(df, Seq("k"), "v")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 6L, "b" -> 6L, "c" -> 10L))
+  }
+
+  test("maxGroupWidth guard: passes under limit, fails fast over it") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 1)).toDF("k", "v")
+    assert(Guard.maxGroupWidth(df, Seq("k"), 2L).count() == 3L)
+    val e = intercept[Exception] {
+      Guard.maxGroupWidth(df, Seq("k"), 1L).count()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).map(c => Option(c.getMessage).getOrElse(""))
+        .exists(m => m.contains("group width exceeds 1") && m.contains("(a)")))
   }
 }

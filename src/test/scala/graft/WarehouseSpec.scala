@@ -93,6 +93,35 @@ class WarehouseSpec extends SparkSpec {
     assert(a.count(r => r._1 == 1L && r._2 == "silver") == 1)
   }
 
+  test("scd2 tie-break: same-time events collapse deterministically; apply invariant holds") {
+    // two events in the SAME microsecond with different values: without
+    // a tie-break the survivor (hence state + version) is partition-
+    // order luck; with (t, seq) the order is total and deterministic.
+    val all = Seq(
+      (1L, 1L, 10L, "bronze"), (1L, 5L, 20L, "silver"), (1L, 5L, 21L, "gold"),
+      (2L, 2L, 30L, "bronze"), (2L, 6L, 40L, "silver"))
+      .toDF("k", "t", "seq", "tier")
+    val full = Warehouse.scd2Build(all, col("k"),
+        Seq(col("t"), col("seq")), col("tier"), col("t"))
+      .select("k", "tier", "version", "effective_from", "effective_to", "is_current")
+    val f = full.as[(Long, String, Int, Long, Option[Long], Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    // silver (seq 20) then gold (seq 21) — both at t=5, order fixed by seq
+    assert(f.filter(_._1 == 1L).map(r => (r._2, r._3)) ==
+      Seq(("bronze", 1), ("silver", 2), ("gold", 3)))
+    // the apply road with the same tie-break reproduces build(all)
+    val past = all.filter(col("t") < 5)
+    val future = all.filter(col("t") >= 5)
+    val current = Warehouse.scd2Build(past, col("k"),
+        Seq(col("t"), col("seq")), col("tier"), col("t"))
+      .select("k", "tier", "version", "effective_from", "effective_to", "is_current")
+    val applied = Warehouse.scd2Apply(current, future, "k", "t", "tier",
+        tieBreak = Seq("seq"))
+      .as[(Long, String, Int, Long, Option[Long], Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(applied == f)
+  }
+
   test("snapshotDiff classifies added/removed/changed and drops same") {
     val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val next = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("k", "v")
