@@ -212,6 +212,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier(StringSimilarityExpressions.entropyName),
       new ExpressionInfo(classOf[CharEntropy].getName, StringSimilarityExpressions.entropyName),
       StringSimilarityExpressions.entropyBuilder))
+    e.injectFunction((FunctionIdentifier(BpeExpressions.countName),
+      new ExpressionInfo(classOf[BpeTokenCount].getName, BpeExpressions.countName),
+      BpeExpressions.countBuilder))
+    e.injectFunction((FunctionIdentifier(BpeExpressions.tokensName),
+      new ExpressionInfo(classOf[BpeTokens].getName, BpeExpressions.tokensName),
+      BpeExpressions.tokensBuilder))
     // declarative HOF dot products silently upgrade to the native loop
     e.injectOptimizerRule(_ => RewriteHofDot)
     // discarded-rank row_number()<=k windows upgrade to the native

@@ -64,7 +64,14 @@ object CatalogWriter {
   def truncatePartitions(spark: SparkSession, table: String, df: DataFrame,
       partitionCol: String = "ds"): Unit = {
     val values = df.select(col(partitionCol).cast("string")).distinct().collect().map(_.getString(0))
-    values.foreach { v =>
+    // Spark (unlike lenient Hive setups) raises PARTITIONS_NOT_FOUND on
+    // truncating a partition that was never written; a replay guard
+    // must be a no-op for brand-new days, so truncate only what exists.
+    val prefix = s"$partitionCol="
+    val existing = spark.sql(s"SHOW PARTITIONS $table").collect().toSet[org.apache.spark.sql.Row]
+      .map(_.getString(0).split('/').head)
+      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+    values.filter(existing.contains).foreach { v =>
       spark.sql(s"TRUNCATE TABLE $table PARTITION ($partitionCol = '$v')")
     }
   }
@@ -87,6 +94,20 @@ object CatalogWriter {
 
   def drop(spark: SparkSession, table: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS $table")
+
+  /** Drop + remove the table's default warehouse location. A session
+    * catalog is per-session state while the warehouse DIRECTORY
+    * persists on disk, so a fresh session re-creating a managed table
+    * whose location survived an earlier process hits
+    * LOCATION_ALREADY_EXISTS — harness replays need both gone.
+    */
+  def dropWithLocation(spark: SparkSession, table: String): Unit = {
+    drop(spark, table)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) { fs.delete(loc, true); () }
+  }
 
   /** Filesystem location of a catalog table (for cross-checking the
     * catalog watermark against [[PartitionedWriter.maxPartition]]'s

@@ -47,8 +47,10 @@ object Text {
   }
 
   /** BPE-ish token count: letter runs, digit runs, and single
-    * non-alphanumeric marks — a cheap proxy for subword token counts
-    * when budgeting LLM training data.
+    * non-alphanumeric marks. RETIRED from budget-bearing paths — the
+    * real merge-table encoder ([[graft.expressions.Bpe]],
+    * `graft_bpe_count`) meters those now; this stays as the zero-state
+    * regex fallback for quick interactive estimates only.
     */
   def bpeishCount(text: Column): Column =
     regexp_count(text, lit("[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("bigint")

@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.io.{PartitionedWriter, Sources}
-import graft.ops.Scalars
+import graft.io.{CatalogWriter, PartitionedWriter, Sources}
+import graft.ops.{Relational, Scalars}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -178,6 +178,59 @@ object QIo {
       Seq(maxDs).toDF("max_ds")
     }),
 
+    // A5-A9+K47 composed — the reference's MULTI-DAY incremental close
+    // (`Processing Data.py:118-144`) end to end under one oracle:
+    // initial load of day 1, then an incremental run that discovers the
+    // catalog watermark (SHOW PARTITIONS max) and processes only the
+    // missing days 2-3 through the enrich→pivot daily pipeline, each
+    // landing via TRUNCATE PARTITION + append — and finally a
+    // DAY-ROLLOVER RE-RUN of the middle day (the restart-after-crash
+    // scenario) that must leave the table bit-identical (idempotence).
+    // The oracle states all 3 days in ONE DuckDB pass: any replay
+    // duplication, partition leakage, or watermark skip diverges.
+    // Per-day work is the fact slice only (ds-pruned scan, dims
+    // broadcast, one pivot shuffle) — the 100 TB shape where a daily
+    // close never rescans history.
+    "q_incremental_pipeline" -> ((s, dir) => {
+      val table = "incr_close_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      CatalogWriter.dropWithLocation(s, table)
+      val t = Tables(s, dir)
+      val stamped = t.orders
+        .withColumn("ds", date_format(col("o_orderdate"), "yyyyMMdd"))
+      val days = stamped.select(col("ds")).distinct()
+        .orderBy(col("ds")).limit(3)
+        .collect().map(_.getString(0)).toSeq
+      def daily(dsv: String): DataFrame = {
+        val fact = stamped.filter(col("ds") === dsv)
+        val enriched = Relational.enrichJoin(
+          t.lineitem.join(fact, col("l_orderkey") === col("o_orderkey")),
+          Seq(
+            (t.customer, col("o_custkey") === col("c_custkey")),
+            (t.nation, col("c_nationkey") === col("n_nationkey"))))
+          .withColumn("direction",
+            when(col("l_returnflag") === "R", lit("out")).otherwise(lit("in")))
+        Relational.pivotSinglePass(
+          enriched.select(col("n_name"), col("ds"), col("direction"),
+            Scalars.dec(col("l_quantity")).as("qty")),
+          Seq("n_name", "ds"), "direction", Seq("in", "out"), "qty")
+          .select(col("n_name"), col("ds"),
+            col("in").cast("double").as("qty_in"),
+            col("out").cast("double").as("qty_out"))
+      }
+      // initial close: day 1 only
+      CatalogWriter.truncateThenAppend(daily(days.head), table)
+      // incremental run: watermark discovery, then only the missing days
+      val wm = CatalogWriter.maxPartition(s, table)
+        .getOrElse(sys.error(s"no watermark in $table"))
+      days.filter(_ > wm).foreach(d =>
+        CatalogWriter.truncateThenAppend(daily(d), table))
+      // rollover re-run of the middle day: truncate+append replays the
+      // same rows — the read below proves nothing duplicated or leaked
+      CatalogWriter.truncateThenAppend(daily(days(1)), table)
+      s.table(table).select(col("n_name"), col("ds"),
+        col("qty_in"), col("qty_out"))
+    }),
+
     // A10 — compaction sizing visible as an output contract: row count
     // is conserved and file count is positive; file count itself is a
     // physical detail, so no oracle (rows-only check).
@@ -193,6 +246,23 @@ object QIo {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_incremental_pipeline" ->
+      """WITH stamped AS (SELECT o_orderkey, o_custkey,
+                                 strftime(o_orderdate, '%Y%m%d') AS ds
+                          FROM orders),
+          days AS (SELECT DISTINCT ds FROM stamped ORDER BY ds LIMIT 3),
+          e AS (SELECT n.n_name, st.ds,
+                       CASE WHEN l.l_returnflag = 'R' THEN 'out' ELSE 'in' END AS direction,
+                       CAST(l.l_quantity AS DECIMAL(18,2)) AS qty
+                FROM lineitem l
+                JOIN stamped st ON l.l_orderkey = st.o_orderkey
+                JOIN customer c ON st.o_custkey = c.c_custkey
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                WHERE st.ds IN (SELECT ds FROM days))
+          SELECT n_name, ds,
+                 CAST(SUM(CASE WHEN direction = 'in' THEN qty END) AS DOUBLE) AS qty_in,
+                 CAST(SUM(CASE WHEN direction = 'out' THEN qty END) AS DOUBLE) AS qty_out
+          FROM e GROUP BY n_name, ds""",
     "q_csv_ingest" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts

@@ -78,13 +78,32 @@ object QText {
             lit(1073741824.0), 6).as("lm_score"))
     }),
 
-    // Token counting: whitespace + BPE-ish regex tokens.
+    // Token counting: whitespace tokens next to REAL subword BPE
+    // counts from the native merge-table encoder ([[graft.expressions
+    // .Bpe]]) — the meter training-data budgets should run on; the
+    // regex `bpeishCount` stand-in is retired from budget paths.
     "q_token_count" -> ((s, dir) => {
+      import graft.expressions.BpeExpressions
       Tables(s, dir).documents
         .select(col("doc_id"),
           size(Text.tokens(col("text"))).cast("bigint").as("ws_tokens"),
-          Text.bpeishCount(col("text")).as("bpeish_tokens"),
-          (length(col("text")).cast("double") / Text.bpeishCount(col("text"))).as("chars_per_token"))
+          BpeExpressions.bpeCount(col("text")).as("bpe_tokens"),
+          (length(col("text")).cast("double") /
+            BpeExpressions.bpeCount(col("text"))).as("chars_per_token"))
+    }),
+
+    // The BPE encoder itself under the oracle: per-document token
+    // count plus the first five emitted subword tokens. The DuckDB
+    // side replays the IDENTICAL frozen merge table through the
+    // paren-wrapped replace chain generated from the same Scala
+    // Seq — one source of truth for both engines.
+    "q_bpe_tokens" -> ((s, dir) => {
+      import graft.expressions.BpeExpressions
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          BpeExpressions.bpeCount(col("text")).as("n_bpe_tokens"),
+          concat_ws(",",
+            slice(BpeExpressions.bpeTokens(col("text")), 1, 5)).as("first5"))
     }),
 
     // Rolling-hash document fingerprint.
@@ -738,12 +757,17 @@ object QText {
                   / len(string_split(text, ' ')) AS stopword_ratio
          FROM documents""",
     "q_token_count" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-                CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens,
+                ${graft.expressions.Bpe.sqlCountExpr("text")} AS bpe_tokens,
                 CAST(length(text) AS DOUBLE)
-                  / len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9\s]')) AS chars_per_token
+                  / ${graft.expressions.Bpe.sqlCountExpr("text")} AS chars_per_token
          FROM documents""",
+    "q_bpe_tokens" ->
+      s"""SELECT doc_id,
+                 ${graft.expressions.Bpe.sqlCountExpr("text")} AS n_bpe_tokens,
+                 array_to_string(${graft.expressions.Bpe.sqlTokensExpr("text")}[1:5], ',') AS first5
+          FROM documents""",
     "q_doc_fingerprint" ->
       s"""SELECT doc_id,
                  list_reduce([CAST(0 AS BIGINT)] ||

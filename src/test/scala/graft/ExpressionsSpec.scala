@@ -56,6 +56,27 @@ class ExpressionsSpec extends SparkSpec {
     assert(q.collect().map(_.getDouble(0)).toSeq == direct.collect().map(_.getDouble(0)).toSeq)
   }
 
+  test("BPE encoder: cascading merges, hard word boundaries, count==tokens") {
+    import graft.expressions.{Bpe, BpeExpressions}
+    import org.apache.spark.unsafe.types.UTF8String
+    def enc(s: String) = Bpe.tokens(UTF8String.fromString(s)).array
+      .map(_.toString).toSeq
+    // cascades: t+h -> th, th+e -> the; i+n -> in, in+g -> ing
+    assert(enc("The thing") == Seq("the", "th", "ing"))
+    // boundaries are hard: no merge across words; separator runs collapse
+    assert(enc("t--h") == Seq("t", "h"))
+    assert(enc("") == Seq.empty)
+    assert(enc("!!!") == Seq.empty)
+    assert(Bpe.tokenCount(UTF8String.fromString("The thing")) == 3L)
+    // column API through the session extensions
+    import spark.implicits._
+    val got = Seq((1L, "standing out")).toDF("id", "text")
+      .select(BpeExpressions.bpeTokens($"text").as("t"),
+        BpeExpressions.bpeCount($"text").as("n"))
+      .as[(Seq[String], Long)].head()
+    assert(got._1 == enc("standing out") && got._2 == got._1.size.toLong)
+  }
+
   test("GraftExtensions hook applies its injections without error") {
     // A live withExtensions round-trip needs a fresh SparkContext (the
     // shared test session would be returned by getOrCreate); assert the
