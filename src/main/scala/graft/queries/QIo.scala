@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.io.{CatalogWriter, PartitionedWriter, Sources}
+import graft.io.{CatalogWriter, PartitionedWriter, Snapshots, Sources}
 import graft.ops.{Relational, Scalars}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -82,6 +82,22 @@ object QIo {
           col("o_totalprice"))
         .write.mode("overwrite").orc(path)
       s.read.orc(path)
+    }),
+
+    // A-ext — AVRO round-trip on the core avro library (the spark-avro
+    // datasource module is absent here, so the writer streams each
+    // partition into its own container file task-side and the reader
+    // decodes containers inside mapPartitions — see [[graft.io.Avro]]).
+    // Longs, strings, doubles and a timestamp column survive exactly;
+    // read-side schema is explicit, resolved by name.
+    "q_avro_roundtrip" -> ((s, dir) => {
+      val path = scratch("q_avro_roundtrip", dir)
+      val src = Tables(s, dir).orders
+        .filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"))
+      graft.io.Avro.write(src, path)
+      graft.io.Avro.read(s, path, src.schema)
     }),
 
     // A2-ext — JSON-lines round-trip with explicit schema (no
@@ -231,6 +247,41 @@ object QIo {
         col("qty_in"), col("qty_out"))
     }),
 
+    // A-ext — VERSIONED SNAPSHOT READS (time travel): three commits to
+    // a Snapshots table (create month-1, append month-2, then a
+    // logical OVERWRITE with month-3), after which the query reads the
+    // table AS OF generation 1 — the pre-overwrite state months 1+2 —
+    // next to the latest state (month 3 only). The overwrite never
+    // touches older files (append-only data dir + per-generation
+    // manifests), so history stays byte-stable; the oracle states both
+    // snapshots straight from `orders`. Any leakage of the overwrite
+    // into gen 1, or of old months into latest, diverges.
+    "q_time_travel" -> ((s, dir) => {
+      val path = scratch("q_time_travel", dir)
+      val root = new java.io.File(path)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(root) // commits accumulate generations: rebuild per run
+      val orders = Tables(s, dir).orders
+        .withColumn("ds", date_format(col("o_orderdate"), "yyyyMM"))
+      val months = orders.select(col("ds")).distinct()
+        .orderBy(col("ds")).limit(3)
+        .collect().map(_.getString(0)).toSeq
+      def slice(m: String) = orders.filter(col("ds") === m)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("ds"))
+      Snapshots.commit(slice(months(0)), path)
+      val gen1 = Snapshots.commit(slice(months(1)), path)
+      Snapshots.commit(slice(months(2)), path, overwrite = true)
+      def agg(df: DataFrame, tag: String) = df.groupBy(col("ds"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(Scalars.dec(col("o_totalprice"))).cast("double").as("total"))
+        .select(lit(tag).as("snapshot"), col("ds"), col("n_orders"), col("total"))
+      agg(Snapshots.readAsOf(s, path, gen1), "asof1")
+        .unionAll(agg(Snapshots.read(s, path), "latest"))
+    }),
+
     // A10 — compaction sizing visible as an output contract: row count
     // is conserved and file count is positive; file count itself is a
     // physical detail, so no oracle (rows-only check).
@@ -263,6 +314,18 @@ object QIo {
                  CAST(SUM(CASE WHEN direction = 'in' THEN qty END) AS DOUBLE) AS qty_in,
                  CAST(SUM(CASE WHEN direction = 'out' THEN qty END) AS DOUBLE) AS qty_out
           FROM e GROUP BY n_name, ds""",
+    "q_time_travel" ->
+      """WITH o AS (SELECT strftime(o_orderdate, '%Y%m') AS ds, o_totalprice
+                    FROM orders),
+          months AS (SELECT DISTINCT ds FROM o ORDER BY ds LIMIT 3),
+          ranked AS (SELECT ds, row_number() OVER (ORDER BY ds) AS rn FROM months)
+          SELECT 'asof1' AS snapshot, ds, count(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM o JOIN ranked USING (ds) WHERE rn <= 2 GROUP BY ds
+          UNION ALL
+          SELECT 'latest' AS snapshot, ds, count(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM o JOIN ranked USING (ds) WHERE rn = 3 GROUP BY ds""",
     "q_csv_ingest" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts
@@ -272,6 +335,9 @@ object QIo {
          FROM events WHERE event_id < 500""",
     "q_orc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderkey < 500""",
+    "q_avro_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
          FROM orders WHERE o_orderkey < 500""",
     "q_quarantine" ->
       """WITH d AS (SELECT event_id,

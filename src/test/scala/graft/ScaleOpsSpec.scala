@@ -81,6 +81,72 @@ class ScaleOpsSpec extends SparkSpec {
     CatalogWriter.drop(spark, table)
   }
 
+  test("avro round-trip: full type surface, nulls, by-name column pruning") {
+    import graft.io.Avro
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n", IntegerType), StructField("d", DoubleType),
+      StructField("f", FloatType), StructField("b", BooleanType),
+      StructField("s", StringType), StructField("bin", BinaryType),
+      StructField("day", DateType)))
+    val rows = Seq(
+      Row(1L, 7, 1.5, 2.5f, true, "x", Array[Byte](1, 2), java.sql.Date.valueOf("2024-03-01")),
+      Row(2L, null, null, null, null, null, null, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val path = tmpDir("avro-rt")
+    Avro.write(df, path)
+    val back = Avro.read(spark, path, schema).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), Option(r.get(5)),
+        Option(r.get(6)).map(_.asInstanceOf[Array[Byte]].toSeq), Option(r.get(7)))).toSet
+    assert(back == Set(
+      (1L, Some(7), Some(1.5), Some("x"), Some(Seq[Byte](1, 2)),
+        Some(java.sql.Date.valueOf("2024-03-01"))),
+      (2L, None, None, None, None, None)))
+    // by-name resolution: a narrower read schema prunes columns
+    val pruned = Avro.read(spark, path,
+      StructType(Seq(StructField("s", StringType), StructField("id", LongType))))
+      .collect().map(r => (Option(r.get(0)), r.getLong(1))).toSet
+    assert(pruned == Set((Some("x"), 1L), (None, 2L)))
+  }
+
+  test("snapshots: time travel reads history; later writes never touch old generations") {
+    import graft.io.Snapshots
+    val path = tmpDir("snapshots-tt")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    val g0 = Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    val g1 = Snapshots.commit(Seq((3L, "c")).toDF("id", "v"), path)
+    assert((g0, g1) == (0L, 1L))
+    val files0 = Snapshots.filesOf(spark, path, g0)
+    val golden0 = Snapshots.readAsOf(spark, path, g0)
+      .as[(Long, String)].collect().toSet
+    val mtimes0 = files0.map(f => f -> new java.io.File(
+      new java.net.URI(f).getPath).lastModified()).toMap
+    // a logical OVERWRITE replaces the visible table...
+    val g2 = Snapshots.commit(Seq((9L, "z")).toDF("id", "v"), path, overwrite = true)
+    assert(Snapshots.read(spark, path).as[(Long, String)].collect().toSet ==
+      Set((9L, "z")))
+    // ...but generation 0 is bit-identical: same file list, same bytes
+    // on disk (mtimes untouched), same rows
+    assert(Snapshots.filesOf(spark, path, g0) == files0)
+    files0.foreach { f =>
+      val jf = new java.io.File(new java.net.URI(f).getPath)
+      assert(jf.exists() && jf.lastModified() == mtimes0(f),
+        s"old-generation file touched by later write: $f")
+    }
+    assert(Snapshots.readAsOf(spark, path, g0)
+      .as[(Long, String)].collect().toSet == golden0)
+    // append history also intact: gen1 = gen0 + the appended row
+    assert(Snapshots.readAsOf(spark, path, g1)
+      .as[(Long, String)].collect().toSet == golden0 + ((3L, "c")))
+    assert(Snapshots.latestGeneration(spark, path).contains(g2))
+  }
+
   test("transformWithState (Spark 4 arbitrary state) keeps running totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
