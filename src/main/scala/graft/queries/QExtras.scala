@@ -96,6 +96,49 @@ object QExtras {
           expr("percentile(l_quantity, 0.9)").as("p90_qty"))
     }),
 
+    // E-ext — the APPROXIMATE quantile road (`approx_percentile`,
+    // Greenwald-Khanna sketch: bounded memory per group, mergeable
+    // partials — the everyday percentile at 100 TB where exact
+    // `percentile`'s buffer-everything OOMs). Sketch estimates differ
+    // across engines, so the ORACLE-CHECKED output is the algorithm's
+    // own CONTRACT: each estimate's rank must sit within ε·n (+1 tie
+    // slack) of the target rank, verified engine-side against the
+    // actual data by one rank-count pass (both-sided: count-below vs
+    // the upper bound, count-at-or-below vs the lower). The oracle
+    // states the contract verdicts as literal trues — any GK
+    // regression or mis-merged partial flips a boolean and fails the
+    // hash compare. Exact siblings: q_percentile (buffered),
+    // q_mad_outliers / q_histogram_quantiles (frequency/bin roads).
+    "q_approx_quantile" -> ((s, dir) => {
+      val acc = 1000 // GK accuracy: eps = 1/acc
+      val cents = Tables(s, dir).lineitem.select(col("l_returnflag"),
+        (Scalars.dec(col("l_extendedprice")) * 100).cast("bigint").as("cents"))
+      val est = cents.groupBy(col("l_returnflag"))
+        .agg(expr(s"approx_percentile(cents, array(0.5d, 0.9d, 0.99d), $acc)")
+          .as("est"))
+        .select(col("l_returnflag"), col("est")(0).as("e50"),
+          col("est")(1).as("e90"), col("est")(2).as("e99"))
+      val ranked = cents.join(broadcast(est), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cents") < col("e50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("cents") <= col("e50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("cents") < col("e90"), 1L).otherwise(0L)).as("lt90"),
+          sum(when(col("cents") <= col("e90"), 1L).otherwise(0L)).as("le90"),
+          sum(when(col("cents") < col("e99"), 1L).otherwise(0L)).as("lt99"),
+          sum(when(col("cents") <= col("e99"), 1L).otherwise(0L)).as("le99"))
+      def ok(lt: String, le: String, q: Double) = {
+        val n = col("n").cast("double")
+        val slack = n / lit(acc.toDouble) + lit(1.0)
+        (col(lt).cast("double") <= lit(q) * n + slack) &&
+          (col(le).cast("double") >= lit(q) * n - slack)
+      }
+      ranked.select(col("l_returnflag"), col("n"),
+        ok("lt50", "le50", 0.5).as("p50_in_bounds"),
+        ok("lt90", "le90", 0.9).as("p90_in_bounds"),
+        ok("lt99", "le99", 0.99).as("p99_in_bounds"))
+    }),
+
     // E-ext — exact WEIGHTED median: smallest price whose cumulative
     // quantity reaches half the group's total (lower weighted median —
     // a deterministic pick, no interpolation, no floats until the
@@ -345,6 +388,10 @@ object QExtras {
                 CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY CUBE (n_name, c_mktsegment)""",
+    "q_approx_quantile" ->
+      """SELECT l_returnflag, count(*) AS n,
+                true AS p50_in_bounds, true AS p90_in_bounds, true AS p99_in_bounds
+         FROM lineitem GROUP BY l_returnflag""",
     "q_percentile" ->
       """SELECT l_returnflag,
                 quantile_cont(l_quantity, 0.5) AS median_qty,

@@ -92,6 +92,44 @@ object QText {
             BpeExpressions.bpeCount(col("text"))).as("chars_per_token"))
     }),
 
+    // BPE merge-table LEARNING, distributed: three rounds of
+    // (corpus-wide adjacent-symbol-pair count → argmax with a total
+    // tie-break → apply the merge), the Sennrich training loop as
+    // Spark aggregations over the paren-wrapped symbol strings —
+    // per round one explode+groupBy shuffle whose width is the
+    // DISTINCT pair vocabulary (not the corpus), then a single-row
+    // argmax to the driver and a codegen'd `replace` to apply it.
+    // At 100 TB each round stays one partial-aggregated shuffle; the
+    // applied merge is a broadcast-scalar rewrite, never a re-shuffle.
+    // The oracle unrolls the same three rounds in DuckDB CTEs.
+    "q_bpe_learn" -> ((s, dir) => {
+      val boundary = "#"
+      var w: DataFrame = Tables(s, dir).documents.select(
+        regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9]+", boundary),
+          "(.)", "($1)").as("w"))
+      val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (step <- 1 to 3) {
+        val ss = split(btrim(col("w"), lit("()")), "\\)\\(")
+        val pairs = w.select(explode(zip_with(
+            slice(ss, lit(1), greatest(size(ss) - 1, lit(0))),
+            slice(ss, lit(2), greatest(size(ss) - 1, lit(0))),
+            (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .filter(col("a") =!= boundary && col("b") =!= boundary)
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
+        val top = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+          .collect().head
+        val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+        learned += ((step, a, b, cnt))
+        w = w.select(replace(col("w"),
+          lit(s"($a)($b)"), lit(s"($a$b)")).as("w"))
+      }
+      import s.implicits._
+      learned.toSeq.toDF("step", "a", "b", "cnt")
+        .select(col("step"), col("a"), col("b"),
+          concat(col("a"), col("b")).as("merged"), col("cnt"))
+    }),
+
     // The BPE encoder itself under the oracle: per-document token
     // count plus the first five emitted subword tokens. The DuckDB
     // side replays the IDENTICAL frozen merge table through the
@@ -220,10 +258,13 @@ object QText {
 
     // Sequence packing: assign documents to ~512-token training bins
     // by running token cumsum (greedy in doc_id order) — via the
-    // banded distributed cumsum, so no single-task global window.
+    // banded distributed cumsum, so no single-task global window. The
+    // meter is the REAL subword encoder (`graft_bpe_count`), so bin
+    // budgets are actual token budgets, not whitespace proxies.
     "q_token_pack" -> ((s, dir) => {
       val counted = Tables(s, dir).documents
-        .select(col("doc_id"), size(Text.tokens(col("text"))).cast("bigint").as("n_tokens"))
+        .select(col("doc_id"),
+          graft.expressions.BpeExpressions.bpeCount(col("text")).as("n_tokens"))
       Text.orderedCumsum(counted, "doc_id", "n_tokens", "cum_tokens")
         .withColumn("bin_id", ((col("cum_tokens") - lit(1)) / lit(512)).cast("bigint"))
         .select("doc_id", "n_tokens", "cum_tokens", "bin_id")
@@ -763,6 +804,28 @@ object QText {
                 CAST(length(text) AS DOUBLE)
                   / ${graft.expressions.Bpe.sqlCountExpr("text")} AS chars_per_token
          FROM documents""",
+    "q_bpe_learn" -> {
+      def round(i: Int): String = {
+        val prev = s"w$i"
+        s"""sym$i AS (SELECT string_split(trim(w, '()'), ')(') AS ss FROM $prev),
+          pr$i AS (SELECT a, b, count(*) AS cnt
+                   FROM (SELECT unnest(ss[1:len(ss)-1]) AS a,
+                                unnest(ss[2:len(ss)]) AS b
+                         FROM sym$i)
+                   WHERE a <> '#' AND b <> '#' GROUP BY 1, 2),
+          m$i AS (SELECT a, b, cnt FROM pr$i ORDER BY cnt DESC, a, b LIMIT 1),
+          w${i + 1} AS (SELECT replace(w, '(' || m$i.a || ')(' || m$i.b || ')',
+                                 '(' || m$i.a || m$i.b || ')') AS w
+                        FROM $prev, m$i)"""
+      }
+      s"""WITH w0 AS (SELECT regexp_replace(regexp_replace(lower(text),
+                               '[^a-z0-9]+', '#', 'g'), '(.)', '(\\1)', 'g') AS w
+                      FROM documents),
+          ${round(0)}, ${round(1)}, ${round(2)}
+          SELECT 1 AS step, a, b, a || b AS merged, cnt FROM m0
+          UNION ALL SELECT 2, a, b, a || b, cnt FROM m1
+          UNION ALL SELECT 3, a, b, a || b, cnt FROM m2"""
+    },
     "q_bpe_tokens" ->
       s"""SELECT doc_id,
                  ${graft.expressions.Bpe.sqlCountExpr("text")} AS n_bpe_tokens,
@@ -801,13 +864,14 @@ object QText {
             SELECT e.dst, r.label FROM edges e JOIN reach r ON r.node = e.src)
           SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node""",
     "q_token_pack" ->
-      """SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+      s"""SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
                 CAST((cum_tokens - 1) // 512 AS BIGINT) AS bin_id
-         FROM (SELECT doc_id,
-                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                      SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+         FROM (SELECT doc_id, n_tokens,
+                      SUM(n_tokens)
                         OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
-               FROM documents)""",
+               FROM (SELECT doc_id,
+                            ${graft.expressions.Bpe.sqlCountExpr("text")} AS n_tokens
+                     FROM documents))""",
     "q_contamination" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
           sh AS (SELECT DISTINCT doc_id,
