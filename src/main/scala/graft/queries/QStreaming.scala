@@ -232,24 +232,28 @@ object QStreaming {
       s.table(sink).select(col("user_id"), col("click_id"), col("purchase_id"))
     }),
 
-    // I-ext — stream-static enrichment: purchases stream in two
-    // micro-batches, each joined against the broadcast nation dim
-    // (stateless, no watermark); the emitted set equals the batch
-    // join the oracle runs.
+    // I-ext — stream-static enrichment: purchases stream from a
+    // FILE-BACKED feed (two staged slices by event_id parity, no
+    // driver collect), each micro-batch joined against the broadcast
+    // nation dim (stateless, no watermark); the emitted set equals
+    // the batch join the oracle runs.
     "q_stream_enrich" -> ((s, dir) => {
-      import s.implicits._
       val t = Tables(s, dir)
-      val feed = t.events.filter(col("event_type") === "purchase")
+      val purch = t.events.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"))
-        .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+      val (fdir, fschema) = stageFeedSlices(s,
+        Seq(purch.filter(col("event_id") % 2 === 0),
+          purch.filter(col("event_id") % 2 === 1)), "enrich")
       val dim = t.nation.select(col("n_nationkey").cast("long").as("nk"),
         col("n_name"))
-      val out = withConf(s, "spark.sql.shuffle.partitions" -> "8") {
-        runSliced(s, feed, 2, (ds: org.apache.spark.sql.Dataset[(Long, Long)]) =>
-          Streams.enrichJoin(ds.toDF("event_id", "user_id"), dim,
-            col("user_id") % 25 === col("nk")))
+      val sink = s"q_stream_sink_${sinkSeq.incrementAndGet()}"
+      withConf(s, "spark.sql.shuffle.partitions" -> "8") {
+        val q = Streams.enrichJoin(fileStream(s, fdir, fschema), dim,
+            col("user_id") % 25 === col("nk"))
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
       }
-      out.select(col("event_id"), col("user_id"), col("n_name"))
+      s.table(sink).select(col("event_id"), col("user_id"), col("n_name"))
     }),
 
     // I1/I4 under the oracle — watermarked tumbling aggregate in APPEND
@@ -361,25 +365,66 @@ object QStreaming {
       out.select(col("user_id"), col("total"))
     }),
 
-    // I5/E4 — dropDuplicatesWithinWatermark under the oracle: every
-    // purchase row is fed TWICE (adjacent in the ordered feed, so the
-    // duplicate may land in the same batch or straddle the boundary);
-    // watermark-bounded key state drops each second copy and the
-    // emitted set equals plain DISTINCT.
+    // I5/E4 — dropDuplicatesWithinWatermark under the oracle, FILE-
+    // BACKED: the whole purchase set is staged twice, as two slice
+    // files — so EVERY row's duplicate arrives in the NEXT micro-batch
+    // (the strongest cross-batch form: nothing can be caught by
+    // intra-batch dedup). A batch-2 copy either hits live key state
+    // (deduped) or sits below the watermark (dropped as late) — both
+    // roads erase it, so the emitted set equals plain DISTINCT.
     "q_stream_dedup" -> ((s, dir) => {
-      import s.implicits._
-      val feed = Tables(s, dir).events
+      val purch = Tables(s, dir).events
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
-        .as[(Long, Long, java.sql.Timestamp)].collect().toSeq
-        .sortBy(r => (r._3.getTime, r._1))
-        .flatMap(r => Seq(r, r))
-      val out = withConf(s, "spark.sql.shuffle.partitions" -> "8") {
-        runSliced(s, feed, 3,
-          (ds: org.apache.spark.sql.Dataset[(Long, Long, java.sql.Timestamp)]) =>
-            Streams.dedupWithinWatermark(ds.toDF("event_id", "user_id", "ts")))
+      val (fdir, fschema) = stageFeedSlices(s, Seq(purch, purch), "dedup")
+      val sink = s"q_stream_sink_${sinkSeq.incrementAndGet()}"
+      withConf(s, "spark.sql.shuffle.partitions" -> "8") {
+        val q = Streams.dedupWithinWatermark(fileStream(s, fdir, fschema))
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
       }
-      out.select(col("event_id"), col("user_id"))
+      s.table(sink).select(col("event_id"), col("user_id"))
+    }),
+
+    // A8/I9 end to end — the streaming FILE SINK road under the
+    // oracle: a file-backed feed (three event-time slices) drives the
+    // watermarked tumbling aggregate, and every closed window lands
+    // through `Streams.partitionedSink` as (ds, win)-partitioned
+    // parquet via dynamic overwrite — append-mode emission granularity
+    // == partition granularity, so batch replays rewrite the same
+    // partitions idempotently. Source AND sink are both distributed
+    // files; the query reads the landed table back. Oracle = the
+    // q_stream_window cutoff restated over (ds, win).
+    "q_stream_file_sink" -> ((s, dir) => {
+      val base = new java.io.File(
+        s"target/tmp/q_stream_file_sink_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+      rmrf(base)
+      // First 3 days only: the demo's cost is COMMIT CHURN (dynamic
+      // overwrite renames one directory per (ds, win) per batch), and
+      // a month of hourly windows is ~600 near-empty dirs on a local
+      // fs — partition-count discipline, not data volume, bounds this
+      // demo exactly as it would a real sink (where a day's windows
+      // are FEW and FULL). Oracle applies the same 3-day cut.
+      val evb = Tables(s, dir).events
+        .filter(col("ts_ns") < 1704326400000000000L) // 2024-01-04 UTC
+      val cuts = evb.agg(expr("approx_percentile(ts_ns, array(0.33d, 0.66d))"))
+        .head().getSeq[Long](0)
+      val slices = Seq(
+        evb.filter(col("ts_ns") < cuts(0)),
+        evb.filter(col("ts_ns") >= cuts(0) && col("ts_ns") < cuts(1)),
+        evb.filter(col("ts_ns") >= cuts(1)))
+        .map(_.select(col("event_id"), col("event_type"), col("ts"), col("value")))
+      val (fdir, fschema) = stageFeedSlices(s, slices, "fsink")
+      withConf(s, "spark.sql.shuffle.partitions" -> "8") {
+        val q = Streams.partitionedSink(
+            Streams.tumblingAgg(fileStream(s, fdir, fschema), "1 hour", "10 minutes"),
+            s"$base/out", s"$base/ckpt",
+            trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.read.parquet(s"$base/out")
+        .select(col("ds"), col("win"), col("event_type"), col("n"), col("total"))
     }),
 
     // I5 — streaming corpus ingest (exact + LSH dedup within batch,
@@ -550,6 +595,17 @@ object QStreaming {
       """SELECT event_id, user_id, n_name
          FROM events JOIN nation ON user_id % 25 = n_nationkey
          WHERE event_type = 'purchase'""",
+    "q_stream_file_sink" ->
+      """WITH e AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-04'),
+          m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM e),
+          b AS (SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w,
+                       event_type, count(*) AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+                FROM e GROUP BY 1, 2)
+         SELECT strftime(w, '%Y%m%d') AS ds, strftime(w, '%H%M') AS win,
+                event_type, n, total
+         FROM b, m
+         WHERE w + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE""",
     "q_stream_window" ->
       """WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events),
           b AS (SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w,

@@ -261,11 +261,12 @@ object Streams {
     * carries a whole day — its daily-driver assumption, not true of a
     * streaming window feed.)
     */
-  def partitionedSink(agg: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
+  def partitionedSink(agg: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): DataStreamWriter[Row] =
     agg.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val stamped = batch
