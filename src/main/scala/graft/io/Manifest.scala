@@ -67,4 +67,52 @@ object Manifest {
       else spark.read.parquet(files: _*)
     base.filter(col(statsCol) >= lo && col(statsCol) <= hi)
   }
+
+  /** MULTI-column manifest under a caller-chosen layout key — the
+    * Z-ORDER data-skipping composition: lay the files out by an
+    * interleaved-bits key ([[graft.ops.Scalars.zorderKey]]) and every
+    * tracked column's per-file [lo, hi] becomes a tight box, so a
+    * conjunctive range predicate on ANY tracked dimension prunes
+    * files (a single-column range layout only ever prunes its own
+    * column). The layout column itself is dropped from the data files.
+    */
+  def writeWithManifestKeyed(df: DataFrame, path: String, statsCols: Seq[String],
+      layoutCol: String, numFiles: Int = 8): Unit = {
+    val spark = df.sparkSession
+    df.repartitionByRange(numFiles, col(layoutCol))
+      .sortWithinPartitions(col(layoutCol))
+      .drop(layoutCol)
+      .write.mode("overwrite").parquet(s"$path/data")
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c")))
+    spark.read.parquet(s"$path/data")
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/manifest")
+  }
+
+  /** Files whose per-column boxes intersect the query box. */
+  def candidateFilesBox(spark: SparkSession, path: String,
+      box: Seq[(String, org.apache.spark.sql.Column, org.apache.spark.sql.Column)]): Seq[String] = {
+    val cond = box.map { case (c, lo, hi) => col(s"hi_$c") >= lo && col(s"lo_$c") <= hi }
+      .reduce(_ && _)
+    spark.read.parquet(s"$path/manifest").filter(cond)
+      .select("file").collect().toSeq.map(_.getString(0))
+  }
+
+  /** Conjunctive box read over a [[writeWithManifestKeyed]] layout:
+    * open only box-overlapping files, keep the residual filters (which
+    * also land in PushedFilters for row-group pruning).
+    */
+  def readPrunedBox(spark: SparkSession, path: String,
+      box: Seq[(String, org.apache.spark.sql.Column, org.apache.spark.sql.Column)]): DataFrame = {
+    val files = candidateFilesBox(spark, path, box)
+    val base =
+      if (files.isEmpty) spark.read.parquet(s"$path/data").limit(0)
+      else spark.read.parquet(files: _*)
+    box.foldLeft(base) { case (d, (c, lo, hi)) =>
+      d.filter(col(c) >= lo && col(c) <= hi)
+    }
+  }
 }

@@ -103,4 +103,32 @@ object Snapshots {
   def read(spark: SparkSession, path: String): DataFrame =
     readAsOf(spark, path,
       latestGeneration(spark, path).getOrElse(sys.error(s"empty snapshot table at $path")))
+
+  /** Retention: drop every generation older than `keepLast` and delete
+    * data files no surviving generation references. Returns the number
+    * of data files removed. The deletion set is (all files ever listed)
+    * minus (files of surviving generations) — computed from manifests
+    * only, so vacuum never lists `data/` and its cost scales with
+    * manifest rows, not file count on disk. Readers of SURVIVING
+    * generations are untouched (their file sets are disjoint from the
+    * deletion set by construction); readers of vacuumed generations
+    * lose them — that is the retention contract, same as any table
+    * format's VACUUM.
+    */
+  def vacuum(spark: SparkSession, path: String, keepLast: Int): Long = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val latest = latestGeneration(spark, path)
+      .getOrElse(return 0L)
+    val cutoff = latest - keepLast + 1 // keep [cutoff, latest]
+    if (cutoff <= 0) return 0L
+    val gens = (0L to latest)
+      .filter(g => hfs(spark, genDir(path, g)).exists(genDir(path, g)))
+    val (dropGens, keepGens) = gens.partition(_ < cutoff)
+    val keep = keepGens.flatMap(filesOf(spark, path, _)).toSet
+    val dead = dropGens.flatMap(filesOf(spark, path, _)).toSet -- keep
+    val fs = hfs(spark, dataDir(path))
+    dead.foreach(f => fs.delete(new Path(f), false))
+    dropGens.foreach(g => fs.delete(genDir(path, g), true))
+    dead.size.toLong
+  }
 }

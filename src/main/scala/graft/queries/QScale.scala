@@ -36,13 +36,26 @@ object QScale {
     * query is the pruned READ the manifest exists to make fast.
     */
   val stages: Map[String, (SparkSession, String) => Unit] = Map(
-    "q_manifest_skip" -> ((s, dir) => stageManifest(s, dir)))
+    "q_manifest_skip" -> ((s, dir) => stageManifest(s, dir)),
+    "q_zorder_skip" -> ((s, dir) => stageZorder(s, dir)))
 
   private def stageManifest(s: SparkSession, dir: String): Unit =
     graft.io.Manifest.writeWithManifest(
       Tables(s, dir).lineitem
         .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity")),
       manifestPath(dir), "l_shipdate")
+
+  private def zorderPath(dir: String): String =
+    s"target/tmp/q_zorder_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+
+  private def stageZorder(s: SparkSession, dir: String): Unit = {
+    val li = Tables(s, dir).lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    graft.io.Manifest.writeWithManifestKeyed(
+      Scalars.zorderKey(li, "l_orderkey", "l_partkey"),
+      zorderPath(dir), Seq("l_orderkey", "l_partkey"),
+      layoutCol = "zkey", numFiles = 16)
+  }
 
   val queries: Map[String, Q] = Map(
     // Salted skew join: lineitem's hottest key pattern (l_partkey) vs
@@ -141,6 +154,24 @@ object QScale {
     // read consults the manifest and opens only overlapping files
     // (ScaleOpsSpec asserts the skip count). Result must equal the
     // plain filtered aggregate over the whole table.
+    // A-ext — Z-ORDER 2-D file skipping: files laid out by the
+    // interleaved-bits morton key, so BOTH l_orderkey and l_partkey
+    // have tight per-file boxes in the multi-column manifest; a
+    // conjunctive box predicate opens only box-overlapping files
+    // (single-column range layout can never prune the second column).
+    // ScaleOpsSpec asserts the candidate set is a strict subset; the
+    // oracle is the plain 2-D filter.
+    "q_zorder_skip" -> ((s, dir) => {
+      val path = zorderPath(dir)
+      if (!new java.io.File(path).exists()) stageZorder(s, dir)
+      graft.io.Manifest.readPrunedBox(s, path, Seq(
+          ("l_orderkey", lit(1000L), lit(3000L)),
+          ("l_partkey", lit(100L), lit(400L))))
+        .groupBy(col("l_partkey"))
+        .agg(sum(Scalars.dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_items"))
+    }),
+
     "q_manifest_skip" -> ((s, dir) => {
       val path = manifestPath(dir)
       if (!new java.io.File(path).exists()) stageManifest(s, dir)
@@ -195,6 +226,14 @@ object QScale {
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE p_size < 5
          GROUP BY p_brand""",
+    "q_zorder_skip" ->
+      """SELECT l_partkey,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                count(*) AS n_items
+         FROM lineitem
+         WHERE l_orderkey BETWEEN 1000 AND 3000
+           AND l_partkey BETWEEN 100 AND 400
+         GROUP BY l_partkey""",
     "q_manifest_skip" ->
       """SELECT l_orderkey,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -174,6 +174,30 @@ object QText {
         .select(col("node").as("doc_id"), col("cluster_id"))
     }),
 
+    // INCREMENTAL cluster maintenance: the corpus's duplicate
+    // components are built from the OLD docs only (doc_id % 3 != 0,
+    // the q_incremental_dedup split), then the NEW batch's candidate
+    // pairs — new-new and new-old — are folded in through
+    // [[Dedup.incrementalComponents]]: iterative CC runs only on the
+    // CONTRACTED batch graph, the full mapping is touched by one
+    // relabel join. The oracle is the FULL recompute over all
+    // candidate pairs (the q_dedup_clusters recursive CTE), so any
+    // divergence between the incremental road and a from-scratch
+    // rebuild fails the hash compare.
+    "q_incremental_components" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val sigAll = Dedup.minhashSignature(docs, "text", "doc_id", 8)
+      val oldStars = Dedup.minhashClusterEdges(
+        Dedup.minhashSignature(docs.filter(col("doc_id") % 3 =!= 0),
+          "text", "doc_id", 8), "doc_id", bands = 8, rowsPerBand = 1)
+      val existing = Dedup.connectedComponents(oldStars, "id_a", "id_b")
+      val newPairs = Dedup.minhashCandidates(sigAll, "doc_id",
+          bands = 8, rowsPerBand = 1)
+        .filter(col("id_a") % 3 === 0 || col("id_b") % 3 === 0)
+      Dedup.incrementalComponents(existing, newPairs, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("cluster_id"))
+    }),
+
     // LSH candidates -> signature-agreement Jaccard estimate: the
     // cheap verification stage (no document text touched) between
     // banding and exact comparison.
@@ -848,6 +872,24 @@ object QText {
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
     "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+          mh AS (SELECT doc_id,
+                        ${(0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")}
+                 FROM sh GROUP BY doc_id),
+          bands AS (${(0 until 8).map(i =>
+            s"SELECT doc_id, $i AS band, md5(mh$i) AS bucket FROM mh").mkString(" UNION ALL ")}),
+          pairs AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                    FROM bands a JOIN bands b
+                      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+          edges AS (SELECT src, dst FROM pairs UNION SELECT dst AS src, src AS dst FROM pairs),
+          reach(node, label) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, r.label FROM edges e JOIN reach r ON r.node = e.src)
+          SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node""",
+    // the incremental road must equal the from-scratch rebuild: the
+    // oracle IS the full-recompute CC over all candidate pairs
+    "q_incremental_components" ->
       s"""WITH RECURSIVE $shingleCte,
           mh AS (SELECT doc_id,
                         ${(0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")}

@@ -86,6 +86,24 @@ class DedupSpec extends SparkSpec {
     assert(viaPairs == viaStars)
   }
 
+  test("incrementalComponents == full recompute: merges, new nodes, untouched comps") {
+    // old graph: {1-2}, {5-6}, {10-11}; new batch merges the first two
+    // via new node 20 (20-2, 20-5), adds isolated new pair {30-31},
+    // and leaves {10-11} untouched
+    val oldEdges = Seq((1L, 2L), (5L, 6L), (10L, 11L)).toDF("id_a", "id_b")
+    val newEdges = Seq((20L, 2L), (20L, 5L), (30L, 31L)).toDF("id_a", "id_b")
+    val existing = Dedup.connectedComponents(oldEdges, "id_a", "id_b")
+    val inc = Dedup.incrementalComponents(existing, newEdges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.connectedComponents(
+        oldEdges.unionAll(newEdges), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(inc == full)
+    assert(inc(20L) == 1L && inc(6L) == 1L) // merged comp takes the global min
+    assert(inc(10L) == 10L && inc(11L) == 10L) // untouched comp unchanged
+    assert(inc(30L) == 30L && inc(31L) == 30L) // brand-new comp
+  }
+
   test("connected components on an empty edge list returns empty, no error") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0L)

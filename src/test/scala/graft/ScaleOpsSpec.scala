@@ -81,6 +81,29 @@ class ScaleOpsSpec extends SparkSpec {
     CatalogWriter.drop(spark, table)
   }
 
+  test("zorder manifest: 2-D box prunes files on BOTH dims; pruned == full filter") {
+    import graft.io.Manifest
+    import graft.ops.Scalars
+    val path = tmpDir("zorder-skip")
+    // a 32x32 grid of (x, y) points: z-order layout gives each of the
+    // 16 files a tight box in BOTH dimensions
+    val grid = spark.range(0, 1024).selectExpr(
+      "id % 32 AS x", "id DIV 32 AS y", "id AS v")
+    Manifest.writeWithManifestKeyed(Scalars.zorderKey(grid, "x", "y"),
+      path, Seq("x", "y"), layoutCol = "zkey", numFiles = 16)
+    val total = new java.io.File(s"$path/data").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val box = Seq(("x", lit(4L), lit(11L)), ("y", lit(4L), lit(11L)))
+    val cand = Manifest.candidateFilesBox(spark, path, box)
+    assert(cand.nonEmpty && cand.size < total,
+      s"2-D box should prune files: ${cand.size} of $total opened")
+    val pruned = Manifest.readPrunedBox(spark, path, box)
+      .select("x", "y", "v").as[(Long, Long, Long)].collect().toSet
+    val full = grid.filter($"x".between(4, 11) && $"y".between(4, 11))
+      .select("x", "y", "v").as[(Long, Long, Long)].collect().toSet
+    assert(pruned == full)
+  }
+
   test("avro round-trip: full type surface, nulls, by-name column pruning") {
     import graft.io.Avro
     import org.apache.spark.sql.Row
@@ -144,6 +167,16 @@ class ScaleOpsSpec extends SparkSpec {
     // append history also intact: gen1 = gen0 + the appended row
     assert(Snapshots.readAsOf(spark, path, g1)
       .as[(Long, String)].collect().toSet == golden0 + ((3L, "c")))
+    assert(Snapshots.latestGeneration(spark, path).contains(g2))
+    // vacuum keeping only the last 2 generations: gen0 dies, its files
+    // (unreferenced by gen1? no — gen1 carries them, so they survive);
+    // after also vacuuming to last 1, only gen2's overwrite files remain
+    assert(Snapshots.vacuum(spark, path, keepLast = 2) == 0L) // gen1 still references gen0 files
+    assert(Snapshots.filesOf(spark, path, g1).toSet.nonEmpty)
+    val removed = Snapshots.vacuum(spark, path, keepLast = 1)
+    assert(removed >= 1L) // gen0/gen1 files now unreferenced and deleted
+    assert(Snapshots.read(spark, path).as[(Long, String)].collect().toSet ==
+      Set((9L, "z"))) // latest untouched by vacuum
     assert(Snapshots.latestGeneration(spark, path).contains(g2))
   }
 
