@@ -95,6 +95,35 @@ object QSimilarity {
         .limit(10)
     }),
 
+    // J2-ext — TWO-STAGE retrieval, composed: stage 1 ranks the whole
+    // corpus on the 16-dim matryoshka truncation (4× less I/O and
+    // FLOPs per candidate) and keeps the top 50 with a total
+    // tie-break; stage 2 re-ranks ONLY those 50 at full width. This is
+    // the production retrieval shape — cheap recall stage feeding an
+    // exact precision stage — and the whole cascade is deterministic,
+    // so the oracle replays both stages end to end. At 100 TB stage 1
+    // is the only corpus-wide pass (map-only slice + dot + top-k);
+    // stage 2 touches 50 rows.
+    "q_two_stage_rerank" -> ((s, dir) => {
+      VectorExpressions.register(s)
+      val emb = Tables(s, dir).embeddings
+      val full = emb.filter(col("vec_id") === 0).select(col("embedding")).head()
+        .getSeq[Float](0)
+      val q16 = typedlit(full.take(16))
+      val qf = typedlit(full)
+      val d = VectorExpressions.dot _
+      val t = slice(col("embedding"), 1, 16)
+      val cand = emb.select(col("vec_id"), col("embedding"),
+          (d(t, q16) / (sqrt(d(t, t)) * sqrt(d(q16, q16)))).as("c16"))
+        .orderBy(col("c16").desc, col("vec_id").asc)
+        .limit(50)
+      val e = col("embedding")
+      cand.select(col("vec_id"),
+          (d(e, qf) / (sqrt(d(e, e)) * sqrt(d(qf, qf)))).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // J2-ext — packed-bit Hamming prefilter: binarize each embedding
     // to ONE 64-bit sign sketch (bit i set iff component i > 0), rank
     // by popcount(xor) against vec_id=0's sketch. This is the cheapest
@@ -531,6 +560,21 @@ object QSimilarity {
                  ${dDot("te", "qe")} /
                  (sqrt(${dDot("te", "te")}) * sqrt(${dDot("qe", "qe")})) AS cos_sim
           FROM e, q
+          ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
+    "q_two_stage_rerank" ->
+      s"""WITH q AS (SELECT embedding AS qf, embedding[1:16] AS q16
+                     FROM embeddings WHERE vec_id = 0),
+          e AS (SELECT vec_id, embedding, embedding[1:16] AS te FROM embeddings),
+          cand AS (SELECT vec_id, embedding
+                   FROM e, q
+                   ORDER BY ${dDot("te", "q16")} /
+                            (sqrt(${dDot("te", "te")}) * sqrt(${dDot("q16", "q16")})) DESC,
+                            vec_id ASC
+                   LIMIT 50)
+          SELECT vec_id,
+                 ${dDot("embedding", "qf")} /
+                 (sqrt(${dDot("embedding", "embedding")}) * sqrt(${dDot("qf", "qf")})) AS cos_sim
+          FROM cand, q
           ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
     "q_ivf_assign" ->
       """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),

@@ -3,29 +3,23 @@ package graft.queries
 import graft.Tables
 import graft.streaming.{Streams, TypedEvent, UserEvent}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 /** Oracle-checked demo queries for the STREAMING operators (SURVEY §2
   * K19/K26/I5). Each runs the real Structured Streaming twin over a
-  * bounded MemoryStream feed of the same parquet rows the oracle reads,
-  * split into event-time-ordered micro-batches, and returns the final
-  * materialized result — so the streaming semantics themselves sit
-  * under the DuckDB compare instead of only under unit tests (the
-  * `q_watermark_filter` pattern, per the round-3 verdict).
-  *
-  * Two feed roads:
-  *  - FILE-BACKED (`stageFeedSlices` + `spark.readStream.parquet`,
-  *    `maxFilesPerTrigger=1`): the heavy feeds (`q_stream_ingest`,
-  *    `q_stream_attribution`, `q_stream_outer`) stage event-time
-  *    slices as parquet and stream them back — fully distributed, no
-  *    row ever transits driver memory, and the same reader pointed at
-  *    a log-landing directory is the production shape.
-  *  - MemoryStream for the remaining state-processor demos, where
-  *    scripting EXACT batch boundaries is the point; the collected
-  *    feed is the demo harness, not the operator — the operators
-  *    themselves are the distributed `transformWithState` /
-  *    `foreachBatch` pipelines in [[Streams]].
+  * FILE-BACKED feed of the same parquet rows the oracle reads —
+  * `stageFeedSlices` + `spark.readStream.parquet` with
+  * `maxFilesPerTrigger=1`, one staged slice per micro-batch — and
+  * returns the final materialized result, so the streaming semantics
+  * themselves sit under the DuckDB compare instead of only under unit
+  * tests. EVERY feed here is distributed: rows go executor → parquet
+  * → executor and never transit driver memory, and the same reader
+  * pointed at a log-landing directory is the production shape. Batch
+  * boundaries are deterministic data properties (event-time quantile
+  * cuts via [[timeSlices]] for the monotone-state and watermark
+  * operators; id-parity splits where arrival order is irrelevant),
+  * and each query's oracle either replays the same split or is
+  * boundary-independent by the operator's semantics.
   */
 object QStreaming {
   type Q = (SparkSession, String) => DataFrame
@@ -99,28 +93,21 @@ object QStreaming {
       .option("latestFirst", "false")
       .parquet(dir)
 
-  /** Feed `rows` (already event-time sorted) through a MemoryStream in
-    * `nBatches` contiguous slices — time-ordered across batches, the
-    * documented delivery precondition of the monotone-state processors
-    * — draining the stream after each slice. Returns the memory-sink
-    * table of everything emitted.
+  /** Split `df` (must carry `ts_ns`) into `n` event-time-CONTIGUOUS
+    * slices at approximate quantile cuts — ties stay in one slice, so
+    * delivery is time-ordered across batches (the monotone-state
+    * processors' documented precondition); the exact cut values are
+    * irrelevant to every converted query's result.
     */
-  private def runSliced[T: org.apache.spark.sql.Encoder](s: SparkSession,
-      rows: Seq[T], nBatches: Int,
-      pipeline: org.apache.spark.sql.Dataset[T] => DataFrame): DataFrame = {
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val sink = s"q_stream_sink_${sinkSeq.incrementAndGet()}"
-    val mem = MemoryStream[T]
-    val q = pipeline(mem.toDS()).writeStream
-      .format("memory").queryName(sink).outputMode("append").start()
-    try {
-      val per = math.max(1, (rows.size + nBatches - 1) / nBatches)
-      rows.grouped(per).foreach { slice =>
-        mem.addData(slice)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
-    s.table(sink)
+  private def timeSlices(df: DataFrame, n: Int): Seq[DataFrame] = {
+    val fracs = (1 until n).map(i => i.toDouble / n)
+    val cuts = df
+      .agg(expr(s"approx_percentile(ts_ns, array(${fracs.map(f => f + "d").mkString(",")}))"))
+      .head().getSeq[Long](0)
+    val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
+    bounds.sliding(2).map { case Seq(lo, hi) =>
+      df.filter(col("ts_ns") >= lo && col("ts_ns") < hi)
+    }.toSeq
   }
 
   val queries: Map[String, Q] = Map(
@@ -129,16 +116,23 @@ object QStreaming {
     // state advances across batches, final stage = last emission (max).
     "q_stream_funnel" -> ((s, dir) => {
       import s.implicits._
-      val feed = Tables(s, dir).events
+      // FILE-BACKED feed: three event-time-contiguous slices (the
+      // monotone-stage processor's delivery precondition), no driver
+      // collect
+      val day1 = Tables(s, dir).events
         .filter(col("ts_ns") < 1704153600000000000L)
-        .select(col("event_id"), col("user_id"), col("ts_ns").as("t"), col("event_type"))
-        .as[TypedEvent].collect().toSeq.sortBy(e => (e.t, e.event_id))
-      val out = withRocksDb(s) {
-        runSliced(s, feed, 3,
-          (ds: org.apache.spark.sql.Dataset[TypedEvent]) =>
-            Streams.funnelStages(ds, Seq("view", "click", "purchase")))
+      val (fdir, fschema) = stageFeedSlices(s,
+        timeSlices(day1, 3).map(_.select(col("event_id"), col("user_id"),
+          col("ts_ns").as("t"), col("event_type"))), "funnel")
+      val sink = s"q_stream_sink_${sinkSeq.incrementAndGet()}"
+      withRocksDb(s) {
+        val q = Streams.funnelStages(
+            fileStream(s, fdir, fschema).as[TypedEvent],
+            Seq("view", "click", "purchase"))
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
       }
-      out.groupBy(col("user_id")).agg(max(col("stage")).as("stage"))
+      s.table(sink).groupBy(col("user_id")).agg(max(col("stage")).as("stage"))
         .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
     }),
 
@@ -147,16 +141,20 @@ object QStreaming {
     // is the batch rebuild minus the still-open (is_current) runs.
     "q_stream_scd2" -> ((s, dir) => {
       import s.implicits._
-      val feed = Tables(s, dir).events
-        .select(col("event_id"), col("user_id"),
-          expr("ts_ns DIV 1000").as("t"), col("event_type"))
-        .as[TypedEvent].collect().toSeq.sortBy(e => (e.t, e.event_id))
-      val out = withRocksDb(s) {
-        runSliced(s, feed, 3,
-          (ds: org.apache.spark.sql.Dataset[TypedEvent]) => Streams.scd2Stream(ds))
+      // FILE-BACKED feed, three time-contiguous slices as q_stream_funnel
+      val (fdir, fschema) = stageFeedSlices(s,
+        timeSlices(Tables(s, dir).events, 3)
+          .map(_.select(col("event_id"), col("user_id"),
+            expr("ts_ns DIV 1000").as("t"), col("event_type"))), "scd2")
+      val sink = s"q_stream_sink_${sinkSeq.incrementAndGet()}"
+      withRocksDb(s) {
+        val q = Streams.scd2Stream(fileStream(s, fdir, fschema).as[TypedEvent])
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
       }
-      out.select(col("user_id"), col("attr").as("event_type"), col("version"),
-        col("effective_from").as("eff_from_us"), col("effective_to").as("eff_to_us"))
+      s.table(sink).select(col("user_id"), col("attr").as("event_type"),
+        col("version"), col("effective_from").as("eff_from_us"),
+        col("effective_to").as("eff_to_us"))
     }),
 
     // I-ext — stream-stream interval join (attribution): clicks and
@@ -262,18 +260,20 @@ object QStreaming {
     // 10 min) are emitted, exactly the cutoff the oracle applies. The
     // trailing no-data micro-batch performs the final eviction.
     "q_stream_window" -> ((s, dir) => {
-      import s.implicits._
-      val feed = Tables(s, dir).events
-        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
-        .as[(Long, String, java.sql.Timestamp, Double)].collect().toSeq
-        .sortBy(r => (r._3.getTime, r._1))
-      val out = withConf(s, "spark.sql.shuffle.partitions" -> "8") {
-        runSliced(s, feed, 3,
-          (ds: org.apache.spark.sql.Dataset[(Long, String, java.sql.Timestamp, Double)]) =>
-            Streams.tumblingAgg(ds.toDF("event_id", "event_type", "ts", "value"),
-              "1 hour", "10 minutes"))
+      // FILE-BACKED feed, three time-contiguous slices; the trailing
+      // no-data micro-batch performs the final eviction
+      val (fdir, fschema) = stageFeedSlices(s,
+        timeSlices(Tables(s, dir).events, 3)
+          .map(_.select(col("event_id"), col("event_type"), col("ts"),
+            col("value"))), "window")
+      val sink = s"q_stream_sink_${sinkSeq.incrementAndGet()}"
+      withConf(s, "spark.sql.shuffle.partitions" -> "8") {
+        val q = Streams.tumblingAgg(fileStream(s, fdir, fschema),
+            "1 hour", "10 minutes")
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
       }
-      out.select(
+      s.table(sink).select(
         date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("total"))
     }),
@@ -283,18 +283,19 @@ object QStreaming {
     // in exactly two windows; emitted set = windows whose END clears
     // the final watermark, the same cutoff as q_stream_window.
     "q_stream_sliding" -> ((s, dir) => {
-      import s.implicits._
-      val feed = Tables(s, dir).events
-        .select(col("event_id"), col("event_type"), col("ts"))
-        .as[(Long, String, java.sql.Timestamp)].collect().toSeq
-        .sortBy(r => (r._3.getTime, r._1))
-      val out = withConf(s, "spark.sql.shuffle.partitions" -> "8") {
-        runSliced(s, feed, 3,
-          (ds: org.apache.spark.sql.Dataset[(Long, String, java.sql.Timestamp)]) =>
-            Streams.slidingAgg(ds.toDF("event_id", "event_type", "ts"),
-              "1 hour", "30 minutes", "10 minutes"))
+      // FILE-BACKED feed, as q_stream_window
+      val (fdir, fschema) = stageFeedSlices(s,
+        timeSlices(Tables(s, dir).events, 3)
+          .map(_.select(col("event_id"), col("event_type"), col("ts"))),
+        "sliding")
+      val sink = s"q_stream_sink_${sinkSeq.incrementAndGet()}"
+      withConf(s, "spark.sql.shuffle.partitions" -> "8") {
+        val q = Streams.slidingAgg(fileStream(s, fdir, fschema),
+            "1 hour", "30 minutes", "10 minutes")
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
       }
-      out.select(
+      s.table(sink).select(
         date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"))
     }),
@@ -306,18 +307,20 @@ object QStreaming {
     // (last event + gap). Emitted set = lag-gap sessions whose end
     // clears the final watermark, exactly the oracle's cutoff.
     "q_stream_sessions" -> ((s, dir) => {
-      import s.implicits._
-      val feed = Tables(s, dir).events
-        .select(col("event_id"), col("user_id"), col("ts"))
-        .as[(Long, Long, java.sql.Timestamp)].collect().toSeq
-        .sortBy(r => (r._3.getTime, r._1))
-      val out = withConf(s, "spark.sql.shuffle.partitions" -> "8") {
-        runSliced(s, feed, 3,
-          (ds: org.apache.spark.sql.Dataset[(Long, Long, java.sql.Timestamp)]) =>
-            Streams.sessionAgg(ds.toDF("event_id", "user_id", "ts"),
-              "30 minutes", "10 minutes"))
+      // FILE-BACKED feed, as q_stream_window; a session spanning a
+      // slice boundary stays open in state and emits once
+      val (fdir, fschema) = stageFeedSlices(s,
+        timeSlices(Tables(s, dir).events, 3)
+          .map(_.select(col("event_id"), col("user_id"), col("ts"))),
+        "sessions")
+      val sink = s"q_stream_sink_${sinkSeq.incrementAndGet()}"
+      withConf(s, "spark.sql.shuffle.partitions" -> "8") {
+        val q = Streams.sessionAgg(fileStream(s, fdir, fschema),
+            "30 minutes", "10 minutes")
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
       }
-      out.select(col("user_id"),
+      s.table(sink).select(col("user_id"),
         date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"))
     }),
@@ -329,17 +332,23 @@ object QStreaming {
     // boundary (first ceil(n/2) rows by event_id).
     "q_stream_counts" -> ((s, dir) => {
       import s.implicits._
-      val feed = Tables(s, dir).events
+      // FILE-BACKED feed, two batches by event_id parity (arrival
+      // order is irrelevant to a running count; the oracle replays the
+      // same parity split)
+      val purch = Tables(s, dir).events
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("value"))
-        .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
-        .map(r => UserEvent(r._1, r._2, r._3))
-      val out = withConf(s, "spark.sql.shuffle.partitions" -> "8") {
-        runSliced(s, feed, 2,
-          (ds: org.apache.spark.sql.Dataset[UserEvent]) =>
-            Streams.runningCounts(ds))
+      val (fdir, fschema) = stageFeedSlices(s,
+        Seq(purch.filter(col("event_id") % 2 === 0),
+          purch.filter(col("event_id") % 2 === 1)), "counts")
+      val sink = s"q_stream_sink_${sinkSeq.incrementAndGet()}"
+      withConf(s, "spark.sql.shuffle.partitions" -> "8") {
+        val q = Streams.runningCounts(
+            fileStream(s, fdir, fschema).as[UserEvent])
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
       }
-      out.select(col("user_id"), col("n"))
+      s.table(sink).select(col("user_id"), col("n"))
     }),
 
     // H-ext under the oracle — transformWithState (the Spark-4 named
@@ -352,17 +361,22 @@ object QStreaming {
     // half-split boundary.
     "q_stream_totals" -> ((s, dir) => {
       import s.implicits._
-      val feed = Tables(s, dir).events
+      // FILE-BACKED feed, parity batches as q_stream_counts
+      val purch = Tables(s, dir).events
         .filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), floor(col("value") * 100).as("cents"))
-        .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
-        .map(r => UserEvent(r._1, r._2, r._3))
-      val out = withRocksDb(s) {
-        runSliced(s, feed, 2,
-          (ds: org.apache.spark.sql.Dataset[UserEvent]) =>
-            Streams.runningTotals(ds))
+        .select(col("event_id"), col("user_id"),
+          floor(col("value") * 100).as("value"))
+      val (fdir, fschema) = stageFeedSlices(s,
+        Seq(purch.filter(col("event_id") % 2 === 0),
+          purch.filter(col("event_id") % 2 === 1)), "totals")
+      val sink = s"q_stream_sink_${sinkSeq.incrementAndGet()}"
+      withRocksDb(s) {
+        val q = Streams.runningTotals(
+            fileStream(s, fdir, fschema).as[UserEvent])
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
       }
-      out.select(col("user_id"), col("total"))
+      s.table(sink).select(col("user_id"), col("total"))
     }),
 
     // I5/E4 — dropDuplicatesWithinWatermark under the oracle, FILE-
@@ -538,13 +552,8 @@ object QStreaming {
                              AND p.purchase_ts >= c.click_ts
                              AND p.purchase_ts < c.click_ts + INTERVAL 15 MINUTE)""",
     "q_stream_counts" ->
-      """WITH p AS (SELECT event_id, user_id,
-                          row_number() OVER (ORDER BY event_id) AS rn,
-                          count(*) OVER () AS tot
+      """WITH b AS (SELECT user_id, CAST(event_id % 2 AS INT) AS batch
                    FROM events WHERE event_type = 'purchase'),
-          b AS (SELECT user_id,
-                       CASE WHEN rn <= (tot + 1) // 2 THEN 0 ELSE 1 END AS batch
-                FROM p),
           em AS (SELECT DISTINCT user_id, batch FROM b),
           c AS (SELECT e.user_id, e.batch, count(*) AS n
                 FROM em e JOIN b x
@@ -552,13 +561,9 @@ object QStreaming {
                 GROUP BY 1, 2)
          SELECT user_id, n FROM c""",
     "q_stream_totals" ->
-      """WITH p AS (SELECT event_id, user_id, floor(value * 100) AS cents,
-                          row_number() OVER (ORDER BY event_id) AS rn,
-                          count(*) OVER () AS tot
+      """WITH b AS (SELECT user_id, floor(value * 100) AS cents,
+                          CAST(event_id % 2 AS INT) AS batch
                    FROM events WHERE event_type = 'purchase'),
-          b AS (SELECT user_id, cents,
-                       CASE WHEN rn <= (tot + 1) // 2 THEN 0 ELSE 1 END AS batch
-                FROM p),
           em AS (SELECT DISTINCT user_id, batch FROM b),
           c AS (SELECT e.user_id, e.batch, CAST(sum(x.cents) AS DOUBLE) AS total
                 FROM em e JOIN b x
