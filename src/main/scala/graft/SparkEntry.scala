@@ -75,5 +75,6 @@ object SparkEntry {
     * the one-time write it depends on. Keyed by query name.
     */
   def stages: Map[String, (SparkSession, String) => Unit] =
-    QIo.stages ++ QScale.stages ++ QSimilarity.stages ++ QAnalytics.stages
+    QIo.stages ++ QScale.stages ++ QSimilarity.stages ++ QAnalytics.stages ++
+      QText.stages
 }

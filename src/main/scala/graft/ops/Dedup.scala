@@ -280,8 +280,13 @@ object Dedup {
       srcCol: String, dstCol: String): DataFrame = {
     val ex = existing.select(col("node").cast("long").as("node"),
       col("cluster_id").cast("long").as("cluster_id"))
+    // Materialize the batch edges once: they are consumed by the
+    // contracted CC AND the new-node derivation, and an unmaterialized
+    // candidate-generation lineage (band self-join + distinct) would
+    // re-execute per consumer. Checkpoint blocks are ContextCleaner-
+    // reclaimed (see containmentPairs).
     val e = newEdges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+      col(dstCol).cast("long").as("dst")).localCheckpoint()
     val contracted = e
       .join(ex.select(col("node").as("src"), col("cluster_id").as("__rs")),
         Seq("src"), "left")

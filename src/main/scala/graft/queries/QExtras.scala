@@ -220,6 +220,21 @@ object QExtras {
             .as("n_outliers"))
     }),
 
+    // K-ANONYMITY audit over quasi-identifiers — the privacy gate a
+    // training-data release runs next to PII redaction (q_pii_redact):
+    // every (nation, segment) quasi-identifier group smaller than k=5
+    // is re-identifiable and must be suppressed or generalized. One
+    // hash aggregate; the flag is pure arithmetic, so the audit is
+    // oracle-exact. At 100 TB this is a partial-aggregated groupBy on
+    // the quasi-id key — no different from any rollup.
+    "q_k_anonymity" -> ((s, dir) => {
+      Tables(s, dir).customer
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+          (col("n") >= 5L).as("meets_k"))
+    }),
+
     // Row-level expectations: contract rules checked on the ingest
     // scan, violating rows ROUTED to a labeled quarantine (which rules
     // broke, not just that something did) instead of silently dropped.
@@ -388,6 +403,10 @@ object QExtras {
                 CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY CUBE (n_name, c_mktsegment)""",
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+                count(*) >= 5 AS meets_k
+         FROM customer GROUP BY 1, 2""",
     "q_approx_quantile" ->
       """SELECT l_returnflag, count(*) AS n,
                 true AS p50_in_bounds, true AS p90_in_bounds, true AS p99_in_bounds

@@ -65,21 +65,28 @@ object QStreaming {
     * pipeline READING the stream is fully distributed, and a real
     * deployment points the same reader at a log-landing directory.
     */
+  /** Land ONE slice file into an existing feed directory (index `i`
+    * orders it; mtimes forced so file-stream pickup order == index
+    * order even across out-of-band later additions).
+    */
+  private def appendFeedSlice(base: java.io.File, df: DataFrame, i: Int,
+      t0: Long): Unit = {
+    val tmp = new java.io.File(base, s"_stage_$i")
+    df.coalesce(1).write.parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(base, f"slice-$i%05d.parquet")
+    java.nio.file.Files.move(part.toPath, dst.toPath)
+    dst.setLastModified(t0 + i * 60000L)
+    rmrf(tmp)
+  }
+
   private def stageFeedSlices(s: SparkSession, slices: Seq[DataFrame],
       name: String): (String, org.apache.spark.sql.types.StructType) = {
     val base = new java.io.File(
       s"target/tmp/feed_${name}_${sinkSeq.incrementAndGet()}")
     rmrf(base); base.mkdirs()
     val t0 = System.currentTimeMillis() - slices.size * 60000L
-    slices.zipWithIndex.foreach { case (df, i) =>
-      val tmp = new java.io.File(base, s"_stage_$i")
-      df.coalesce(1).write.parquet(tmp.getAbsolutePath)
-      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(base, f"slice-$i%05d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(t0 + i * 60000L)
-      rmrf(tmp)
-    }
+    slices.zipWithIndex.foreach { case (df, i) => appendFeedSlice(base, df, i, t0) }
     (base.getAbsolutePath, slices.head.schema)
   }
 
@@ -441,6 +448,49 @@ object QStreaming {
         .select(col("ds"), col("win"), col("event_type"), col("n"), col("total"))
     }),
 
+    // I-ext — CHECKPOINT RECOVERY + exactly-once sink, end to end: the
+    // same tumbling-agg→partitioned-sink pipeline as
+    // q_stream_file_sink, but run as TWO separate streaming queries
+    // against ONE checkpoint — the first drains slice 1 and STOPS (a
+    // deploy restart / crash), more data lands while nothing runs,
+    // then a new query instance resumes from the checkpoint's offset
+    // log and committed watermark and drains the rest. The landed
+    // table must equal the single-run result exactly: recovered
+    // watermark state means no window double-emits, and the
+    // partition-granular dynamic overwrite makes any replayed batch
+    // idempotent. Oracle = the batch cutoff restatement (identical to
+    // a never-stopped run).
+    "q_stream_restart" -> ((s, dir) => {
+      val base = new java.io.File(
+        s"target/tmp/q_stream_restart_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+      rmrf(base)
+      val feedDir = new java.io.File(base, "feed")
+      feedDir.mkdirs()
+      val evb = Tables(s, dir).events
+        .filter(col("ts_ns") < 1704326400000000000L) // 2024-01-04 UTC
+      val Seq(s1, s2) = timeSlices(evb, 2)
+        .map(_.select(col("event_id"), col("event_type"), col("ts"), col("value")))
+      val t0 = System.currentTimeMillis() - 120000L
+      appendFeedSlice(feedDir, s1, 0, t0)
+      val schema = s1.schema
+      def runOnce(): Unit =
+        withConf(s, "spark.sql.shuffle.partitions" -> "8") {
+          val q = Streams.partitionedSink(
+              Streams.tumblingAgg(
+                fileStream(s, feedDir.getAbsolutePath, schema),
+                "1 hour", "10 minutes"),
+              s"$base/out", s"$base/ckpt",
+              trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      runOnce() // first run: slice 1 only, then "crash"
+      appendFeedSlice(feedDir, s2, 1, t0) // data lands while down
+      runOnce() // recovery: same checkpoint, new query instance
+      s.read.parquet(s"$base/out")
+        .select(col("ds"), col("win"), col("event_type"), col("n"), col("total"))
+    }),
+
     // I5 — streaming corpus ingest (exact + LSH dedup within batch,
     // persisted-index rejection across batches, idempotent batch=N
     // landing) over documents split in two micro-batches by doc_id
@@ -600,6 +650,17 @@ object QStreaming {
       """SELECT event_id, user_id, n_name
          FROM events JOIN nation ON user_id % 25 = n_nationkey
          WHERE event_type = 'purchase'""",
+    "q_stream_restart" ->
+      """WITH e AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-04'),
+          m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM e),
+          b AS (SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w,
+                       event_type, count(*) AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+                FROM e GROUP BY 1, 2)
+         SELECT strftime(w, '%Y%m%d') AS ds, strftime(w, '%H%M') AS win,
+                event_type, n, total
+         FROM b, m
+         WHERE w + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE""",
     "q_stream_file_sink" ->
       """WITH e AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-04'),
           m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM e),
