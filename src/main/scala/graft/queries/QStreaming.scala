@@ -448,6 +448,34 @@ object QStreaming {
         .select(col("ds"), col("win"), col("event_type"), col("n"), col("total"))
     }),
 
+    // I-ext — BACKFILL drain under Trigger.AvailableNow: the
+    // cron-batch-over-a-stream-source operational shape — process the
+    // whole staged backlog in rate-limited micro-batches (one file per
+    // trigger) and then STOP ON ITS OWN (awaitTermination, no
+    // processAllAvailable babysitter). The emitted window set must
+    // still equal the continuous run's: AvailableNow keeps running
+    // batches until the source is drained AND the advanced watermark's
+    // pending evictions have emitted. Same oracle cutoff as
+    // q_stream_window.
+    "q_stream_backfill" -> ((s, dir) => {
+      val (fdir, fschema) = stageFeedSlices(s,
+        timeSlices(Tables(s, dir).events, 3)
+          .map(_.select(col("event_id"), col("event_type"), col("ts"),
+            col("value"))), "backfill")
+      val sink = s"q_stream_sink_${sinkSeq.incrementAndGet()}"
+      withConf(s, "spark.sql.shuffle.partitions" -> "8") {
+        val q = Streams.tumblingAgg(fileStream(s, fdir, fschema),
+            "1 hour", "10 minutes")
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination() // self-terminates when the backlog is drained
+      }
+      s.table(sink).select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total"))
+    }),
+
     // I-ext — CHECKPOINT RECOVERY + exactly-once sink, end to end: the
     // same tumbling-agg→partitioned-sink pipeline as
     // q_stream_file_sink, but run as TWO separate streaming queries
@@ -650,6 +678,16 @@ object QStreaming {
       """SELECT event_id, user_id, n_name
          FROM events JOIN nation ON user_id % 25 = n_nationkey
          WHERE event_type = 'purchase'""",
+    "q_stream_backfill" ->
+      """WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+          b AS (SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w,
+                       event_type, count(*) AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+                FROM events GROUP BY 1, 2)
+         SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+                event_type, n, total
+         FROM b, m
+         WHERE w + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE""",
     "q_stream_restart" ->
       """WITH e AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-04'),
           m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM e),
