@@ -274,6 +274,34 @@ object QAggregates {
           (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))).as("corr_qty_disc"))
     }),
 
+    // E-ext — HIGHER central moments (skewness, excess kurtosis) from
+    // exact integer power sums: quantities as exact cents-style
+    // bigints, powers ≤ 6.3e14 stay in int64, sums carried in
+    // DECIMAL(38,0) so every engine sees the identical exact value
+    // before ONE double conversion; the moment formulas are written
+    // with the same operation order on both sides, so the doubles
+    // match bit-for-bit (the q_agg_stats recipe, one order higher).
+    // Both statistics are scale-invariant, so the ×100 never rescales.
+    "q_agg_moments" -> ((s, dir) => {
+      val x = (Scalars.dec(col("l_quantity")) * 100).cast("bigint")
+      val dec38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val g = Tables(s, dir).lineitem.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(dec38(x)).as("s1"), sum(dec38(x * x)).as("s2"),
+        sum(dec38(x * x * x)).as("s3"), sum(dec38(x * x * x * x)).as("s4"))
+      val nd = col("n").cast("double")
+      val s1 = col("s1").cast("double"); val s2 = col("s2").cast("double")
+      val s3 = col("s3").cast("double"); val s4 = col("s4").cast("double")
+      val mu = s1 / nd
+      val m2 = s2 / nd - mu * mu
+      val m3 = s3 / nd - lit(3.0) * mu * (s2 / nd) + lit(2.0) * mu * mu * mu
+      val m4 = s4 / nd - lit(4.0) * mu * (s3 / nd) +
+        lit(6.0) * mu * mu * (s2 / nd) - lit(3.0) * mu * mu * mu * mu
+      g.select(col("l_returnflag"), col("n"),
+        (m3 / (m2 * sqrt(m2))).as("skewness"),
+        (m4 / (m2 * m2) - lit(3.0)).as("kurtosis_excess"))
+    }),
+
     // E1-ext — incremental aggregate maintenance: history arrives as
     // three batches (by ship year), each contributes only its ALGEBRAIC
     // partial (sum/count/min/max), and the serving rollup is a re-merge
@@ -497,6 +525,34 @@ object QAggregates {
                 cume_dist() OVER (PARTITION BY o_orderpriority
                                   ORDER BY o_totalprice ASC, o_orderkey ASC) AS cume
          FROM orders WHERE o_orderkey < 2000""",
+    "q_agg_moments" ->
+      """WITH b AS (SELECT l_returnflag,
+                          CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+                   FROM lineitem),
+          g AS (SELECT l_returnflag, count(*) AS n,
+                       SUM(CAST(x AS DECIMAL(38,0))) AS s1,
+                       SUM(CAST(x * x AS DECIMAL(38,0))) AS s2,
+                       SUM(CAST(x * x * x AS DECIMAL(38,0))) AS s3,
+                       SUM(CAST(x * x * x * x AS DECIMAL(38,0))) AS s4
+                FROM b GROUP BY 1),
+          d AS (SELECT l_returnflag, n,
+                       CAST(n AS DOUBLE) AS nd,
+                       CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+                       CAST(s3 AS DOUBLE) AS s3, CAST(s4 AS DOUBLE) AS s4
+                FROM g),
+          m AS (SELECT l_returnflag, n, nd, s1, s2, s3, s4,
+                       s1 / nd AS mu FROM d),
+          mm AS (SELECT l_returnflag, n, mu,
+                        s2 / nd - mu * mu AS m2,
+                        s3 / nd - 3.0 * mu * (s2 / nd) + 2.0 * mu * mu * mu AS m3,
+                        s4 / nd - 4.0 * mu * (s3 / nd)
+                          + 6.0 * mu * mu * (s2 / nd)
+                          - 3.0 * mu * mu * mu * mu AS m4
+                 FROM m)
+          SELECT l_returnflag, n,
+                 m3 / (m2 * sqrt(m2)) AS skewness,
+                 m4 / (m2 * m2) - 3.0 AS kurtosis_excess
+          FROM mm""",
     "q_agg_stats" ->
       """WITH g AS (
            SELECT l_returnflag, count(*) AS n,
