@@ -32,8 +32,14 @@ object Bench {
       catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // measured in isolation: drop any intra-query caches so earlier
-      // queries' lingering blocks can't squeeze later queries' memory
+      // queries' lingering blocks can't squeeze later queries' memory.
+      // localCheckpoint blocks are only reclaimed when the driver GCs
+      // the RDD reference (ContextCleaner) — on a 128 GB heap that can
+      // be never, so late queries inherit hundreds of orphaned blocks
+      // (measured: end-of-sweep retries 3-4x slower than quiet runs).
+      // Force the GC in the UNTIMED cleanup window.
       spark.catalog.clearCache()
+      System.gc()
       dt
     }
     val first = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> timeOne(n))
