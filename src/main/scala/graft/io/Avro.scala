@@ -141,6 +141,18 @@ object Avro {
         } finally w.close() // also closes the stream
       }
     }
+    // An all-empty frame writes no task files (tasks skip empty
+    // iterators); land one zero-record container so the directory
+    // still carries the schema and a later read round-trips instead
+    // of failing on an empty glob.
+    if (fs.listStatus(p).forall(!_.getPath.getName.endsWith(".avro"))) {
+      val schema = new Schema.Parser().parse(schemaJson)
+      val out = fs.create(new Path(p, "part-empty.avro"), true)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, out)
+      w.close()
+    }
   }
 
   // ---- distributed read ----

@@ -93,11 +93,15 @@ object Snapshots {
   }
 
   /** The table as of generation `gen` — a plain parquet read of that
-    * generation's file set (empty-schema-preserving when the set is
-    * empty cannot occur: every commit adds at least a schema'd file).
+    * generation's file set. A generation with NO live files (an
+    * overwrite commit of an empty frame, whose write produces no part
+    * files) reads as the empty table with the data dir's schema.
     */
-  def readAsOf(spark: SparkSession, path: String, gen: Long): DataFrame =
-    spark.read.parquet(filesOf(spark, path, gen): _*)
+  def readAsOf(spark: SparkSession, path: String, gen: Long): DataFrame = {
+    val files = filesOf(spark, path, gen)
+    if (files.isEmpty) spark.read.parquet(dataDir(path).toString).limit(0)
+    else spark.read.parquet(files: _*)
+  }
 
   /** The current table (latest generation). */
   def read(spark: SparkSession, path: String): DataFrame =

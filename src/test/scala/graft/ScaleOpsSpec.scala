@@ -132,6 +132,10 @@ class ScaleOpsSpec extends SparkSpec {
       StructType(Seq(StructField("s", StringType), StructField("id", LongType))))
       .collect().map(r => (Option(r.get(0)), r.getLong(1))).toSet
     assert(pruned == Set((Some("x"), 1L), (None, 2L)))
+    // an all-empty frame still round-trips (schema'd empty container)
+    val emptyPath = tmpDir("avro-rt-empty")
+    Avro.write(df.limit(0), emptyPath)
+    assert(Avro.read(spark, emptyPath, schema).count() == 0L)
   }
 
   test("snapshots: time travel reads history; later writes never touch old generations") {
@@ -178,6 +182,11 @@ class ScaleOpsSpec extends SparkSpec {
     assert(Snapshots.read(spark, path).as[(Long, String)].collect().toSet ==
       Set((9L, "z"))) // latest untouched by vacuum
     assert(Snapshots.latestGeneration(spark, path).contains(g2))
+    // an empty-frame overwrite commit yields a readable empty generation
+    val g3 = Snapshots.commit(Seq.empty[(Long, String)].toDF("id", "v"),
+      path, overwrite = true)
+    assert(Snapshots.readAsOf(spark, path, g3).count() == 0L)
+    assert(Snapshots.read(spark, path).columns.toSeq == Seq("id", "v"))
   }
 
   test("transformWithState (Spark 4 arbitrary state) keeps running totals across batches") {
