@@ -280,6 +280,77 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("medianTimes2 == doubled middle order statistics on random multisets") {
+    val gen = Gen.nonEmptyListOf(Gen.choose(-50L, 50L)).map(_.take(40))
+    forAll(gen, n = 15) { vals =>
+      val got = Aggregates.medianTimes2(
+          vals.map(("k", _)).toDF("k", "v"), Seq("k"), "v")
+        .as[(String, Long)].head()._2
+      val s = vals.sorted
+      val expect = s((s.size - 1) / 2) + s(s.size / 2)
+      assert(got == expect, s"vals=$vals")
+    }
+  }
+
+  test("PPJoin prefix filter is complete: prefixJaccardJoin == naive all-pairs") {
+    // random small corpora from a tight vocabulary (forces overlap);
+    // the prefix-filtered join must return EXACTLY the naive form's
+    // pairs at the same threshold
+    val doc = Gen.nonEmptyListOf(Gen.oneOf(
+      "a", "b", "c", "d", "e", "f", "g", "h")).map(_.take(12).mkString(" "))
+    val corpus = Gen.listOfN(6, doc)
+    forAll(corpus, n = 10) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def pairs(d: org.apache.spark.sql.DataFrame) = d
+        .select($"id_a", $"id_b", $"jaccard")
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      val naive = pairs(graft.ops.Dedup.ngramJaccardPairs(df, "text", "doc_id", 2, 1, 3))
+      val viaPrefix = pairs(graft.ops.Dedup.prefixJaccardJoin(df, "text", "doc_id", 2, 1, 3))
+      assert(viaPrefix == naive, s"docs=$docs")
+    }
+  }
+
+  test("incrementalComponents == full CC recompute on random graphs + batches") {
+    val edgeGen = for {
+      a <- Gen.choose(0L, 15L); b <- Gen.choose(0L, 15L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    val gen = for {
+      old <- Gen.listOfN(8, edgeGen)
+      nw <- Gen.nonEmptyListOf(edgeGen).map(_.take(6))
+    } yield (old.distinct, nw.distinct)
+    forAll(gen, n = 10) { case (oldE, newE) =>
+      if (oldE.nonEmpty && newE.nonEmpty) {
+        val oldDf = oldE.toDF("id_a", "id_b")
+        val newDf = newE.toDF("id_a", "id_b")
+        val inc = graft.ops.Dedup.incrementalComponents(
+            graft.ops.Dedup.connectedComponents(oldDf, "id_a", "id_b"),
+            newDf, "id_a", "id_b")
+          .as[(Long, Long)].collect().toMap
+        val full = graft.ops.Dedup.connectedComponents(
+            oldDf.unionAll(newDf), "id_a", "id_b")
+          .as[(Long, Long)].collect().toMap
+        assert(inc == full, s"old=$oldE new=$newE")
+      }
+    }
+  }
+
+  test("BPE encode: tokens reassemble the word characters; count == tokens.length") {
+    forAll(textGen, n = 20) { text =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val toks = graft.expressions.Bpe.tokens(UTF8String.fromString(text))
+        .array.map(_.toString)
+      // merges only ever concatenate adjacent symbols inside a word:
+      // the emitted token stream, concatenated, must equal the
+      // lowercased alphanumeric character stream of the input
+      val alnum = text.toLowerCase.filter(c =>
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))
+      assert(toks.mkString == alnum, s"text=<$text>")
+      assert(graft.expressions.Bpe.tokenCount(UTF8String.fromString(text)) ==
+        toks.length.toLong)
+    }
+  }
+
   test("native minhash kernel == declarative min(md5(seed|shingle)) on adversarial text") {
     forAll(textGen, n = 20) { text =>
       val df = Seq((1L, text)).toDF("doc_id", "text")
