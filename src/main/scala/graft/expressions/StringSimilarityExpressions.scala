@@ -76,7 +76,13 @@ object StringSimilarity {
       si += 1
     }
     val md = m.toDouble
-    (md / sl + md / tl + (md - transpositions / 2.0) / md) / 3.0
+    // Half-transpositions use INTEGER division (the rapidfuzz/DuckDB
+    // convention): when the two matched sequences are different
+    // multisets the mismatch count can be ODD (e.g. "Customer#000001607"
+    // vs "Customer0#00011607" mismatches 5 of 17 matched positions),
+    // and floor(5/2)=2 vs 5/2.0=2.5 was this kernel's one observed
+    // divergence from jaro_winkler_similarity (caught at sf0.1).
+    (md / sl + md / tl + (md - (transpositions / 2)) / md) / 3.0
   }
 
   /** Jaro-Winkler: prefix bonus (≤4 chars, p=0.1) above the 0.7 boost

@@ -28,6 +28,16 @@ class WarehouseSpec extends SparkSpec {
     assert(jw("aztttttt", "azxxxxxx") == 0.5)
   }
 
+  test("Jaro-Winkler: odd mismatch count uses integer half-transpositions (DuckDB)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // matched sequences differ in 5 positions: floor(5/2)=2 half-
+    // transpositions, NOT 2.5 — the sf0.1-caught divergence
+    val got = graft.expressions.StringSimilarity.jaroWinkler(
+      UTF8String.fromString("Customer#000001607"),
+      UTF8String.fromString("Customer0#00011607"))
+    assert(math.abs(got - 0.9542483660130718) < 1e-15)
+  }
+
   test("char-entropy kernel: uniform, degenerate, and empty inputs") {
     def h(s: String): Double = StringSimilarity.charEntropy(utf8(s))
     assert(h("") == 0.0)
