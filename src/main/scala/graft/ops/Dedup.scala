@@ -465,11 +465,32 @@ object Dedup {
     * inverted-index join: vastly fewer postings than the full index
     * ([[ngramJaccardPairs]] joins every shingle; this joins ~(1−t) of
     * them, and the rarity order puts the survivors in the SMALLEST
-    * buckets). Verification counts the exact intersection only for
-    * candidate pairs (candidate-driven joins — work scales with
-    * candidates, not with the corpus). Threshold is an integer
-    * cross-multiplication; ceil is integer arithmetic; result is
-    * identical to the naive all-pairs form, which is the oracle.
+    * buckets). Two further PPJoin filters prune candidates BEFORE the
+    * expensive verification join, both exact upper bounds on the kept
+    * intersection I′ against the output predicate
+    * I′·(num+den) ≥ (n_a+n_b)·num (the cross-multiplied form of
+    * J ≥ t with full-size denominators):
+    *   - LENGTH filter: I′ ≤ min(n_cut_a, n_cut_b) — a pair whose
+    *     smaller (cut) set can't reach the required overlap is dead on
+    *     arrival (with no DF cut this is the classic t·|a| ≤ |b|
+    *     size-ratio bound).
+    *   - POSITIONAL filter: a shared prefix token at ranks (i, j) of
+    *     the SAME global (df, hash) order bounds the overlap by the
+    *     common-prefix part plus the common-suffix part:
+    *     I′ ≤ min(i,j) + min(n_cut_a−i, n_cut_b−j). If the true I′
+    *     meets the threshold then EVERY shared token's bound does, so
+    *     filtering match rows before `distinct` loses nothing.
+    * Verification is PER-PAIR, not per-posting: each surviving
+    * candidate pair joins the two documents' (already distinct)
+    * shingle-hash ARRAYS and counts `size(array_intersect(...))` in
+    * codegen — one self-contained row per candidate, versus the
+    * posting-explode form (candidates × shingles rows through two
+    * joins and a groupBy) that dominated the old plan. Work scales
+    * with candidates; the per-doc array side is one row per document
+    * (broadcast-sized after AQE at bench SF, id-partitioned at scale).
+    * Threshold is an integer cross-multiplication; ceil is integer
+    * arithmetic; result is identical to the naive all-pairs form,
+    * which is the oracle.
     */
   def prefixJaccardJoin(df: DataFrame, textCol: String, idCol: String, n: Int,
       thresholdNum: Int, thresholdDen: Int, maxDocFreq: Long = 0L): DataFrame = {
@@ -500,21 +521,62 @@ object Dedup {
       .withColumn("rn", row_number()
         .over(docW.orderBy(col("df"), col("sh_h"))).cast("bigint"))
       .withColumn("n_cut", count(lit(1)).over(docW).cast("bigint"))
-    val prefix = ranked.filter(col("rn") <=
+    // With no DF cut the kept sets ARE the full sets (n_full == n_cut,
+    // kept array == shs), so the sizes join and kept-set re-aggregation
+    // are skipped entirely in the common path.
+    val prefixBase = ranked.filter(col("rn") <=
         col("n_cut") - expr(s"CAST((n_cut * $thresholdNum + ${thresholdDen - 1}) DIV $thresholdDen AS BIGINT)") + 1)
-      .select(col(idCol), col("sh_h"))
-    val cand = prefix.select(col(idCol).as("id_a"), col("sh_h"))
-      .join(prefix.select(col(idCol).as("id_b"), col("sh_h")), Seq("sh_h"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    val tokJ = tokKept.select(col(idCol), col("sh_h"))
-    val inter = cand
-      .join(tokJ.select(col(idCol).as("id_a"), col("sh_h")), Seq("id_a"))
-      .join(tokJ.select(col(idCol).as("id_b"), col("sh_h")), Seq("id_b", "sh_h"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
-    val out = inter
-      .join(sizes.withColumnRenamed("n_sh", "n_a"), col("id_a") === sizes(idCol)).drop(idCol)
-      .join(sizes.withColumnRenamed("n_sh", "n_b"), col("id_b") === sizes(idCol)).drop(idCol)
+    val prefix =
+      if (maxDocFreq > 0)
+        prefixBase.join(sizes, Seq(idCol))
+          .select(col(idCol), col("sh_h"), col("rn"), col("n_cut"),
+            col("n_sh").as("n_full"))
+      else prefixBase.select(col(idCol), col("sh_h"), col("rn"), col("n_cut"),
+        col("n_cut").as("n_full"))
+    // Candidate pairs are generated WITHIN each prefix bucket, not by
+    // a self-join: one sh_h shuffle folds each bucket's postings into
+    // an array, and the pair lambda emits (id_a, id_b) with the length
+    // and positional filters applied inline. A self-join would
+    // reference the prefix subtree twice — Spark re-executes the whole
+    // scan→hash→explode→df→window chain once per join side (the
+    // round-5 bench outlier) — while the bucket form consumes it once.
+    // Bucket width is bounded by the rarity order (prefixes hold each
+    // document's RAREST shingles) and by the DF cut when set, so the
+    // in-bucket pair loop never sees a boilerplate-sized posting list.
+    val tPlus = thresholdNum + thresholdDen
+    val bucket = prefix.groupBy(col("sh_h")).agg(collect_list(struct(
+      col(idCol).as("id"), col("rn"), col("n_cut").as("nc"),
+      col("n_full").as("nf"))).as("xs"))
+    val pairExpr = expr(s"""
+      flatten(transform(xs, x ->
+        transform(filter(xs, y ->
+            x.id < y.id
+            AND least(x.nc, y.nc) * $tPlus >= (x.nf + y.nf) * $thresholdNum
+            AND (least(x.rn, y.rn) + least(x.nc - x.rn, y.nc - y.rn)) * $tPlus
+                >= (x.nf + y.nf) * $thresholdNum),
+          y -> struct(x.id AS id_a, y.id AS id_b))))""")
+    // The candidate frame is byte-tiny (two longs per row) but each
+    // row costs an array_intersect downstream — AQE coalesces the
+    // post-distinct exchange to 1-2 partitions on byte size and
+    // serializes the verification; repartition keeps the kernel stage
+    // as wide as the session (same guard rationale as [[Par.widen]]).
+    val cand = bucket.select(explode(pairExpr).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b")).distinct()
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val docInfo =
+      if (maxDocFreq > 0)
+        sizes.withColumnRenamed("n_sh", "n_full")
+          .join(tokKept.groupBy(col(idCol))
+            .agg(collect_list(col("sh_h")).as("kset")), Seq(idCol))
+      else hashed.select(col(idCol),
+        size(col("shs")).cast("bigint").as("n_full"), col("shs").as("kset"))
+    val out = cand
+      .join(docInfo.select(col(idCol).as("id_a"), col("n_full").as("n_a"),
+        col("kset").as("ks_a")), Seq("id_a"))
+      .join(docInfo.select(col(idCol).as("id_b"), col("n_full").as("n_b"),
+        col("kset").as("ks_b")), Seq("id_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("ks_a"), col("ks_b"))).cast("bigint"))
       .filter(col("n_inter") * thresholdDen >=
         (col("n_a") + col("n_b") - col("n_inter")) * thresholdNum)
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"),
