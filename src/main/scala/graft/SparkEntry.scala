@@ -76,5 +76,5 @@ object SparkEntry {
     */
   def stages: Map[String, (SparkSession, String) => Unit] =
     QIo.stages ++ QScale.stages ++ QSimilarity.stages ++ QAnalytics.stages ++
-      QText.stages
+      QText.stages ++ QStreaming.stages
 }

@@ -107,6 +107,13 @@ object Avro {
   /** Write `df` as Avro container files under `path`, one file per
     * non-empty input partition, streamed task-side through the Hadoop
     * FileSystem. Overwrites the directory.
+    *
+    * Task commit: each attempt writes to an attempt-unique `.tmp` name
+    * and renames into place on success — a retried or speculative
+    * attempt can never interleave bytes into a committed container;
+    * the first rename wins and the loser deletes its temp. Executors
+    * use the DRIVER's Hadoop configuration (broadcast), so object-store
+    * credentials / custom fs impls set on the session reach the tasks.
     */
   def write(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
@@ -117,13 +124,18 @@ object Avro {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val schema = new Schema.Parser().parse(schemaJson)
-        val pid = TaskContext.getPartitionId()
+        val tc = TaskContext.get()
+        val pid = tc.partitionId()
         val part = new Path(path, f"part-$pid%05d.avro")
-        val efs = part.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val out = efs.create(part, true)
+        val tmp = new Path(path, f"part-$pid%05d-${tc.taskAttemptId()}.tmp")
+        val efs = part.getFileSystem(confBc.value.value)
+        val out = efs.create(tmp, true)
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](schema))
         w.create(schema, out)
@@ -139,8 +151,13 @@ object Avro {
             w.append(rec)
           }
         } finally w.close() // also closes the stream
+        // first attempt to rename wins; a speculative loser cleans up
+        if (!efs.rename(tmp, part)) { efs.delete(tmp, false); () }
       }
     }
+    // sweep temp files of failed mid-write attempts
+    fs.listStatus(p).filter(_.getPath.getName.endsWith(".tmp"))
+      .foreach(s => fs.delete(s.getPath, false))
     // An all-empty frame writes no task files (tasks skip empty
     // iterators); land one zero-record container so the directory
     // still carries the schema and a later read round-trips instead

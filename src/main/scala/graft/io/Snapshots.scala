@@ -73,16 +73,49 @@ object Snapshots {
     * logically replaces the table (new manifest = this commit's files
     * only) while leaving every older file untouched on disk.
     * Returns the committed generation number.
+    *
+    * Concurrency contract: the commit's files are identified EXACTLY
+    * (staged under a commit-unique directory, then moved into `data/`
+    * — never inferred from before/after listings, so a concurrent
+    * writer or stray file cannot be mis-attributed), and the
+    * generation number is CLAIMED by an atomic exclusive create of a
+    * `_claim-gen=N` marker — two racing commits get distinct
+    * generations, never a clobbered manifest. What stays single-writer
+    * is append LINEARIZATION: a racing append may carry a prior-file
+    * set that misses the other commit's still-in-flight files.
+    * Serialize appends externally (one committer per table — the same
+    * contract Delta's OCC loses to by retrying; this engine states it
+    * instead).
     */
   def commit(df: DataFrame, path: String, overwrite: Boolean = false): Long = {
     val spark = df.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.col
-    val before = listDataFiles(spark, path)
-    df.write.mode("append").parquet(dataDir(path).toString)
-    val added = (listDataFiles(spark, path) -- before).toSeq.sorted
+    val stage = new Path(s"$path/.stage-${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(stage.toString)
+    val fs = hfs(spark, stage)
+    val d = dataDir(path)
+    fs.mkdirs(d)
+    // Spark part names embed a job-unique UUID, so moves cannot collide
+    val added = fs.listStatus(stage).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val dst = new Path(d, s.getPath.getName)
+        fs.rename(s.getPath, dst); dst.toString
+      }.sorted
+    fs.delete(stage, true)
     val prior = latestGeneration(spark, path)
-    val gen = prior.map(_ + 1).getOrElse(0L)
+    var gen = prior.map(_ + 1).getOrElse(0L)
+    fs.mkdirs(new Path(s"$path/manifest"))
+    var claimed = false
+    while (!claimed) {
+      try {
+        fs.create(new Path(s"$path/manifest/_claim-gen=$gen"), false).close()
+        claimed = true
+      } catch {
+        case _: java.io.IOException => gen += 1 // lost the race; next slot
+      }
+    }
     val carried =
       if (overwrite) Seq.empty
       else prior.map(filesOf(spark, path, _)).getOrElse(Seq.empty)
@@ -132,7 +165,10 @@ object Snapshots {
     val dead = dropGens.flatMap(filesOf(spark, path, _)).toSet -- keep
     val fs = hfs(spark, dataDir(path))
     dead.foreach(f => fs.delete(new Path(f), false))
-    dropGens.foreach(g => fs.delete(genDir(path, g), true))
+    dropGens.foreach { g =>
+      fs.delete(genDir(path, g), true)
+      fs.delete(new Path(s"$path/manifest/_claim-gen=$g"), false)
+    }
     dead.size.toLong
   }
 }

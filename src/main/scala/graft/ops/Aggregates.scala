@@ -122,19 +122,12 @@ object Aggregates {
         s"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(CAST(`$idCol` AS BIGINT) % 64 AS INT)))")
         .as("word"))
 
-  /** Collapse [[bitmapWords]] states to exact distinct counts per
-    * `keys`: first `bit_or`-merge any duplicate (keys, bucket) rows —
-    * so a raw union of per-day word tables is safe input, exactly the
-    * serving pattern [[bitmapWords]] advertises — then distinct =
-    * Σ popcount(word) because each id owns exactly one bit in exactly
-    * one (bucket, word). The extra merge level is a no-op (and nearly
-    * free: partial bit_or combines map-side) when the input is already
-    * merged per (keys, bucket).
-    */
   /** EXACT per-group median of an integer column, returned as the
     * doubled form `med2 = v_lo + v_hi` (the two middle order
     * statistics; equal when the count is odd) so callers stay in
-    * integer arithmetic — `median = med2 / 2`.
+    * integer arithmetic — `median = med2 / 2`. NULL values are ignored,
+    * matching `percentile`/`median` in both engines (they do not rank
+    * below the minimum).
     *
     * Spark's exact `percentile` buffers every value of a group in
     * aggregation memory, which OOMs a 100×-scale hot group; this form
@@ -146,7 +139,8 @@ object Aggregates {
     */
   def medianTimes2(df: DataFrame, keys: Seq[String], valCol: String,
       alias: String = "med2"): DataFrame = {
-    val freq = df.groupBy((keys.map(col) :+ col(valCol)): _*)
+    val freq = df.filter(col(valCol).isNotNull)
+      .groupBy((keys.map(col) :+ col(valCol)): _*)
       .agg(count(lit(1)).as("__c"))
     val cum = freq
       .withColumn("__cum", sum(col("__c")).over(
@@ -162,6 +156,15 @@ object Aggregates {
         .as(alias))
   }
 
+  /** Collapse [[bitmapWords]] states to exact distinct counts per
+    * `keys`: first `bit_or`-merge any duplicate (keys, bucket) rows —
+    * so a raw union of per-day word tables is safe input, exactly the
+    * serving pattern [[bitmapWords]] advertises — then distinct =
+    * Σ popcount(word) because each id owns exactly one bit in exactly
+    * one (bucket, word). The extra merge level is a no-op (and nearly
+    * free: partial bit_or combines map-side) when the input is already
+    * merged per (keys, bucket).
+    */
   def bitmapDistinct(words: DataFrame, keys: Seq[String]): DataFrame =
     words.groupBy((keys.map(col) :+ col("bucket")): _*)
       .agg(expr("bit_or(word)").as("__w"))

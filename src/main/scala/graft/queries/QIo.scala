@@ -27,7 +27,24 @@ object QIo {
     */
   val stages: Map[String, (SparkSession, String) => Unit] = Map(
     "q_sink_partitioned_write" -> ((s, dir) => stageSink(s, dir)),
-    "q_repartition_compact" -> ((s, dir) => stageCompact(s, dir)))
+    "q_repartition_compact" -> ((s, dir) => stageCompact(s, dir)),
+    "q_quarantine" -> ((s, dir) => stageQuarantine(s, dir)))
+
+  /** The defect-laden feed fixture: a bounded JSONL file where every 7th
+    * line is truncated mid-object. Driver-side collect is demo-harness
+    * staging only (<700 rows, untimed) — the quarantine QUERY is a pure
+    * distributed read.
+    */
+  private def stageQuarantine(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val path = scratch("q_quarantine", dir)
+    val lines = Tables(s, dir).events.filter(col("event_id") < 700)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id")) // bounded demo file; order fixes WHICH lines break
+      .toJSON.collect().toSeq.zipWithIndex
+      .map { case (l, i) => if (i % 7 == 3) l.take(l.length / 2) else l }
+    s.createDataset(lines).coalesce(1).write.mode("overwrite").text(path)
+  }
 
   private def stageSink(s: SparkSession, dir: String): Unit = {
     val stamped = Tables(s, dir).orders
@@ -119,21 +136,17 @@ object QIo {
     }),
 
     // A-ext — corrupt-record QUARANTINE: a JSONL feed where every 7th
-    // line is truncated mid-object (the staged file is the demo
-    // harness — a bounded, deterministic stand-in for the reference's
+    // line is truncated mid-object (the staged file — see
+    // [[stageQuarantine]], built untimed with the other staged writes —
+    // is a bounded, deterministic stand-in for the reference's
     // defect-laden XML/CSV feeds). One pass routes rows: parseable ->
     // 'ok' with real fields, broken -> 'quarantined' and KEPT (never
     // silently dropped). Cut always lands before the closing brace, so
     // corrupt means corrupt on any JSON parser.
     "q_quarantine" -> ((s, dir) => {
-      import s.implicits._
       val path = scratch("q_quarantine", dir)
-      val lines = Tables(s, dir).events.filter(col("event_id") < 700)
-        .select(col("event_id"), col("event_type"), col("value"))
-        .orderBy(col("event_id")) // bounded demo file; order fixes WHICH lines break
-        .toJSON.collect().toSeq.zipWithIndex
-        .map { case (l, i) => if (i % 7 == 3) l.take(l.length / 2) else l }
-      s.createDataset(lines).coalesce(1).write.mode("overwrite").text(path)
+      // dev fallback: self-contained when stages haven't run
+      if (!new java.io.File(path).exists()) stageQuarantine(s, dir)
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType)))

@@ -80,14 +80,37 @@ object QStreaming {
     rmrf(tmp)
   }
 
-  private def stageFeedSlices(s: SparkSession, slices: Seq[DataFrame],
-      name: String): (String, org.apache.spark.sql.types.StructType) = {
-    val base = new java.io.File(
-      s"target/tmp/feed_${name}_${sinkSeq.incrementAndGet()}")
+  /** Deterministic per-(feed, sf) directory so staged feeds can be
+    * built ONCE in the untimed [[stages]] pass and reused by the timed
+    * query body (the quarantine/sink staging contract: the demo's cost
+    * is the streaming pipeline, not fixture construction).
+    */
+  private def feedDir(name: String, dir: String): java.io.File =
+    new java.io.File(
+      s"target/tmp/feed_${name}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+
+  /** Slice builders keyed by feed name — the single source of truth
+    * both the stages pass (force rebuild) and the query-body fallback
+    * (build-if-missing, keeps dev runs self-contained) construct from.
+    */
+  private def buildFeed(s: SparkSession, name: String, dir: String,
+      slices: Seq[DataFrame]): Unit = {
+    val base = feedDir(name, dir)
     rmrf(base); base.mkdirs()
     val t0 = System.currentTimeMillis() - slices.size * 60000L
     slices.zipWithIndex.foreach { case (df, i) => appendFeedSlice(base, df, i, t0) }
-    (base.getAbsolutePath, slices.head.schema)
+  }
+
+  /** Feed path + schema for a staged feed; builds it first if the
+    * stages pass hasn't run (dev fallback).
+    */
+  private def feed(s: SparkSession, name: String, dir: String)(
+      slices: => Seq[DataFrame]): (String, org.apache.spark.sql.types.StructType) = {
+    val base = feedDir(name, dir)
+    val staged = Option(base.listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    if (!staged) buildFeed(s, name, dir, slices)
+    (base.getAbsolutePath, s.read.parquet(base.getAbsolutePath).schema)
   }
 
   /** File-stream reader over a [[stageFeedSlices]] directory: one
@@ -117,6 +140,123 @@ object QStreaming {
     }.toSeq
   }
 
+  // ---- slice builders, one per feed (shared by stages + fallback) ----
+
+  private def funnelSlices(s: SparkSession, dir: String): Seq[DataFrame] =
+    timeSlices(Tables(s, dir).events
+        .filter(col("ts_ns") < 1704153600000000000L), 3)
+      .map(_.select(col("event_id"), col("user_id"), col("ts_ns").as("t"),
+        col("event_type")))
+
+  private def scd2Slices(s: SparkSession, dir: String): Seq[DataFrame] =
+    timeSlices(Tables(s, dir).events, 3)
+      .map(_.select(col("event_id"), col("user_id"),
+        expr("ts_ns DIV 1000").as("t"), col("event_type")))
+
+  /** click/purchase median-cut halves — shared by the two
+    * stream-stream-join demos. */
+  private def ssSlices(s: SparkSession, dir: String, t: String): Seq[DataFrame] = {
+    val ev = Tables(s, dir).events
+    val cut = ev.filter(col("event_type").isin("click", "purchase"))
+      .agg(expr("approx_percentile(ts_ns, 0.5)")).head().getLong(0)
+    val sd = ev.filter(col("event_type") === t)
+    Seq(sd.filter(col("ts_ns") < cut), sd.filter(col("ts_ns") >= cut))
+      .map(_.select(col("user_id"), col("event_id"), col("ts")))
+  }
+
+  private def enrichSlices(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val purch = Tables(s, dir).events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"))
+    Seq(purch.filter(col("event_id") % 2 === 0),
+      purch.filter(col("event_id") % 2 === 1))
+  }
+
+  /** events in 3 time slices — shared by q_stream_window + q_stream_backfill. */
+  private def evwinSlices(s: SparkSession, dir: String): Seq[DataFrame] =
+    timeSlices(Tables(s, dir).events, 3)
+      .map(_.select(col("event_id"), col("event_type"), col("ts"), col("value")))
+
+  private def slidingSlices(s: SparkSession, dir: String): Seq[DataFrame] =
+    timeSlices(Tables(s, dir).events, 3)
+      .map(_.select(col("event_id"), col("event_type"), col("ts")))
+
+  private def sessionsSlices(s: SparkSession, dir: String): Seq[DataFrame] =
+    timeSlices(Tables(s, dir).events, 3)
+      .map(_.select(col("event_id"), col("user_id"), col("ts")))
+
+  private def countsSlices(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val purch = Tables(s, dir).events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+    Seq(purch.filter(col("event_id") % 2 === 0),
+      purch.filter(col("event_id") % 2 === 1))
+  }
+
+  private def totalsSlices(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val purch = Tables(s, dir).events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), floor(col("value") * 100).as("value"))
+    Seq(purch.filter(col("event_id") % 2 === 0),
+      purch.filter(col("event_id") % 2 === 1))
+  }
+
+  private def dedupSlices(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val purch = Tables(s, dir).events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    Seq(purch, purch)
+  }
+
+  private def fsinkSlices(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val evb = Tables(s, dir).events
+      .filter(col("ts_ns") < 1704326400000000000L) // 2024-01-04 UTC
+    val cuts = evb.agg(expr("approx_percentile(ts_ns, array(0.33d, 0.66d))"))
+      .head().getSeq[Long](0)
+    Seq(
+      evb.filter(col("ts_ns") < cuts(0)),
+      evb.filter(col("ts_ns") >= cuts(0) && col("ts_ns") < cuts(1)),
+      evb.filter(col("ts_ns") >= cuts(1)))
+      .map(_.select(col("event_id"), col("event_type"), col("ts"), col("value")))
+  }
+
+  /** Pre-split halves the restart demo lands into its LIVE feed dir one
+    * at a time (the crash/recovery choreography is the timed body; the
+    * split + parquet writes are fixture construction). */
+  private def restartSrcSlices(s: SparkSession, dir: String): Seq[DataFrame] =
+    timeSlices(Tables(s, dir).events
+        .filter(col("ts_ns") < 1704326400000000000L), 2)
+      .map(_.select(col("event_id"), col("event_type"), col("ts"), col("value")))
+
+  private def ingestSlices(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+    Seq(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+  }
+
+  /** Untimed feed staging (see [[graft.SparkEntry.stages]]): Bench and
+    * Verify build every feed before the query loop, so the timed query
+    * measures the streaming pipeline, not the fixture writes. Shared
+    * feeds are rebuilt by each dependent query's entry (idempotent; the
+    * `only`-narrowed dev road still stages what it needs).
+    */
+  val stages: Map[String, (SparkSession, String) => Unit] = Map(
+    "q_stream_funnel" -> ((s, d) => buildFeed(s, "funnel", d, funnelSlices(s, d))),
+    "q_stream_scd2" -> ((s, d) => buildFeed(s, "scd2", d, scd2Slices(s, d))),
+    "q_stream_attribution" -> ((s, d) => {
+      buildFeed(s, "ss_click", d, ssSlices(s, d, "click"))
+      buildFeed(s, "ss_purch", d, ssSlices(s, d, "purchase")) }),
+    "q_stream_outer" -> ((s, d) => {
+      buildFeed(s, "ss_click", d, ssSlices(s, d, "click"))
+      buildFeed(s, "ss_purch", d, ssSlices(s, d, "purchase")) }),
+    "q_stream_enrich" -> ((s, d) => buildFeed(s, "enrich", d, enrichSlices(s, d))),
+    "q_stream_window" -> ((s, d) => buildFeed(s, "evwin", d, evwinSlices(s, d))),
+    "q_stream_backfill" -> ((s, d) => buildFeed(s, "evwin", d, evwinSlices(s, d))),
+    "q_stream_sliding" -> ((s, d) => buildFeed(s, "sliding", d, slidingSlices(s, d))),
+    "q_stream_sessions" -> ((s, d) => buildFeed(s, "sessions", d, sessionsSlices(s, d))),
+    "q_stream_counts" -> ((s, d) => buildFeed(s, "counts", d, countsSlices(s, d))),
+    "q_stream_totals" -> ((s, d) => buildFeed(s, "totals", d, totalsSlices(s, d))),
+    "q_stream_dedup" -> ((s, d) => buildFeed(s, "dedup", d, dedupSlices(s, d))),
+    "q_stream_file_sink" -> ((s, d) => buildFeed(s, "fsink", d, fsinkSlices(s, d))),
+    "q_stream_restart" -> ((s, d) => buildFeed(s, "restart_src", d, restartSrcSlices(s, d))),
+    "q_stream_ingest" -> ((s, d) => buildFeed(s, "ingest", d, ingestSlices(s, d))))
+
   val queries: Map[String, Q] = Map(
     // K19 — streaming funnel over the SAME day-1 events as q_funnel,
     // delivered in 3 event-time-ordered micro-batches; per-user stage
@@ -125,12 +265,8 @@ object QStreaming {
       import s.implicits._
       // FILE-BACKED feed: three event-time-contiguous slices (the
       // monotone-stage processor's delivery precondition), no driver
-      // collect
-      val day1 = Tables(s, dir).events
-        .filter(col("ts_ns") < 1704153600000000000L)
-      val (fdir, fschema) = stageFeedSlices(s,
-        timeSlices(day1, 3).map(_.select(col("event_id"), col("user_id"),
-          col("ts_ns").as("t"), col("event_type"))), "funnel")
+      // collect; staged untimed, rebuilt here only on dev runs
+      val (fdir, fschema) = feed(s, "funnel", dir)(funnelSlices(s, dir))
       val sink = s"q_stream_sink_${sinkSeq.incrementAndGet()}"
       withRocksDb(s) {
         val q = Streams.funnelStages(
@@ -149,10 +285,7 @@ object QStreaming {
     "q_stream_scd2" -> ((s, dir) => {
       import s.implicits._
       // FILE-BACKED feed, three time-contiguous slices as q_stream_funnel
-      val (fdir, fschema) = stageFeedSlices(s,
-        timeSlices(Tables(s, dir).events, 3)
-          .map(_.select(col("event_id"), col("user_id"),
-            expr("ts_ns DIV 1000").as("t"), col("event_type"))), "scd2")
+      val (fdir, fschema) = feed(s, "scd2", dir)(scd2Slices(s, dir))
       val sink = s"q_stream_sink_${sinkSeq.incrementAndGet()}"
       withRocksDb(s) {
         val q = Streams.scd2Stream(fileStream(s, fdir, fschema).as[TypedEvent])
@@ -178,16 +311,8 @@ object QStreaming {
       // result is boundary-independent (an inner interval join emits
       // every in-window pair whatever the batching), so the cut only
       // needs to be deterministic, not any particular value.
-      val ev = Tables(s, dir).events
-      val cut = ev.filter(col("event_type").isin("click", "purchase"))
-        .agg(expr("approx_percentile(ts_ns, 0.5)")).head().getLong(0)
-      def slices(t: String) = {
-        val sd = ev.filter(col("event_type") === t)
-        Seq(sd.filter(col("ts_ns") < cut), sd.filter(col("ts_ns") >= cut))
-          .map(_.select(col("user_id"), col("event_id"), col("ts")))
-      }
-      val (cdir, cschema) = stageFeedSlices(s, slices("click"), "attr_c")
-      val (pdir, pschema) = stageFeedSlices(s, slices("purchase"), "attr_p")
+      val (cdir, cschema) = feed(s, "ss_click", dir)(ssSlices(s, dir, "click"))
+      val (pdir, pschema) = feed(s, "ss_purch", dir)(ssSlices(s, dir, "purchase"))
       val sink = s"q_stream_sink_${sinkSeq.incrementAndGet()}"
       withConf(s, "spark.sql.shuffle.partitions" -> "8") {
         val q = Streams.attributionJoin(
@@ -216,16 +341,8 @@ object QStreaming {
       // independent; the trailing no-data micro-batch after the last
       // file performs the final state expiry exactly as the
       // MemoryStream road did.
-      val ev = Tables(s, dir).events
-      val cut = ev.filter(col("event_type").isin("click", "purchase"))
-        .agg(expr("approx_percentile(ts_ns, 0.5)")).head().getLong(0)
-      def slices(t: String) = {
-        val sd = ev.filter(col("event_type") === t)
-        Seq(sd.filter(col("ts_ns") < cut), sd.filter(col("ts_ns") >= cut))
-          .map(_.select(col("user_id"), col("event_id"), col("ts")))
-      }
-      val (cdir, cschema) = stageFeedSlices(s, slices("click"), "outer_c")
-      val (pdir, pschema) = stageFeedSlices(s, slices("purchase"), "outer_p")
+      val (cdir, cschema) = feed(s, "ss_click", dir)(ssSlices(s, dir, "click"))
+      val (pdir, pschema) = feed(s, "ss_purch", dir)(ssSlices(s, dir, "purchase"))
       val sink = s"q_stream_sink_${sinkSeq.incrementAndGet()}"
       withConf(s, "spark.sql.shuffle.partitions" -> "8") {
         val q = Streams.attributionJoin(
@@ -243,14 +360,9 @@ object QStreaming {
     // nation dim (stateless, no watermark); the emitted set equals
     // the batch join the oracle runs.
     "q_stream_enrich" -> ((s, dir) => {
-      val t = Tables(s, dir)
-      val purch = t.events.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"))
-      val (fdir, fschema) = stageFeedSlices(s,
-        Seq(purch.filter(col("event_id") % 2 === 0),
-          purch.filter(col("event_id") % 2 === 1)), "enrich")
-      val dim = t.nation.select(col("n_nationkey").cast("long").as("nk"),
-        col("n_name"))
+      val (fdir, fschema) = feed(s, "enrich", dir)(enrichSlices(s, dir))
+      val dim = Tables(s, dir).nation
+        .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
       val sink = s"q_stream_sink_${sinkSeq.incrementAndGet()}"
       withConf(s, "spark.sql.shuffle.partitions" -> "8") {
         val q = Streams.enrichJoin(fileStream(s, fdir, fschema), dim,
@@ -269,10 +381,7 @@ object QStreaming {
     "q_stream_window" -> ((s, dir) => {
       // FILE-BACKED feed, three time-contiguous slices; the trailing
       // no-data micro-batch performs the final eviction
-      val (fdir, fschema) = stageFeedSlices(s,
-        timeSlices(Tables(s, dir).events, 3)
-          .map(_.select(col("event_id"), col("event_type"), col("ts"),
-            col("value"))), "window")
+      val (fdir, fschema) = feed(s, "evwin", dir)(evwinSlices(s, dir))
       val sink = s"q_stream_sink_${sinkSeq.incrementAndGet()}"
       withConf(s, "spark.sql.shuffle.partitions" -> "8") {
         val q = Streams.tumblingAgg(fileStream(s, fdir, fschema),
@@ -291,10 +400,7 @@ object QStreaming {
     // the final watermark, the same cutoff as q_stream_window.
     "q_stream_sliding" -> ((s, dir) => {
       // FILE-BACKED feed, as q_stream_window
-      val (fdir, fschema) = stageFeedSlices(s,
-        timeSlices(Tables(s, dir).events, 3)
-          .map(_.select(col("event_id"), col("event_type"), col("ts"))),
-        "sliding")
+      val (fdir, fschema) = feed(s, "sliding", dir)(slidingSlices(s, dir))
       val sink = s"q_stream_sink_${sinkSeq.incrementAndGet()}"
       withConf(s, "spark.sql.shuffle.partitions" -> "8") {
         val q = Streams.slidingAgg(fileStream(s, fdir, fschema),
@@ -316,10 +422,7 @@ object QStreaming {
     "q_stream_sessions" -> ((s, dir) => {
       // FILE-BACKED feed, as q_stream_window; a session spanning a
       // slice boundary stays open in state and emits once
-      val (fdir, fschema) = stageFeedSlices(s,
-        timeSlices(Tables(s, dir).events, 3)
-          .map(_.select(col("event_id"), col("user_id"), col("ts"))),
-        "sessions")
+      val (fdir, fschema) = feed(s, "sessions", dir)(sessionsSlices(s, dir))
       val sink = s"q_stream_sink_${sinkSeq.incrementAndGet()}"
       withConf(s, "spark.sql.shuffle.partitions" -> "8") {
         val q = Streams.sessionAgg(fileStream(s, fdir, fschema),
@@ -342,12 +445,7 @@ object QStreaming {
       // FILE-BACKED feed, two batches by event_id parity (arrival
       // order is irrelevant to a running count; the oracle replays the
       // same parity split)
-      val purch = Tables(s, dir).events
-        .filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("value"))
-      val (fdir, fschema) = stageFeedSlices(s,
-        Seq(purch.filter(col("event_id") % 2 === 0),
-          purch.filter(col("event_id") % 2 === 1)), "counts")
+      val (fdir, fschema) = feed(s, "counts", dir)(countsSlices(s, dir))
       val sink = s"q_stream_sink_${sinkSeq.incrementAndGet()}"
       withConf(s, "spark.sql.shuffle.partitions" -> "8") {
         val q = Streams.runningCounts(
@@ -369,13 +467,7 @@ object QStreaming {
     "q_stream_totals" -> ((s, dir) => {
       import s.implicits._
       // FILE-BACKED feed, parity batches as q_stream_counts
-      val purch = Tables(s, dir).events
-        .filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"),
-          floor(col("value") * 100).as("value"))
-      val (fdir, fschema) = stageFeedSlices(s,
-        Seq(purch.filter(col("event_id") % 2 === 0),
-          purch.filter(col("event_id") % 2 === 1)), "totals")
+      val (fdir, fschema) = feed(s, "totals", dir)(totalsSlices(s, dir))
       val sink = s"q_stream_sink_${sinkSeq.incrementAndGet()}"
       withRocksDb(s) {
         val q = Streams.runningTotals(
@@ -394,10 +486,7 @@ object QStreaming {
     // (deduped) or sits below the watermark (dropped as late) — both
     // roads erase it, so the emitted set equals plain DISTINCT.
     "q_stream_dedup" -> ((s, dir) => {
-      val purch = Tables(s, dir).events
-        .filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val (fdir, fschema) = stageFeedSlices(s, Seq(purch, purch), "dedup")
+      val (fdir, fschema) = feed(s, "dedup", dir)(dedupSlices(s, dir))
       val sink = s"q_stream_sink_${sinkSeq.incrementAndGet()}"
       withConf(s, "spark.sql.shuffle.partitions" -> "8") {
         val q = Streams.dedupWithinWatermark(fileStream(s, fdir, fschema))
@@ -426,16 +515,7 @@ object QStreaming {
       // fs — partition-count discipline, not data volume, bounds this
       // demo exactly as it would a real sink (where a day's windows
       // are FEW and FULL). Oracle applies the same 3-day cut.
-      val evb = Tables(s, dir).events
-        .filter(col("ts_ns") < 1704326400000000000L) // 2024-01-04 UTC
-      val cuts = evb.agg(expr("approx_percentile(ts_ns, array(0.33d, 0.66d))"))
-        .head().getSeq[Long](0)
-      val slices = Seq(
-        evb.filter(col("ts_ns") < cuts(0)),
-        evb.filter(col("ts_ns") >= cuts(0) && col("ts_ns") < cuts(1)),
-        evb.filter(col("ts_ns") >= cuts(1)))
-        .map(_.select(col("event_id"), col("event_type"), col("ts"), col("value")))
-      val (fdir, fschema) = stageFeedSlices(s, slices, "fsink")
+      val (fdir, fschema) = feed(s, "fsink", dir)(fsinkSlices(s, dir))
       withConf(s, "spark.sql.shuffle.partitions" -> "8") {
         val q = Streams.partitionedSink(
             Streams.tumblingAgg(fileStream(s, fdir, fschema), "1 hour", "10 minutes"),
@@ -458,10 +538,7 @@ object QStreaming {
     // pending evictions have emitted. Same oracle cutoff as
     // q_stream_window.
     "q_stream_backfill" -> ((s, dir) => {
-      val (fdir, fschema) = stageFeedSlices(s,
-        timeSlices(Tables(s, dir).events, 3)
-          .map(_.select(col("event_id"), col("event_type"), col("ts"),
-            col("value"))), "backfill")
+      val (fdir, fschema) = feed(s, "evwin", dir)(evwinSlices(s, dir))
       val sink = s"q_stream_sink_${sinkSeq.incrementAndGet()}"
       withConf(s, "spark.sql.shuffle.partitions" -> "8") {
         val q = Streams.tumblingAgg(fileStream(s, fdir, fschema),
@@ -492,20 +569,25 @@ object QStreaming {
       val base = new java.io.File(
         s"target/tmp/q_stream_restart_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
       rmrf(base)
-      val feedDir = new java.io.File(base, "feed")
-      feedDir.mkdirs()
-      val evb = Tables(s, dir).events
-        .filter(col("ts_ns") < 1704326400000000000L) // 2024-01-04 UTC
-      val Seq(s1, s2) = timeSlices(evb, 2)
-        .map(_.select(col("event_id"), col("event_type"), col("ts"), col("value")))
+      val liveFeed = new java.io.File(base, "feed")
+      liveFeed.mkdirs()
+      // pre-split halves from the untimed stage; the timed body only
+      // LANDS them (file copy) around the crash/recovery choreography
+      val (srcDir, schema) = feed(s, "restart_src", dir)(restartSrcSlices(s, dir))
+      val srcSlices = new java.io.File(srcDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       val t0 = System.currentTimeMillis() - 120000L
-      appendFeedSlice(feedDir, s1, 0, t0)
-      val schema = s1.schema
+      def land(i: Int): Unit = {
+        val dst = new java.io.File(liveFeed, f"slice-$i%05d.parquet")
+        java.nio.file.Files.copy(srcSlices(i).toPath, dst.toPath)
+        dst.setLastModified(t0 + i * 60000L); ()
+      }
+      land(0)
       def runOnce(): Unit =
         withConf(s, "spark.sql.shuffle.partitions" -> "8") {
           val q = Streams.partitionedSink(
               Streams.tumblingAgg(
-                fileStream(s, feedDir.getAbsolutePath, schema),
+                fileStream(s, liveFeed.getAbsolutePath, schema),
                 "1 hour", "10 minutes"),
               s"$base/out", s"$base/ckpt",
               trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
@@ -513,7 +595,7 @@ object QStreaming {
           try q.processAllAvailable() finally q.stop()
         }
       runOnce() // first run: slice 1 only, then "crash"
-      appendFeedSlice(feedDir, s2, 1, t0) // data lands while down
+      land(1) // data lands while down
       runOnce() // recovery: same checkpoint, new query instance
       s.read.parquet(s"$base/out")
         .select(col("ds"), col("win"), col("event_type"), col("n"), col("total"))
@@ -535,10 +617,7 @@ object QStreaming {
       // landing-directory ingest shape, duplicates split across the
       // batch boundary still must be caught by the persisted index
       // road, not the intra-batch one.
-      val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
-      val (fdir, fschema) = stageFeedSlices(s,
-        Seq(docs.filter(col("doc_id") % 2 === 0),
-          docs.filter(col("doc_id") % 2 === 1)), "ingest")
+      val (fdir, fschema) = feed(s, "ingest", dir)(ingestSlices(s, dir))
       withConf(s, "spark.sql.shuffle.partitions" -> "8") {
         val q = Streams.corpusIngest(
             fileStream(s, fdir, fschema),

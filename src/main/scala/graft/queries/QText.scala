@@ -123,9 +123,15 @@ object QText {
     // The oracle unrolls the same three rounds in DuckDB CTEs.
     "q_bpe_learn" -> ((s, dir) => {
       val boundary = "#"
+      // localCheckpoint truncates the iterative lineage: round N's pair
+      // count reads the cached round-(N-1) corpus, not a re-execution of
+      // every prior regexp/replace from the parquet scan (O(rounds), not
+      // O(rounds^2)). Old round RDDs drop out of scope and are GC'd by
+      // the ContextCleaner. On a real cluster prefer a reliable
+      // checkpoint dir (localCheckpoint state dies with an executor).
       var w: DataFrame = Tables(s, dir).documents.select(
         regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9]+", boundary),
-          "(.)", "($1)").as("w"))
+          "(.)", "($1)").as("w")).localCheckpoint()
       val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
       for (step <- 1 to 3) {
         val ss = split(btrim(col("w"), lit("()")), "\\)\\(")
@@ -140,8 +146,58 @@ object QText {
           .collect().head
         val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
         learned += ((step, a, b, cnt))
-        w = w.select(replace(col("w"),
-          lit(s"($a)($b)"), lit(s"($a$b)")).as("w"))
+        // The last round's merge is never re-scanned — skip the pass.
+        if (step < 3)
+          w = w.select(replace(col("w"),
+            lit(s"($a)($b)"), lit(s"($a$b)")).as("w")).localCheckpoint()
+      }
+      import s.implicits._
+      learned.toSeq.toDF("step", "a", "b", "cnt")
+        .select(col("step"), col("a"), col("b"),
+          concat(col("a"), col("b")).as("merged"), col("cnt"))
+    }),
+
+    // BPE learning at vocab scale: BATCHED merges — 16 merges in 2
+    // corpus passes instead of 16. Per pass: one pair-count shuffle,
+    // top-64 candidates to the driver (bounded), greedy-select up to 8
+    // SYMBOL-DISJOINT pairs in (cnt DESC, a, b) order — disjointness
+    // makes the replaces commute, so one chained-replace pass applies
+    // the whole batch deterministically. Cost model: rounds×scan drops
+    // from V scans (V = vocab adds) to V/B; at 100 TB with V=32k,
+    // B=256 that is 125 corpus passes instead of 32k — the standard
+    // batched-Sennrich trade (within-batch counts are pre-batch
+    // counts, same convention the oracle replays in recursive CTEs).
+    "q_bpe_learn_batched" -> ((s, dir) => {
+      val boundary = "#"
+      val passes = 2; val batch = 8; val candidates = 64
+      var w: DataFrame = Tables(s, dir).documents.select(
+        regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9]+", boundary),
+          "(.)", "($1)").as("w")).localCheckpoint()
+      val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (pass <- 1 to passes) {
+        val ss = split(btrim(col("w"), lit("()")), "\\)\\(")
+        val top = w.select(explode(zip_with(
+            slice(ss, lit(1), greatest(size(ss) - 1, lit(0))),
+            slice(ss, lit(2), greatest(size(ss) - 1, lit(0))),
+            (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .filter(col("a") =!= boundary && col("b") =!= boundary)
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b")).limit(candidates)
+          .collect()
+        val used = scala.collection.mutable.Set.empty[String]
+        val kept = top.iterator.map(r =>
+            (r.getString(0), r.getString(1), r.getLong(2)))
+          .filter { case (a, b, _) =>
+            if (used(a) || used(b)) false else { used += a; used += b; true } }
+          .take(batch).toSeq
+        kept.zipWithIndex.foreach { case ((a, b, cnt), i) =>
+          learned += (((pass - 1) * batch + i + 1, a, b, cnt)) }
+        if (pass < passes) {
+          val applied = kept.foldLeft(col("w")) { case (c, (a, b, _)) =>
+            replace(c, lit(s"($a)($b)"), lit(s"($a$b)")) }
+          w = w.select(applied.as("w")).localCheckpoint()
+        }
       }
       import s.implicits._
       learned.toSeq.toDF("step", "a", "b", "cnt")
@@ -870,6 +926,54 @@ object QText {
           SELECT 1 AS step, a, b, a || b AS merged, cnt FROM m0
           UNION ALL SELECT 2, a, b, a || b, cnt FROM m1
           UNION ALL SELECT 3, a, b, a || b, cnt FROM m2"""
+    },
+    "q_bpe_learn_batched" -> {
+      // Replays the batched pass: top-64 candidates ranked by
+      // (cnt DESC, a, b), a linear recursive CTE walks the ranking
+      // carrying the used-symbol list (the driver-side greedy), the
+      // first 8 disjoint survivors pivot to one row and apply as a
+      // chained replace (chr(1) sentinel no-ops absent slots).
+      val batch = 8
+      def pass(p: Int): String = {
+        val pivot = (1 to batch).map(k =>
+          s"max(CASE WHEN krk = $k THEN a END) AS a$k, " +
+          s"max(CASE WHEN krk = $k THEN b END) AS b$k").mkString(", ")
+        val applied = (1 to batch).foldLeft("w") { (acc, k) =>
+          s"replace($acc, '(' || coalesce(a$k, chr(1)) || ')(' || coalesce(b$k, chr(1)) || ')', " +
+          s"'(' || coalesce(a$k, '') || coalesce(b$k, '') || ')')" }
+        s"""sym$p AS (SELECT string_split(trim(w, '()'), ')(') AS ss FROM w$p),
+          cand$p AS (SELECT a, b, cnt,
+                            row_number() OVER (ORDER BY cnt DESC, a, b) AS rk
+                     FROM (SELECT a, b, count(*) AS cnt
+                           FROM (SELECT unnest(ss[1:len(ss)-1]) AS a,
+                                        unnest(ss[2:len(ss)]) AS b
+                                 FROM sym$p)
+                           WHERE a <> '#' AND b <> '#' GROUP BY 1, 2)
+                     ORDER BY rk LIMIT 64),
+          sel$p(rk, keep, syms) AS (
+            SELECT 0, false, CAST([] AS VARCHAR[])
+            UNION ALL
+            SELECT c.rk,
+                   NOT (list_contains(s.syms, c.a) OR list_contains(s.syms, c.b)),
+                   CASE WHEN list_contains(s.syms, c.a) OR list_contains(s.syms, c.b)
+                        THEN s.syms ELSE s.syms || [c.a, c.b] END
+            FROM sel$p s JOIN cand$p c ON c.rk = s.rk + 1),
+          kept$p AS (SELECT a, b, cnt, krk FROM (
+                       SELECT c.a, c.b, c.cnt,
+                              row_number() OVER (ORDER BY s.rk) AS krk
+                       FROM sel$p s JOIN cand$p c ON c.rk = s.rk
+                       WHERE s.keep)
+                     WHERE krk <= $batch),
+          kp$p AS (SELECT $pivot FROM kept$p),
+          w${p + 1} AS (SELECT $applied AS w FROM w$p, kp$p)"""
+      }
+      s"""WITH RECURSIVE w0 AS (SELECT regexp_replace(regexp_replace(lower(text),
+                               '[^a-z0-9]+', '#', 'g'), '(.)', '(\\1)', 'g') AS w
+                      FROM documents),
+          ${pass(0)}, ${pass(1)}
+          SELECT CAST(krk AS INTEGER) AS step, a, b, a || b AS merged, cnt FROM kept0
+          UNION ALL
+          SELECT CAST($batch + krk AS INTEGER), a, b, a || b, cnt FROM kept1"""
     },
     "q_bpe_tokens" ->
       s"""SELECT doc_id,

@@ -363,4 +363,28 @@ class PropertySpec extends SparkSpec {
       assert(native == decl, s"text=<$text>")
     }
   }
+
+  test("batched BPE: per-pass merges are symbol-disjoint; pass 1 leads with the global argmax") {
+    val sf = "/root/testdata/sf0.001"
+    val batched = graft.queries.QText.queries("q_bpe_learn_batched")(spark, sf)
+      .orderBy($"step").as[(Int, String, String, String, Long)].collect()
+    assert(batched.length == 16)
+    assert(batched.map(_._1).toSeq == (1 to 16))
+    // disjointness within each pass is what makes the one-pass chained
+    // replace equal any application order
+    // a == b inside ONE merge is fine (left-to-right replace is still
+    // deterministic); what must never happen is a symbol shared BETWEEN
+    // two merges of the same pass
+    batched.grouped(8).foreach { pass =>
+      val syms = pass.flatMap(m => Seq(m._2, m._3).distinct)
+      assert(syms.distinct.length == syms.length,
+        s"cross-merge overlap in ${pass.toSeq}")
+    }
+    // batching must not change the FIRST learned merge: both learners
+    // argmax the same untouched corpus counts
+    val single = graft.queries.QText.queries("q_bpe_learn")(spark, sf)
+      .orderBy($"step").as[(Int, String, String, String, Long)].head()
+    assert((batched.head._2, batched.head._3, batched.head._5) ==
+      (single._2, single._3, single._5))
+  }
 }
