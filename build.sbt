@@ -35,3 +35,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// `spark.sql.catalogImplementation` is a STATIC conf — the first
+// session in a JVM pins it. HiveCatalogSpec needs a hive (Derby
+// metastore) catalog while every other suite shares the in-memory
+// one, so it gets its own forked JVM.
+Test / testGrouping := {
+  val forkOpts = ForkOptions().withRunJVMOptions(
+    ((Test / javaOptions).value ++ (Test / envVars).value.map { case (k, v) => s"-D$k=$v" }).toVector)
+  val (hive, rest) = (Test / definedTests).value
+    .partition(_.name.endsWith("HiveCatalogSpec"))
+  Seq(
+    Tests.Group("rest", rest, Tests.SubProcess(forkOpts)),
+    Tests.Group("hive", hive, Tests.SubProcess(forkOpts)))
+}

@@ -22,22 +22,47 @@ import java.util.Base64
   */
 object HttpFetcher {
 
+  /** `insecureTls = true` skips server-certificate validation — the
+    * reference's `verify=False` (`Ingestion Data (XML).py:121`), for
+    * self-signed internal endpoints. Chain validation only; java.net
+    * .http gates hostname verification behind the JVM-wide property
+    * `jdk.internal.httpclient.disableHostnameVerification`.
+    */
   final case class Config(
       url: String,
       user: String = "",
       password: String = "",
       maxAttempts: Int = 3,
       initialBackoffMs: Long = 100,
-      requestTimeoutMs: Long = 30000)
+      requestTimeoutMs: Long = 30000,
+      insecureTls: Boolean = false)
 
   final class HttpStatusException(val status: Int, body: String)
     extends RuntimeException(s"HTTP $status: ${body.take(200)}")
 
-  // One client per JVM: HttpClient pools connections; per-request
-  // timeouts come from the Config.
+  // One client per JVM per TLS mode: HttpClient pools connections;
+  // per-request timeouts come from the Config.
   private lazy val client: HttpClient = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(10))
     .build()
+
+  private lazy val insecureClient: HttpClient = {
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, Array[javax.net.ssl.TrustManager](
+      new javax.net.ssl.X509TrustManager {
+        def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
+          new Array[java.security.cert.X509Certificate](0)
+      }), new java.security.SecureRandom())
+    HttpClient.newBuilder()
+      .connectTimeout(Duration.ofSeconds(10))
+      .sslContext(ctx)
+      .build()
+  }
+
+  private def clientFor(cfg: Config): HttpClient =
+    if (cfg.insecureTls) insecureClient else client
 
   /** POST `body`, return the response body. Blocking — callers are
     * executor tasks whose whole job IS this fetch (one slice per
@@ -61,7 +86,7 @@ object HttpFetcher {
     while (attempt < cfg.maxAttempts) {
       if (attempt > 0) Thread.sleep(cfg.initialBackoffMs << (attempt - 1))
       try {
-        val resp = client.send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+        val resp = clientFor(cfg).send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
         resp.statusCode() match {
           case ok if ok < 300 => return resp.body()
           case s if s >= 500 => lastErr = new HttpStatusException(s, resp.body()) // transient: retry

@@ -65,4 +65,31 @@ class JdbcSourceSpec extends SparkSpec {
       s"residual filter did not push down over JDBC:\n$plan")
     assert(df.count() == 79) // v = i/2.0 > 10 -> i >= 21
   }
+
+  test("MySQL URLs resolve Spark's MySQL dialect with its typing/quoting rules") {
+    // The reference connects through jdbc:mysql (`Ingestion Data
+    // (MySQL).py:161-168`); no MySQL server exists in this harness, so
+    // pin the DIALECT Spark would apply to that URL — backtick
+    // identifier quoting and the unsigned-integer WIDENINGS (an
+    // unsigned column read into the same-width signed type silently
+    // wraps; the dialect widens instead).
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.types._
+    val dialect = JdbcDialects.get("jdbc:mysql://db-host:3306/appdb")
+    assert(dialect.getClass.getSimpleName.contains("MySQL"),
+      s"unexpected dialect ${dialect.getClass}")
+    assert(dialect.quoteIdentifier("aplikasi") == "`aplikasi`")
+    def md(signed: Boolean) = new MetadataBuilder().putBoolean("isSigned", signed)
+    // TINYINT: signed fits a Byte, unsigned needs a Short
+    assert(dialect.getCatalystType(java.sql.Types.TINYINT, "TINYINT", 3, md(true))
+      .contains(ByteType))
+    assert(dialect.getCatalystType(java.sql.Types.TINYINT, "TINYINT UNSIGNED", 3, md(false))
+      .contains(ShortType))
+    // MEDIUMINT UNSIGNED still fits Int; unsigned INTEGER widens to Long
+    assert(dialect.getCatalystType(java.sql.Types.INTEGER, "MEDIUMINT UNSIGNED", 8, md(false))
+      .contains(IntegerType))
+    // Derby (this suite's live engine) keeps the generic dialect —
+    // the registry discriminates by URL, nothing is globally swapped
+    assert(!JdbcDialects.get(url).getClass.getSimpleName.contains("MySQL"))
+  }
 }
