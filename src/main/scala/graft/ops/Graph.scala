@@ -262,4 +262,130 @@ object Graph {
       .unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).cast("long").as("core_degree"))
   }
+
+  /** Fixed-iteration HITS (Kleinberg hubs-and-authorities) over a
+    * directed edge list — the sibling of [[pageRank]] with the same
+    * two-shuffle-per-iteration shape: each half-step is one edge ⋈
+    * scores equi-join plus one aggregation on the opposite endpoint.
+    *
+    * Normalization divides by the L2 norm computed as an EXACT
+    * DECIMAL(38,18) power sum (the [[Aggregates]] moment discipline):
+    * the squares are cast to decimal before summing, so the global
+    * reduction is order-independent and the oracle's unrolled CTEs
+    * reproduce it; only the per-node incoming sums stay IEEE doubles
+    * (same-magnitude addends, absorbed by the caller's rounding — the
+    * [[pageRank]] convention). The one-row norm frame is
+    * broadcast-joined, so scores never funnel through the driver.
+    * Score frames are broadcast under the same 64 MB node-count cap
+    * logic as [[pageRank]]; beyond it the equi-joins shuffle on the
+    * node key.
+    */
+  def hits(edges: DataFrame, iterations: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .filter(col("src") =!= col("dst")).cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val n = nodes.count() // materialize the caches once, before the loop
+    val bcast = n * 100L < 64L * 1024 * 1024
+    def maybeBcast(df: DataFrame) = if (bcast) broadcast(df) else df
+    def cpBlocks(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    // Nodes with no in-edges (auth 0) / no out-edges (hub 0) are
+    // completed only at the END: inside the loop a zero score
+    // contributes zero to every downstream sum, so the propagation
+    // frames stay aggregate-sized and each half-step materializes ONE
+    // node-sized frame instead of a score frame plus its
+    // zero-completion. Normalization stays lazy — the raw aggregate is
+    // checkpointed, the one-row L2 norm (exact decimal power sum, see
+    // scaladoc) rides as a broadcast join in the NEXT half-step's plan.
+    def l2normalize(raw: DataFrame, c: String): DataFrame = {
+      val n2 = raw.agg(
+        sum((col(c) * col(c)).cast("decimal(38,18)")).cast("double").as("__n2"))
+      raw.join(broadcast(n2))
+        .select(col("node"), (col(c) / sqrt(col("__n2"))).as(c))
+    }
+    var hub = e.select(col("src").as("node")).distinct()
+      .withColumn("hub", lit(1.0)).localCheckpoint()
+    var hubPrev = hub
+    var authLast: DataFrame = null
+    for (_ <- 1 to iterations) {
+      // ONE materialization per iteration: the auth half-step stays
+      // lazy inside the hub half-step's plan (its aggregate subtree is
+      // read twice — by the norm scalar and the hub join — and lands
+      // once via exchange reuse; the checkpoint then caps the lineage).
+      val authRaw = e.join(maybeBcast(hub), e("src") === hub("node"))
+        .groupBy(e("dst").as("node")).agg(sum(col("hub")).as("auth"))
+        .localCheckpoint()
+      if (authLast != null) cpBlocks(authLast).foreach(_.unpersist(blocking = false))
+      authLast = authRaw
+      val authN = l2normalize(authRaw, "auth")
+      val hubRaw = e.join(maybeBcast(authN), e("dst") === authN("node"))
+        .groupBy(e("src").as("node")).agg(sum(col("auth")).as("hub"))
+        .localCheckpoint()
+      cpBlocks(hubPrev).foreach(_.unpersist(blocking = false))
+      hubPrev = hubRaw
+      hub = l2normalize(hubRaw, "hub")
+    }
+    val out = nodes
+      .join(hub.withColumnRenamed("node", "__hn"), col("node") === col("__hn"), "left")
+      .join(l2normalize(authLast, "auth").withColumnRenamed("node", "__an"),
+        col("node") === col("__an"), "left")
+      .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub"),
+        coalesce(col("auth"), lit(0.0)).as("auth"))
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
+  /** Synchronous label-propagation community detection (LPA), fixed
+    * iteration count. Each node adopts the most frequent label among
+    * its NEIGHBORS (classic LPA — a node's own label only persists
+    * through isolation), ties broken by the SMALLEST label, so every
+    * round is deterministic and the oracle replays it as unrolled
+    * CTEs. Labels start as the node's own id.
+    *
+    * Per round: one labels ⋈ edges equi-join, a (node, label) count
+    * aggregation, a per-node max via one partitioned window, and a
+    * min-label tie-break aggregation — every shuffle is on the node
+    * key, nothing is quadratic in degree, and rounds are
+    * `localCheckpoint`ed with superseded blocks freed (the file's
+    * shared lineage discipline). A fixed small iteration count is the
+    * production form: convergence-detected async LPA is
+    * schedule-dependent, which the driver contract (and any rerun-
+    * stable pipeline) cannot tolerate.
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct().cache()
+    val nodes = und.select(col("src").as("node")).distinct().cache()
+    val n = nodes.count()
+    // label frames are node-sized (~100 B/row): broadcast them into the
+    // edge join under the same 64 MB cap as [[pageRank]]'s rank frames
+    val bcast = n * 100L < 64L * 1024 * 1024
+    def maybeBcast(df: DataFrame) = if (bcast) broadcast(df) else df
+    def cpBlocks(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val neigh = und.join(maybeBcast(labels), und("dst") === labels("node"))
+        .groupBy(und("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val maxed = neigh.withColumn("mx",
+          max(col("cnt")).over(Window.partitionBy(col("node"))))
+        .filter(col("cnt") === col("mx"))
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+      val next = nodes.join(maxed, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+        .localCheckpoint()
+      cpBlocks(labels).foreach(_.unpersist(blocking = false))
+      labels = next
+    }
+    und.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    labels
+  }
 }

@@ -407,4 +407,66 @@ object Text {
       .withColumn("dup_ratio",
         col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
   }
+
+  /** J1-ext — exact duplicated-SPAN EXCISION, the removal step behind
+    * [[duplicatePassages]]'s signal (Lee et al. 2022 §3, ExactSubstr:
+    * a span repeated anywhere in the corpus is cut everywhere but its
+    * canonical first occurrence). Word-level `n`-gram spans stand in
+    * for the paper's 50-token suffix-array spans; the canonical keeper
+    * of a duplicated hash is its minimum (doc, position) occurrence,
+    * encoded as one bigint so the arg-min is a plain MIN aggregate
+    * (cross-engine-exact, no struct-ordering semantics involved).
+    *
+    * Returns `idCol`, `clean_text` (surviving words re-joined),
+    * `n_words`, `n_removed`. A word survives unless SOME duplicated,
+    * non-keeper span occurrence covers it.
+    *
+    * Scale shape: the corpus tokenizes ONCE into (doc, start, hash)
+    * rows — the tokenization budget, like [[duplicatePassages]] — and
+    * the only frame that ever shuffles carries hashes and integer
+    * offsets, never text. Cut lists come back to the documents as a
+    * per-doc array join (skewless: one row per doc each side), and
+    * the rebuild is a map-side higher-order filter over word
+    * positions. `posLimit` bounds in-doc positions for the keeper
+    * encoding (docs longer than that many words reject fast rather
+    * than mis-encode).
+    */
+  def removeDuplicateSpans(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, n: Int, posLimit: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = tokens(col(textCol))
+    val spans = when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - (n - 1)),
+        i => struct(i.as("i"), md5(concat_ws(" ", slice(words, i, lit(n)))).as("h"))))
+      .otherwise(array())
+    val occ = df.select(col(idCol), explode(spans).as("s"))
+      .select(col(idCol), col("s.i").as("i"), col("s.h").as("h"))
+      // in-plan fail-fast if a doc is too long for the keeper encoding
+      // (the [[Guard.maxGroupWidth]] assert-rides-the-plan idiom)
+      .filter(assert_true(col("i") <= posLimit,
+        lit(s"span position exceeds posLimit=$posLimit")).isNull)
+      .withColumn("occ_key", col(idCol).cast("long") * posLimit + col("i"))
+    // per-hash stats via ONE window pass on the hash key: total
+    // occurrences (dup iff > 1) and the canonical keeper occurrence
+    val wh = Window.partitionBy(col("h"))
+    val marked = occ
+      .withColumn("n_occ", count(lit(1)).over(wh))
+      .withColumn("keeper", min(col("occ_key")).over(wh))
+      .filter(col("n_occ") > 1 && col("occ_key") =!= col("keeper"))
+    val cuts = marked.groupBy(col(idCol))
+      .agg(collect_list(col("i")).as("cut_starts"))
+    df.join(cuts, Seq(idCol), "left")
+      .select(col(idCol), col(textCol), col("cut_starts"))
+      .withColumn("__words", words)
+      .withColumn("__cuts", coalesce(col("cut_starts"),
+        array().cast("array<int>")))
+      .withColumn("__keep",
+        filter(sequence(lit(1), size(col("__words"))),
+          p => !exists(col("__cuts"), s => p >= s && p <= s + (n - 1))))
+      .select(col(idCol),
+        concat_ws(" ", transform(col("__keep"),
+          p => element_at(col("__words"), p))).as("clean_text"),
+        size(col("__words")).cast("bigint").as("n_words"),
+        (size(col("__words")) - size(col("__keep"))).cast("bigint").as("n_removed"))
+  }
 }

@@ -1283,6 +1283,31 @@ object QAnalytics {
         .select(col("node"), round(col("pr"), 6).as("pr"))
     }),
 
+    // Fixed-iteration HITS over the DIRECTED part -> supplier edge set
+    // (hubs = parts spread across many good suppliers, authorities =
+    // suppliers stocked by many good parts). Two iterations; L2 norms
+    // are exact decimal power sums so the oracle's unrolled CTEs track
+    // the same scalars.
+    "q_hits" -> ((s, dir) => {
+      val edges = Tables(s, dir).lineitem.select(
+        concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+      Graph.hits(edges, 2)
+        .select(col("node"), round(col("hub"), 6).as("hub"),
+          round(col("auth"), 6).as("auth"))
+    }),
+
+    // Synchronous label-propagation communities (2 rounds, majority
+    // neighbor label, min-label ties) over the undirected part <->
+    // supplier graph — the community sibling of connected components:
+    // CC answers "reachable at all", LPA answers "densely attached".
+    "q_label_prop" -> ((s, dir) => {
+      val edges = Tables(s, dir).lineitem.select(
+        concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+      Graph.labelPropagation(edges, 2)
+    }),
+
     // Referential-integrity audit: orphan counts along the star's FK
     // edges via left-anti joins — the precondition the reference's
     // 4-table inner join silently assumes (PROC:173-182).
@@ -2415,6 +2440,58 @@ object QAnalytics {
                     FROM e JOIN it2 p ON p.node = e.src JOIN od ON od.src = e.src
                     GROUP BY e.dst) c ON c.node = n2.node)
           SELECT node, round(pr, 6) AS pr FROM it3""",
+    "q_hits" ->
+      """WITH e AS (SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM lineitem),
+          nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes),
+          ar1 AS (SELECT e.dst AS node, sum(h.hub) AS auth
+                  FROM e JOIN h0 h ON h.node = e.src GROUP BY e.dst),
+          an1 AS (SELECT CAST(sum(CAST(auth * auth AS DECIMAL(38,18))) AS DOUBLE) AS n2 FROM ar1),
+          a1 AS (SELECT n.node,
+                        coalesce(r.auth / sqrt((SELECT n2 FROM an1)), CAST(0.0 AS DOUBLE)) AS auth
+                 FROM nodes n LEFT JOIN ar1 r ON r.node = n.node),
+          hr1 AS (SELECT e.src AS node, sum(a.auth) AS hub
+                  FROM e JOIN a1 a ON a.node = e.dst GROUP BY e.src),
+          hn1 AS (SELECT CAST(sum(CAST(hub * hub AS DECIMAL(38,18))) AS DOUBLE) AS n2 FROM hr1),
+          h1 AS (SELECT n.node,
+                        coalesce(r.hub / sqrt((SELECT n2 FROM hn1)), CAST(0.0 AS DOUBLE)) AS hub
+                 FROM nodes n LEFT JOIN hr1 r ON r.node = n.node),
+          ar2 AS (SELECT e.dst AS node, sum(h.hub) AS auth
+                  FROM e JOIN h1 h ON h.node = e.src GROUP BY e.dst),
+          an2 AS (SELECT CAST(sum(CAST(auth * auth AS DECIMAL(38,18))) AS DOUBLE) AS n2 FROM ar2),
+          a2 AS (SELECT n.node,
+                        coalesce(r.auth / sqrt((SELECT n2 FROM an2)), CAST(0.0 AS DOUBLE)) AS auth
+                 FROM nodes n LEFT JOIN ar2 r ON r.node = n.node),
+          hr2 AS (SELECT e.src AS node, sum(a.auth) AS hub
+                  FROM e JOIN a2 a ON a.node = e.dst GROUP BY e.src),
+          hn2 AS (SELECT CAST(sum(CAST(hub * hub AS DECIMAL(38,18))) AS DOUBLE) AS n2 FROM hr2),
+          h2 AS (SELECT n.node,
+                        coalesce(r.hub / sqrt((SELECT n2 FROM hn2)), CAST(0.0 AS DOUBLE)) AS hub
+                 FROM nodes n LEFT JOIN hr2 r ON r.node = n.node)
+          SELECT h2.node, round(h2.hub, 6) AS hub, round(a2.auth, 6) AS auth
+          FROM h2 JOIN a2 ON a2.node = h2.node""",
+    "q_label_prop" ->
+      """WITH p AS (SELECT DISTINCT 'p' || l_partkey AS a, 's' || l_suppkey AS b FROM lineitem),
+          e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+          nodes AS (SELECT DISTINCT src AS node FROM e),
+          l0 AS (SELECT node, node AS label FROM nodes),
+          n1 AS (SELECT e.src AS node, l.label, count(*) AS cnt
+                 FROM e JOIN l0 l ON l.node = e.dst GROUP BY 1, 2),
+          m1 AS (SELECT node, min(label) AS label FROM (
+                   SELECT node, label, cnt, max(cnt) OVER (PARTITION BY node) AS mx
+                   FROM n1) x
+                 WHERE cnt = mx GROUP BY node),
+          l1 AS (SELECT n.node, coalesce(m.label, n.node) AS label
+                 FROM nodes n LEFT JOIN m1 m ON m.node = n.node),
+          n2 AS (SELECT e.src AS node, l.label, count(*) AS cnt
+                 FROM e JOIN l1 l ON l.node = e.dst GROUP BY 1, 2),
+          m2 AS (SELECT node, min(label) AS label FROM (
+                   SELECT node, label, cnt, max(cnt) OVER (PARTITION BY node) AS mx
+                   FROM n2) x
+                 WHERE cnt = mx GROUP BY node),
+          l2 AS (SELECT n.node, coalesce(m.label, n.node) AS label
+                 FROM nodes n LEFT JOIN m2 m ON m.node = n.node)
+          SELECT node, label FROM l2""",
     "q_fk_audit" ->
       """SELECT 'lineitem->orders' AS fk, count(*) AS n_orphans
          FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)

@@ -380,6 +380,29 @@ object QSimilarity {
         .select(col("vec_id"), col("pos"),
           ((col("fx").cast("double") / lit(Scalars.fxScale) - mean) /
             sqrt(ex2 - mean * mean)).as("z"))
+    }),
+
+    // J2-ext — Johnson-Lindenstrauss random projection 64 -> 16 dims
+    // with a SEED-DERIVED ±1 sign matrix (md5 parity of "rp_<i>_<j>"):
+    // no trained matrix to store or ship — any executor (and the
+    // oracle) regenerates it from the key strings. Map-only: 16 native
+    // codegen'd dot kernels per row, zero shuffles at any scale. The
+    // oracle re-derives the SAME signs from DuckDB's md5 and replays
+    // the sequential double fold, so projections are hash-exact
+    // unrounded (the q_cosine_topk parity precedent).
+    "q_random_projection" -> ((s, dir) => {
+      val d = VectorExpressions.dot _
+      val ys = (0 until 16).map { j =>
+        val signs: Seq[Float] = (0 until 64).map { i =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"rp_${i}_${j}".getBytes("UTF-8"))
+          if (((md(0) >> 4) & 0xf) < 8) 1.0f else -1.0f
+        }
+        d(col("embedding"), typedlit(signs))
+      }
+      Tables(s, dir).embeddings
+        .select(col("vec_id"), posexplode(array(ys: _*)).as(Seq("j", "y")))
+        .select(col("vec_id"), col("j").cast("bigint").as("j"), col("y"))
     })
   )
 
@@ -671,6 +694,17 @@ object QSimilarity {
                         - (CAST(s AS DOUBLE) / 9007199254740992.0 / CAST(n AS DOUBLE))
                           * (CAST(s AS DOUBLE) / 9007199254740992.0 / CAST(n AS DOUBLE)))
                  AS DOUBLE) AS z
-         FROM ex JOIN st USING (pos)"""
+         FROM ex JOIN st USING (pos)""",
+    "q_random_projection" ->
+      """WITH sg AS (SELECT i.range AS i, j.range AS j,
+                 CASE WHEN substr(md5('rp_' || i.range || '_' || j.range), 1, 1)
+                           BETWEEN '0' AND '7'
+                      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sgn
+               FROM range(64) i, range(16) j),
+          s AS (SELECT j, list(sgn ORDER BY i) AS sv FROM sg GROUP BY j)
+          SELECT vec_id, CAST(j AS BIGINT) AS j,
+                 list_sum(list_transform(range(1, 65),
+                   i -> CAST(embedding[i] AS DOUBLE) * sv[i])) AS y
+          FROM embeddings, s"""
   )
 }

@@ -633,6 +633,79 @@ object QText {
         graft.expressions.NormalizeExpressions.canon(
           concat(lit("Héllo Wörld ÆØÅ ñ Çédille STRASSE ß "), col("text")))
           .as("canon_text"))
+    }),
+
+    // J1-ext — exact duplicated-span EXCISION (the removal step behind
+    // q_dup_passages' signal): every 15-gram span repeated anywhere in
+    // the corpus is cut everywhere but its canonical first occurrence,
+    // and documents are re-emitted with the surviving words. The
+    // oracle replays hashing, keeper election and the positional cut
+    // in DuckDB list lambdas.
+    "q_span_removal" -> ((s, dir) => {
+      Text.removeDuplicateSpans(Tables(s, dir).documents, "text", "doc_id", 15)
+    }),
+
+    // J3-ext — bigram language model with add-k smoothing (k=0.5):
+    // P(w2|w1) = (c(w1,w2)+k)/(c(w1)+k·V) over the whole corpus, top-3
+    // next tokens per context for contexts seen ≥100 times. One
+    // explode+groupBy shuffle whose width is the bigram vocabulary;
+    // context totals come from a window over the SAME grouping key (no
+    // rejoin), V is a broadcast one-row aggregate, and the top-3 cut
+    // runs on the native heap operator. Smoothed probabilities are
+    // exact-integer ratios, so the oracle is hash-exact unrounded.
+    "q_ngram_lm" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ss = Text.tokens(col("text"))
+      val pairs = Tables(s, dir).documents.select(explode(zip_with(
+          slice(ss, lit(1), greatest(size(ss) - 1, lit(0))),
+          slice(ss, lit(2), greatest(size(ss) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val bigc = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      // V from the aggregated frame (same distinct set, vocab-sized
+      // input) — NOT a second pass over the corpus token stream
+      val v = bigc.agg(count_distinct(col("w2")).as("v"))
+      val big = bigc
+        .withColumn("c1", sum(col("c2")).over(Window.partitionBy(col("w1"))))
+        .filter(col("c1") >= 100)
+        .join(broadcast(v))
+        .withColumn("p",
+          (col("c2") + lit(0.5)) / (col("c1") + lit(0.5) * col("v")))
+        .select(col("w1"), col("w2"), col("c2"), col("c1"), col("p"))
+      graft.plans.NativeOps.topKPerGroup(big, Seq("w1"),
+        Seq(("p", false), ("w2", true)), 3)
+    }),
+
+    // J3-ext — BM25 ranking (k1=1.2, b=0.75) for a fixed keyword
+    // query, with the RATIONAL idf variant (N−df+0.5)/(df+0.5): the
+    // standard log-idf is monotone in this ratio, so top-k order is
+    // preserved while the score stays a pure IEEE-division expression
+    // both engines compute bit-identically (no libm log). Term
+    // frequencies are map-side array filters (the corpus never
+    // shuffles); N/avgdl/df come from ONE broadcast one-row aggregate;
+    // ranking is a TakeOrdered top-20.
+    "q_bm25" -> ((s, dir) => {
+      val terms = Seq("filter", "merge", "vector")
+      val w = Text.tokens(col("text"))
+      val tf = Tables(s, dir).documents.select(
+        col("doc_id") +: size(w).cast("bigint").as("dl") +:
+          terms.map(t =>
+            size(filter(w, x => x === t)).cast("bigint").as(s"tf_$t")): _*)
+      val statCols = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+        terms.map(t => sum((col(s"tf_$t") > 0).cast("bigint")).as(s"df_$t"))
+      val stats = tf.agg(statCols.head, statCols.tail: _*)
+      val scored = tf.join(broadcast(stats))
+        .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      val score = terms.map { t =>
+        val tfc = col(s"tf_$t"); val dfc = col(s"df_$t")
+        ((col("n_docs") - dfc + lit(0.5)) / (dfc + lit(0.5))) *
+          ((tfc * lit(2.2)) /
+            (tfc + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+      }.reduceLeft(_ + _)
+      scored.select(
+          (col("doc_id") +: col("dl") +: terms.map(t => col(s"tf_$t")))
+            :+ score.as("score"): _*)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(20)
     })
   )
 
@@ -1237,6 +1310,74 @@ object QText {
                  CAST(SUM(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
                  CAST(SUM(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END) AS DOUBLE)
                    / count(*) AS dup_ratio
-          FROM g GROUP BY doc_id"""
+          FROM g GROUP BY doc_id""",
+    "q_span_removal" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          occ AS (SELECT doc_id,
+                         unnest(range(1, greatest(len(w) - 14, 0) + 1)) AS i,
+                         unnest(list_transform(range(1, greatest(len(w) - 14, 0) + 1),
+                                i -> md5(array_to_string(w[i:i+14], ' ')))) AS h
+                  FROM w),
+          k AS (SELECT h, count(*) AS n_occ,
+                       min(doc_id * 1000000 + i) AS keeper
+                FROM occ GROUP BY h),
+          cut AS (SELECT doc_id, list(i) AS cuts
+                  FROM occ JOIN k USING (h)
+                  WHERE k.n_occ > 1 AND occ.doc_id * 1000000 + occ.i <> k.keeper
+                  GROUP BY doc_id)
+          SELECT doc_id,
+                 coalesce(array_to_string(list_transform(keep, p -> w[p]), ' '), '') AS clean_text,
+                 CAST(len(w) AS BIGINT) AS n_words,
+                 CAST(len(w) - len(keep) AS BIGINT) AS n_removed
+          FROM (SELECT w.doc_id, w.w,
+                       list_filter(range(1, len(w.w) + 1),
+                         p -> len(list_filter(coalesce(c.cuts, []),
+                                s -> p >= s AND p <= s + 14)) = 0) AS keep
+                FROM w LEFT JOIN cut c USING (doc_id))""",
+    "q_ngram_lm" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+          pr AS (SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2 FROM w),
+          v AS (SELECT count(DISTINCT w2) AS v FROM pr),
+          big AS (SELECT w1, w2, count(*) AS c2 FROM pr GROUP BY 1, 2),
+          ctx AS (SELECT w1, w2, CAST(c2 AS BIGINT) AS c2,
+                         CAST(sum(c2) OVER (PARTITION BY w1) AS BIGINT) AS c1
+                  FROM big)
+          SELECT w1, w2, c2, c1,
+                 (c2 + CAST(0.5 AS DOUBLE)) /
+                   (c1 + CAST(0.5 AS DOUBLE) * (SELECT v FROM v)) AS p
+          FROM ctx WHERE c1 >= 100
+          QUALIFY row_number() OVER (PARTITION BY w1 ORDER BY p DESC, w2) <= 3""",
+    "q_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+                       CAST(len(list_filter(w, x -> x = 'filter')) AS BIGINT) AS tf_filter,
+                       CAST(len(list_filter(w, x -> x = 'merge')) AS BIGINT) AS tf_merge,
+                       CAST(len(list_filter(w, x -> x = 'vector')) AS BIGINT) AS tf_vector
+                FROM d),
+          g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS sum_dl,
+                       CAST(sum(CASE WHEN tf_filter > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_filter,
+                       CAST(sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_merge,
+                       CAST(sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_vector
+                FROM t),
+          s AS (SELECT doc_id, dl, tf_filter, tf_merge, tf_vector,
+                       CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl,
+                       n_docs, df_filter, df_merge, df_vector
+                FROM t, g)
+          SELECT doc_id, dl, tf_filter, tf_merge, tf_vector,
+                 ((n_docs - df_filter + CAST(0.5 AS DOUBLE)) / (df_filter + CAST(0.5 AS DOUBLE))) *
+                   ((tf_filter * CAST(2.2 AS DOUBLE)) /
+                     (tf_filter + CAST(1.2 AS DOUBLE) *
+                       (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (dl / avgdl)))) +
+                 ((n_docs - df_merge + CAST(0.5 AS DOUBLE)) / (df_merge + CAST(0.5 AS DOUBLE))) *
+                   ((tf_merge * CAST(2.2 AS DOUBLE)) /
+                     (tf_merge + CAST(1.2 AS DOUBLE) *
+                       (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (dl / avgdl)))) +
+                 ((n_docs - df_vector + CAST(0.5 AS DOUBLE)) / (df_vector + CAST(0.5 AS DOUBLE))) *
+                   ((tf_vector * CAST(2.2 AS DOUBLE)) /
+                     (tf_vector + CAST(1.2 AS DOUBLE) *
+                       (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (dl / avgdl)))) AS score
+          FROM s
+          ORDER BY score DESC, doc_id ASC LIMIT 20"""
   )
 }

@@ -578,6 +578,61 @@ class OpsSpec extends SparkSpec {
     assert(got == ((5L, 7L, 4L)))
   }
 
+  test("hits: one-iteration star, hand-computed normalized scores") {
+    // a,b,c -> x -> y: x is the authority (in-degree 3), y gets x's
+    // single link; a/b/c are equal hubs pointing at the big authority.
+    val edges = Seq(("a", "x"), ("b", "x"), ("c", "x"), ("x", "y"))
+      .toDF("src", "dst")
+    val got = Graph.hits(edges, 1)
+      .as[(String, Double, Double)].collect()
+      .map { case (n, h, a) => n -> ((h, a)) }.toMap
+    val s10 = math.sqrt(10.0) // auth norm: sqrt(3^2 + 1^2)
+    val aX = 3.0 / s10; val aY = 1.0 / s10
+    val hn = math.sqrt(3 * aX * aX + aY * aY) // hub norm after 1 round
+    def close(x: Double, y: Double) = math.abs(x - y) < 1e-12
+    assert(close(got("x")._2, aX) && close(got("y")._2, aY))
+    assert(got("a")._2 == 0.0 && got("b")._2 == 0.0 && got("c")._2 == 0.0)
+    assert(close(got("a")._1, aX / hn) && close(got("b")._1, aX / hn) &&
+      close(got("c")._1, aX / hn) && close(got("x")._1, aY / hn))
+    assert(got("y")._1 == 0.0)
+    // both score vectors leave normalized: sum of squares = 1
+    val sumSq = (f: ((Double, Double)) => Double) =>
+      got.values.map(v => f(v) * f(v)).sum
+    assert(close(sumSq(_._1), 1.0) && close(sumSq(_._2), 1.0))
+  }
+
+  test("labelPropagation: two triangles over a bridge, 2 hand-traced rounds") {
+    // triangle abc + triangle def + bridge c-d. Round 1 sends every
+    // node to its min neighbor; round 2 consolidates abc on 'a' while
+    // d keeps the majority 'd' from e/f and e/f tie down to 'c'
+    // through the bridge-polluted d — the exact synchronous trace.
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")).toDF("src", "dst")
+    val one = Graph.labelPropagation(edges, 1)
+      .as[(String, String)].collect().toMap
+    assert(one == Map("a" -> "b", "b" -> "a", "c" -> "a",
+      "d" -> "c", "e" -> "d", "f" -> "d"))
+    val two = Graph.labelPropagation(edges, 2)
+      .as[(String, String)].collect().toMap
+    assert(two == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "c", "f" -> "c"))
+  }
+
+  test("removeDuplicateSpans: keeper survives, cross-doc and in-doc cuts") {
+    val docs = Seq((1L, "x y z a b"), (2L, "q x y z w"),
+      (3L, "r r r r"), (4L, "u v")).toDF("doc_id", "text")
+    val got = Text.removeDuplicateSpans(docs, "text", "doc_id", 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map { case (id, t, w, r) => id -> ((t, w, r)) }.toMap
+    // doc 1 holds the canonical "x y z" (min (doc,pos)) -> untouched;
+    // doc 2 loses positions 2-4; doc 3's self-repeat keeps only the
+    // first word; doc 4 is span-free.
+    assert(got(1L) == (("x y z a b", 5L, 0L)))
+    assert(got(2L) == (("q w", 5L, 3L)))
+    assert(got(3L) == (("r", 4L, 3L)))
+    assert(got(4L) == (("u v", 2L, 0L)))
+  }
+
   test("kCore: cascading peel reaches the 2-core; round bound binds") {
     // K3 (a,b,c) with a tail c-d-e: e has degree 1, peeling it drops d
     // to 1, so the 2-core is exactly the triangle — but only after TWO
