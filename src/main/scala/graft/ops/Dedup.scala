@@ -624,4 +624,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("n_inter").cast("double") / col("n_union").cast("double")).as("jaccard"))
   }
+
+  /** J1/J2-ext — WEIGHTED sparse document similarity: cosine over
+    * tf·idf vectors, the retrieval-grade sibling of the set-based
+    * [[ngramJaccardPairs]]/[[prefixJaccardJoin]] (Jaccard treats "the"
+    * and a rare entity as equally informative; tf·idf does not).
+    *
+    * Semantics: vectors live in the STOPWORD-PRUNED term space — terms
+    * with document frequency > `maxDf` are dropped BEFORE weighting,
+    * and both the dot products and the norms use the pruned vectors,
+    * so the output is the true cosine of what was compared (not an
+    * underestimate against full-vector norms). idf is the rational
+    * N/df (no libm log — the [[graft.queries.QText]] BM25 precedent):
+    * monotone in the standard idf, so ranking/thresholding semantics
+    * survive while every weight stays an exact-integer IEEE ratio.
+    *
+    * Scale shape: ONE tokenization pass into (doc, term, tf) rows; df
+    * is a term-level aggregate of that frame (never a corpus rescan);
+    * candidates come from the inverted-index self-join on the term key
+    * whose fan-out `maxDf` caps per posting list — the standard
+    * posting-length cut. Per-pair dot products and per-doc norms
+    * accumulate as DECIMAL(38,18) power sums (order-independent, the
+    * repo's moment discipline), so the oracle hash-matches unrounded.
+    */
+  def tfidfCosinePairs(df: DataFrame, textCol: String, idCol: String,
+      maxDf: Long, minCosine: Double): DataFrame = {
+    val tf = Par.widen(df)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("t"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("tf"))
+    val n = df.sparkSession.range(1).select(lit(df.count()).as("n")) // bounded: one scalar
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val wt = tf.join(dfreq, Seq("t")).join(broadcast(n))
+      .select(col(idCol), col("t"),
+        (col("tf") * (col("n").cast("double") / col("df").cast("double")))
+          .as("wgt"))
+    val norms = wt.groupBy(col(idCol))
+      .agg(sqrt(sum((col("wgt") * col("wgt")).cast("decimal(38,18)"))
+        .cast("double")).as("nrm"))
+    val dots = wt.select(col(idCol).as("id_a"), col("t"), col("wgt").as("w_a"))
+      .join(wt.select(col(idCol).as("id_b"), col("t"), col("wgt").as("w_b")),
+        Seq("t"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum((col("w_a") * col("w_b")).cast("decimal(38,18)"))
+        .cast("double").as("dotp"))
+    dots
+      .join(norms.select(col(idCol).as("id_a"), col("nrm").as("n_a")), Seq("id_a"))
+      .join(norms.select(col(idCol).as("id_b"), col("nrm").as("n_b")), Seq("id_b"))
+      .withColumn("cos", col("dotp") / (col("n_a") * col("n_b")))
+      .filter(col("cos") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
 }

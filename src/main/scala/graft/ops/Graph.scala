@@ -283,10 +283,12 @@ object Graph {
   def hits(edges: DataFrame, iterations: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .filter(col("src") =!= col("dst")).cache()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
-    val n = nodes.count() // materialize the caches once, before the loop
-    val bcast = n * 100L < 64L * 1024 * 1024
+    // node count ≤ 2·edges: the broadcast cap decision only needs an
+    // upper bound, so no separate node-universe frame is built — the
+    // output's hub ∪ auth full-outer merge already spans every node
+    // (each node has an out-edge → hub side, or an in-edge → auth side)
+    val nE = e.count() // materializes the cache once, before the loop
+    val bcast = 2L * nE * 100L < 64L * 1024 * 1024
     def maybeBcast(df: DataFrame) = if (bcast) broadcast(df) else df
     def cpBlocks(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
@@ -305,36 +307,36 @@ object Graph {
       raw.join(broadcast(n2))
         .select(col("node"), (col(c) / sqrt(col("__n2"))).as(c))
     }
+    // ONE materialization per iteration (the hub frame): the auth
+    // half-step stays lazy inside the hub half-step's plan — its
+    // aggregate exchange is read by both the norm scalar and the hub
+    // join and lands once via exchange reuse; the checkpoint then caps
+    // the lineage. The final output re-derives the last auth from the
+    // PREVIOUS hub checkpoint (one extra join+agg), so a two-deep hub
+    // history must stay alive until the caller's action.
     var hub = e.select(col("src").as("node")).distinct()
       .withColumn("hub", lit(1.0)).localCheckpoint()
-    var hubPrev = hub
+    var hubPrev: DataFrame = null
     var authLast: DataFrame = null
     for (_ <- 1 to iterations) {
-      // ONE materialization per iteration: the auth half-step stays
-      // lazy inside the hub half-step's plan (its aggregate subtree is
-      // read twice — by the norm scalar and the hub join — and lands
-      // once via exchange reuse; the checkpoint then caps the lineage).
       val authRaw = e.join(maybeBcast(hub), e("src") === hub("node"))
         .groupBy(e("dst").as("node")).agg(sum(col("hub")).as("auth"))
-        .localCheckpoint()
-      if (authLast != null) cpBlocks(authLast).foreach(_.unpersist(blocking = false))
       authLast = authRaw
       val authN = l2normalize(authRaw, "auth")
       val hubRaw = e.join(maybeBcast(authN), e("dst") === authN("node"))
         .groupBy(e("src").as("node")).agg(sum(col("auth")).as("hub"))
         .localCheckpoint()
-      cpBlocks(hubPrev).foreach(_.unpersist(blocking = false))
-      hubPrev = hubRaw
+      if (hubPrev != null) cpBlocks(hubPrev).foreach(_.unpersist(blocking = false))
+      hubPrev = hub // still referenced by authLast — freed next round
       hub = l2normalize(hubRaw, "hub")
     }
-    val out = nodes
-      .join(hub.withColumnRenamed("node", "__hn"), col("node") === col("__hn"), "left")
+    val out = hub
       .join(l2normalize(authLast, "auth").withColumnRenamed("node", "__an"),
-        col("node") === col("__an"), "left")
-      .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub"),
+        col("node") === col("__an"), "full_outer")
+      .select(coalesce(col("node"), col("__an")).as("node"),
+        coalesce(col("hub"), lit(0.0)).as("hub"),
         coalesce(col("auth"), lit(0.0)).as("auth"))
     e.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
     out
   }
 
@@ -387,5 +389,55 @@ object Graph {
     und.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     labels
+  }
+
+  /** Bipartite neighborhood-Jaccard k-NN graph (link prediction /
+    * similarity-graph construction): two nodes are similar when their
+    * ATTRIBUTE sets overlap — J(a,b) = |A_a ∩ A_b| / |A_a ∪ A_b| —
+    * and each node keeps its `k` best matches (jaccard desc, id asc:
+    * fully deterministic ranks). The top-k form is the scale-portable
+    * contract: a fixed similarity threshold is meaningless across data
+    * sizes (co-occurrence degrees grow linearly with volume, so any
+    * cut saturates to everything or nothing), while "k nearest per
+    * node" has SF-invariant output size — it is how k-NN graphs for
+    * clustering/label-propagation stages are actually built.
+    *
+    * Scale shape: candidate pairs are generated ONLY through shared
+    * attributes (the inverted-index wedge self-join — never node ×
+    * node), so cost is Σ_attr fanout², bounded by the ENFORCED
+    * per-attribute fanout contract ([[Guard.maxGroupWidth]] fails fast
+    * naming the offending attribute — the [[triangleCount]] /
+    * basket-lift discipline) instead of silently exploding on a
+    * ubiquitous attribute. The wedge stream carries ids only; degrees
+    * are node-sized and join AFTER the pair-count aggregation. The
+    * distinct (node, attr) projection is localCheckpoint'ed because it
+    * feeds the degree agg and both wedge sides — without it the
+    * upstream distinct re-executes three times (the [[triangleCount]]
+    * lesson).
+    */
+  def bipartiteJaccardTopK(rel: DataFrame, nodeCol: String, attrCol: String,
+      k: Int, maxAttrFanout: Long): DataFrame = {
+    val sp = Guard.maxGroupWidth(
+        rel.select(col(nodeCol).as("node"), col(attrCol).as("attr")).distinct(),
+        Seq("attr"), maxAttrFanout)
+      .localCheckpoint()
+    val deg = sp.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val cand = sp.select(col("attr"), col("node").as("a"))
+      .join(sp.select(col("attr"), col("node").as("b")), Seq("attr"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    val j = cand
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("deg_a") + col("deg_b") - col("common")).cast("double"))
+    val sym = j.select(col("a").as("node"), col("b").as("other"),
+        col("common"), col("jaccard"))
+      .unionAll(j.select(col("b").as("node"), col("a").as("other"),
+        col("common"), col("jaccard")))
+    Aggregates.topKPerGroup(sym, Seq("node"),
+        Seq(col("jaccard").desc, col("other").asc), k)
+      .select(col("node"), col("other"), col("common"), col("jaccard"),
+        col("rn").cast("bigint").as("rn"))
   }
 }

@@ -469,4 +469,35 @@ object Text {
         size(col("__words")).cast("bigint").as("n_words"),
         (size(col("__words")) - size(col("__keep"))).cast("bigint").as("n_removed"))
   }
+
+  /** J1-ext — per-document n-gram NOVELTY: the fraction of a doc's
+    * distinct word n-gram shingles whose corpus-wide FIRST occurrence
+    * (minimum doc id — ids are ingestion order) is this document. The
+    * curation complement of [[duplicatePassages]]: that scores how much
+    * of a doc is duplicated ANYWHERE; novelty scores how much the doc
+    * adds over everything BEFORE it — the marginal-value signal a
+    * data-mixture pipeline sorts on when deciding what to keep from a
+    * new crawl snapshot (near-zero novelty ⇒ the snapshot re-crawled
+    * what the corpus already has).
+    *
+    * Scale shape: one shingle pass ([[graft.ops.Dedup.shingles]] —
+    * explode is the only row expansion over the corpus), one shuffle
+    * keyed by shingle for the min-id window, one re-aggregation keyed
+    * by doc. Every shuffle after the explode carries (shingle, id)
+    * only — text never moves twice.
+    */
+  def ngramNovelty(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Dedup.shingles(df, textCol, idCol, n)
+      .withColumn("first_doc",
+        min(col(idCol)).over(Window.partitionBy(col("shingle"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col(idCol), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+  }
 }

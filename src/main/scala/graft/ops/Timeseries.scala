@@ -133,4 +133,52 @@ object Timeseries {
             (col("next_t") - col("prev_t")).cast("double")))
         .as("v_interp"))
   }
+
+  /** Lag-k autocorrelation (ACF) per series — the seasonality / drift
+    * diagnostic: r_k = Σ_t (x_t − μ)(x_{t−k} − μ) / Σ_t (x_t − μ)²
+    * for k = 1..`maxLag`, with the FULL-series mean and variance
+    * (the standard estimator). Lags are ARITHMETIC on the time axis
+    * (`ordCol` difference == k), not row adjacency: a missing bucket
+    * drops its pairs identically in both engines, instead of silently
+    * shifting a row-based `lag` window across the gap.
+    *
+    * Scale shape: ONE equi-join on the series key with a bounded
+    * time-difference predicate replaces maxLag constant-offset window
+    * passes; group width is series length — the bounded-series
+    * contract of the Theil–Sen/basket-lift family, enforced by the
+    * caller via [[Guard.maxGroupWidth]].
+    *
+    * Exactness: everything aggregates as INTEGER power sums (Σx, Σx²,
+    * Σx_t·x_{t−k}, Σ(x_t+x_{t−k}), pair counts — requires an integral
+    * `valCol`), which are order-independent with no rounding at all;
+    * the mean-centered form is recovered algebraically at the END in
+    * one fixed double expression tree (König-Huygens expansion), so
+    * both engines emit bit-identical doubles. Centering per row
+    * BEFORE summation (the naive form) rounds (x−μ) products per term
+    * and hash-diverges in the last ulp.
+    */
+  def acf(series: DataFrame, keyCol: String, ordCol: String, valCol: String,
+      maxLag: Int): DataFrame = {
+    val st = series.groupBy(col(keyCol)).agg(
+      sum(col(valCol)).as("s"), count(lit(1)).as("cnt"),
+      sum(col(valCol) * col(valCol)).as("sxx2"))
+    val x = series.select(col(keyCol), col(ordCol).as("t"),
+      col(valCol).as("xv"))
+    val y = series.select(col(keyCol).as("__k"), col(ordCol).as("tl"),
+      col(valCol).as("xl"))
+    val pairs = x.join(y,
+        x(keyCol) === y("__k") &&
+          (col("t") - col("tl")) >= 1 && (col("t") - col("tl")) <= maxLag)
+      .groupBy(col(keyCol), (col("t") - col("tl")).as("lag"))
+      .agg(sum(col("xv") * col("xl")).as("sxy"),
+        sum(col("xv") + col("xl")).as("sp"),
+        count(lit(1)).as("np"))
+    pairs.join(st, Seq(keyCol))
+      .withColumn("mu", col("s").cast("double") / col("cnt").cast("double"))
+      .select(col(keyCol), col("lag").cast("bigint").as("lag"),
+        ((col("sxy").cast("double") - col("mu") * col("sp").cast("double") +
+            col("np").cast("double") * col("mu") * col("mu")) /
+          (col("sxx2").cast("double") -
+            col("cnt").cast("double") * col("mu") * col("mu"))).as("acf"))
+  }
 }

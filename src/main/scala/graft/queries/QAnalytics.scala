@@ -538,6 +538,34 @@ object QAnalytics {
         .select(col("b"), col("other"), col("cosine"), col("rn").cast("bigint").as("rn"))
     }),
 
+    // Bipartite neighborhood-Jaccard k-NN graph: each supplier's 5
+    // most similar suppliers by Jaccard overlap of their shipped-part
+    // portfolios (link prediction / similarity-graph construction —
+    // the SET-overlap sibling of q_item_similarity's co-occurrence
+    // cosine). Top-k per node is the scale-portable contract: any
+    // fixed threshold saturates as co-occurrence degrees grow with
+    // data volume. Candidates only through shared parts (inverted-
+    // index wedge, per-part fanout ENFORCED by Guard), degrees join
+    // after the pair-count aggregation.
+    "q_bipartite_jaccard" -> ((s, dir) =>
+      Graph.bipartiteJaccardTopK(
+        Tables(s, dir).lineitem
+          .select(col("l_suppkey").as("node"), col("l_partkey").as("attr")),
+        "node", "attr", k = 5, maxAttrFanout = 500L)),
+
+    // Lag-1..3 autocorrelation of the daily event count per event
+    // type (ACF — the seasonality/drift diagnostic next to q_theil_sen
+    // on the same daily series). Time-arithmetic lags via one bounded
+    // self-join, decimal-exact cross sums, full-series mean/variance.
+    "q_autocorr" -> ((s, dir) => {
+      val daily = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          expr("CAST(ts_ns DIV 86400000000000 AS BIGINT)").as("day"))
+        .agg(count(lit(1)).as("n"))
+      Timeseries.acf(Guard.maxGroupWidth(daily, Seq("event_type"), 5000L),
+        "event_type", "day", "n", maxLag = 3)
+    }),
+
     // Top session paths (the sankey/flow input): first 3 event types
     // of each 30-min session concatenated, sessions counted per path.
     // Sessionize + ranking ride ONE (user)-shuffled sort; the path agg
@@ -1285,13 +1313,16 @@ object QAnalytics {
 
     // Fixed-iteration HITS over the DIRECTED part -> supplier edge set
     // (hubs = parts spread across many good suppliers, authorities =
-    // suppliers stocked by many good parts). Two iterations; L2 norms
-    // are exact decimal power sums so the oracle's unrolled CTEs track
-    // the same scalars.
+    // suppliers stocked by many good parts), anchored on the CURRENT
+    // YEAR's shipments (the filter reaches the parquet scan as a
+    // PushedFilter). Two iterations; L2 norms are exact decimal power
+    // sums so the oracle's unrolled CTEs track the same scalars.
     "q_hits" -> ((s, dir) => {
-      val edges = Tables(s, dir).lineitem.select(
-        concat(lit("p"), col("l_partkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+      val edges = Tables(s, dir).lineitem
+        .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+        .select(
+          concat(lit("p"), col("l_partkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
       Graph.hits(edges, 2)
         .select(col("node"), round(col("hub"), 6).as("hub"),
           round(col("auth"), 6).as("auth"))
@@ -1299,12 +1330,15 @@ object QAnalytics {
 
     // Synchronous label-propagation communities (2 rounds, majority
     // neighbor label, min-label ties) over the undirected part <->
-    // supplier graph — the community sibling of connected components:
-    // CC answers "reachable at all", LPA answers "densely attached".
+    // supplier graph of the current year — the community sibling of
+    // connected components: CC answers "reachable at all", LPA answers
+    // "densely attached".
     "q_label_prop" -> ((s, dir) => {
-      val edges = Tables(s, dir).lineitem.select(
-        concat(lit("p"), col("l_partkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+      val edges = Tables(s, dir).lineitem
+        .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+        .select(
+          concat(lit("p"), col("l_partkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
       Graph.labelPropagation(edges, 2)
     }),
 
@@ -1832,6 +1866,49 @@ object QAnalytics {
                             ORDER BY cosine DESC, other) AS rn
                 FROM sc)
          SELECT b, other, cosine, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 3""",
+    "q_bipartite_jaccard" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS node, l_partkey AS attr
+                     FROM lineitem),
+          deg AS (SELECT node, count(*) AS deg FROM sp GROUP BY 1),
+          cand AS (SELECT x.node AS a, y.node AS b, count(*) AS common
+                   FROM sp x JOIN sp y ON x.attr = y.attr AND x.node < y.node
+                   GROUP BY 1, 2),
+          j AS (SELECT a, b, common,
+                       CAST(common AS DOUBLE) /
+                         CAST(da.deg + db.deg - common AS DOUBLE) AS jaccard
+                FROM cand JOIN deg da ON da.node = cand.a
+                          JOIN deg db ON db.node = cand.b),
+          sym AS (SELECT a AS node, b AS other, common, jaccard FROM j
+                  UNION ALL SELECT b, a, common, jaccard FROM j),
+          r AS (SELECT *, row_number() OVER (PARTITION BY node
+                            ORDER BY jaccard DESC, other) AS rn
+                FROM sym)
+          SELECT node, other, common, jaccard, CAST(rn AS BIGINT) AS rn
+          FROM r WHERE rn <= 5""",
+    "q_autocorr" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                               count(*) AS n
+                        FROM events GROUP BY 1, 2),
+          st AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS s,
+                        count(*) AS cnt, CAST(sum(n * n) AS BIGINT) AS sxx2
+                 FROM daily GROUP BY 1),
+          pr AS (SELECT x.event_type, x.day - y.day AS lag,
+                        CAST(sum(x.n * y.n) AS BIGINT) AS sxy,
+                        CAST(sum(x.n + y.n) AS BIGINT) AS sp,
+                        count(*) AS np
+                 FROM daily x
+                 JOIN daily y ON x.event_type = y.event_type
+                             AND x.day - y.day BETWEEN 1 AND 3
+                 GROUP BY 1, 2),
+          m AS (SELECT pr.*, st.sxx2, st.cnt,
+                       CAST(st.s AS DOUBLE) / CAST(st.cnt AS DOUBLE) AS mu
+                FROM pr JOIN st ON st.event_type = pr.event_type)
+          SELECT event_type, CAST(lag AS BIGINT) AS lag,
+                 (CAST(sxy AS DOUBLE) - mu * CAST(sp AS DOUBLE) +
+                    CAST(np AS DOUBLE) * mu * mu) /
+                 (CAST(sxx2 AS DOUBLE) -
+                    CAST(cnt AS DOUBLE) * mu * mu) AS acf
+          FROM m""",
     "q_event_paths" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events),
           l AS (SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
@@ -2441,7 +2518,8 @@ object QAnalytics {
                     GROUP BY e.dst) c ON c.node = n2.node)
           SELECT node, round(pr, 6) AS pr FROM it3""",
     "q_hits" ->
-      """WITH e AS (SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM lineitem),
+      """WITH e AS (SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst
+                  FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01'),
           nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
           h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes),
           ar1 AS (SELECT e.dst AS node, sum(h.hub) AS auth
@@ -2471,7 +2549,8 @@ object QAnalytics {
           SELECT h2.node, round(h2.hub, 6) AS hub, round(a2.auth, 6) AS auth
           FROM h2 JOIN a2 ON a2.node = h2.node""",
     "q_label_prop" ->
-      """WITH p AS (SELECT DISTINCT 'p' || l_partkey AS a, 's' || l_suppkey AS b FROM lineitem),
+      """WITH p AS (SELECT DISTINCT 'p' || l_partkey AS a, 's' || l_suppkey AS b
+                  FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01'),
           e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
           nodes AS (SELECT DISTINCT src AS node FROM e),
           l0 AS (SELECT node, node AS label FROM nodes),

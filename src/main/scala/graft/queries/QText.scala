@@ -676,6 +676,20 @@ object QText {
         Seq(("p", false), ("w2", true)), 3)
     }),
 
+    // J1/J2-ext — weighted sparse similarity: tf·idf cosine pairs in
+    // the stopword-pruned term space (df ≤ N/10 — a RELATIVE cut:
+    // absolute posting caps don't survive scale-up, document
+    // frequencies grow linearly with the corpus), rational idf N/df,
+    // decimal-exact dot/norm power sums — the retrieval-grade
+    // complement to the set-based Jaccard families. Inverted-index
+    // self-join capped by the posting-length cut; hash-exact
+    // UNROUNDED.
+    "q_tfidf_cosine" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      Dedup.tfidfCosinePairs(d, "text", "doc_id",
+        maxDf = d.count() / 10, minCosine = 0.3)
+    }),
+
     // J3-ext — BM25 ranking (k1=1.2, b=0.75) for a fixed keyword
     // query, with the RATIONAL idf variant (N−df+0.5)/(df+0.5): the
     // standard log-idf is monotone in this ratio, so top-k order is
@@ -706,7 +720,83 @@ object QText {
           (col("doc_id") +: col("dl") +: terms.map(t => col(s"tf_$t")))
             :+ score.as("score"): _*)
         .orderBy(col("score").desc, col("doc_id").asc).limit(20)
-    })
+    }),
+
+    // J3-ext — PMI co-occurrence statistics (the GloVe/word2vec-style
+    // corpus association build): unordered token pairs within a ±3
+    // word window, scored by the RATIONAL PMI ratio
+    // P(a,b)/(P(a)P(b)) = c_ab·N / (c_a·c_b) — log-PMI is monotone in
+    // it, so ranking/thresholding survive while the score stays an
+    // exact-integer IEEE division. Pair generation is MAP-SIDE
+    // (per-offset zip_with over the token array — the token stream is
+    // never self-joined, never shuffled raw); the only shuffles carry
+    // (pair-key, count) and (token, count). Unordered normal form via
+    // in-expression min/max keeps one row per pair.
+    "q_cooccurrence_pmi" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val ws = Text.tokens(col("text"))
+      def pairsAt(d: Int) = zip_with(
+        slice(ws, lit(1), greatest(size(ws) - d, lit(0))),
+        slice(ws, lit(1 + d), greatest(size(ws) - d, lit(0))),
+        (a, b) => when(a <= b, concat(a, lit("|"), b))
+          .otherwise(concat(b, lit("|"), a)))
+      val pairs = docs
+        .select(explode(flatten(array(pairsAt(1), pairsAt(2), pairsAt(3))))
+          .as("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 30)
+      val tot = docs.agg(sum(size(ws)).cast("bigint").as("n"))
+      val uni = docs.select(explode(ws).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      pairs
+        .withColumn("w1", split(col("pk"), "\\|").getItem(0))
+        .withColumn("w2", split(col("pk"), "\\|").getItem(1))
+        .join(uni.select(col("t").as("w1"), col("c").as("ca")), Seq("w1"))
+        .join(uni.select(col("t").as("w2"), col("c").as("cb")), Seq("w2"))
+        .join(broadcast(tot))
+        .select(col("w1"), col("w2"), col("cab"),
+          (col("cab").cast("double") * col("n").cast("double") /
+            (col("ca") * col("cb")).cast("double")).as("pmi_ratio"))
+    }),
+
+    // J3-ext — chi-square term KEYNESS: which vocabulary distinguishes
+    // the English slice from the rest of the corpus (corpus-linguistics
+    // keyword extraction; the mixture-monitoring sibling of q_psi —
+    // "did this source drift?" asked at the term level). 2×2
+    // term-vs-group contingency per term, χ² = N·(ad−bc)² /
+    // ((a+b)(c+d)·na·nb) — all counts integer, the squared delta
+    // widened to double BEFORE squaring (bigint would overflow at
+    // corpus scale), every factor an exact small-int conversion, so
+    // both engines compute the identical IEEE value. One corpus
+    // tokenization; totals fold from the vocab-sized count frame (no
+    // second scan).
+    "q_term_keyness" -> ((s, dir) => {
+      val tok = Tables(s, dir).documents
+        .select((col("lang") === "en").cast("int").as("grp"),
+          explode(Text.tokens(col("text"))).as("w"))
+      val cnt0 = tok.groupBy(col("w")).agg(
+        sum(col("grp")).cast("bigint").as("a"),
+        sum(lit(1) - col("grp")).cast("bigint").as("b"))
+      val tot = cnt0.agg(sum(col("a")).cast("bigint").as("na"),
+        sum(col("b")).cast("bigint").as("nb"))
+      cnt0.filter(col("a") + col("b") >= 20)
+        .join(broadcast(tot))
+        .withColumn("delta",
+          (col("a") * (col("nb") - col("b")) -
+            col("b") * (col("na") - col("a"))).cast("double"))
+        .select(col("w"), col("a").as("cnt_en"), col("b").as("cnt_rest"),
+          ((col("na") + col("nb")).cast("double") * col("delta") * col("delta") /
+            (((col("a") + col("b")) *
+              (col("na") + col("nb") - col("a") - col("b"))).cast("double") *
+             (col("na") * col("nb")).cast("double"))).as("chi2"))
+    }),
+
+    // J1-ext — per-document n-gram novelty: share of a doc's distinct
+    // 3-gram shingles first seen in THIS doc (min doc id over the
+    // corpus) — the marginal-value signal for crawl-snapshot triage,
+    // dual of q_dup_passages' duplication share.
+    "q_ngram_novelty" -> ((s, dir) =>
+      Text.ngramNovelty(Tables(s, dir).documents, "text", "doc_id", 3))
   )
 
   private val shingleCte =
@@ -1347,6 +1437,24 @@ object QText {
                    (c1 + CAST(0.5 AS DOUBLE) * (SELECT v FROM v)) AS p
           FROM ctx WHERE c1 >= 100
           QUALIFY row_number() OVER (PARTITION BY w1 ORDER BY p DESC, w2) <= 3""",
+    "q_tfidf_cosine" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+          tf AS (SELECT doc_id, t, count(*) AS tf FROM w GROUP BY 1, 2),
+          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+          dfr AS (SELECT t, count(*) AS df FROM tf GROUP BY t
+                  HAVING count(*) <= (SELECT n FROM nn) // 10),
+          wt AS (SELECT doc_id, tf.t,
+                        tf.tf * (CAST((SELECT n FROM nn) AS DOUBLE) / CAST(dfr.df AS DOUBLE)) AS wgt
+                 FROM tf JOIN dfr ON dfr.t = tf.t),
+          nr AS (SELECT doc_id, sqrt(CAST(sum(CAST(wgt * wgt AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+                 FROM wt GROUP BY doc_id),
+          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(sum(CAST(a.wgt * b.wgt AS DECIMAL(38,18))) AS DOUBLE) AS dotp
+                FROM wt a JOIN wt b ON a.t = b.t AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+          SELECT id_a, id_b, dotp / (na.nrm * nb.nrm) AS cos
+          FROM p JOIN nr na ON na.doc_id = p.id_a JOIN nr nb ON nb.doc_id = p.id_b
+          WHERE dotp / (na.nrm * nb.nrm) >= 0.3""",
     "q_bm25" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
           t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
@@ -1378,6 +1486,58 @@ object QText {
                      (tf_vector + CAST(1.2 AS DOUBLE) *
                        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (dl / avgdl)))) AS score
           FROM s
-          ORDER BY score DESC, doc_id ASC LIMIT 20"""
+          ORDER BY score DESC, doc_id ASC LIMIT 20""",
+    "q_cooccurrence_pmi" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+          pk AS (
+            SELECT unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+              i -> CASE WHEN ws[i] <= ws[i+1] THEN ws[i] || '|' || ws[i+1]
+                        ELSE ws[i+1] || '|' || ws[i] END)) AS pk FROM w
+            UNION ALL
+            SELECT unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+              i -> CASE WHEN ws[i] <= ws[i+2] THEN ws[i] || '|' || ws[i+2]
+                        ELSE ws[i+2] || '|' || ws[i] END)) FROM w
+            UNION ALL
+            SELECT unnest(list_transform(range(1, greatest(len(ws) - 3, 0) + 1),
+              i -> CASE WHEN ws[i] <= ws[i+3] THEN ws[i] || '|' || ws[i+3]
+                        ELSE ws[i+3] || '|' || ws[i] END)) FROM w),
+          tot AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS n FROM w),
+          uni AS (SELECT t, count(*) AS c
+                  FROM (SELECT unnest(ws) AS t FROM w) GROUP BY 1),
+          pairs AS (SELECT pk, count(*) AS cab FROM pk GROUP BY 1
+                    HAVING count(*) >= 30)
+          SELECT string_split(pk, '|')[1] AS w1, string_split(pk, '|')[2] AS w2,
+                 cab,
+                 CAST(cab AS DOUBLE) * CAST((SELECT n FROM tot) AS DOUBLE) /
+                   CAST(ua.c * ub.c AS DOUBLE) AS pmi_ratio
+          FROM pairs JOIN uni ua ON ua.t = string_split(pk, '|')[1]
+                     JOIN uni ub ON ub.t = string_split(pk, '|')[2]""",
+    "q_term_keyness" ->
+      """WITH tok AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp,
+                             unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+          cnt0 AS (SELECT w, CAST(sum(grp) AS BIGINT) AS a,
+                          CAST(sum(1 - grp) AS BIGINT) AS b
+                   FROM tok GROUP BY 1),
+          tot AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+                         CAST(sum(b) AS BIGINT) AS nb FROM cnt0)
+          SELECT w, a AS cnt_en, b AS cnt_rest,
+                 CAST(na + nb AS DOUBLE) *
+                   CAST(a * (nb - b) - b * (na - a) AS DOUBLE) *
+                   CAST(a * (nb - b) - b * (na - a) AS DOUBLE) /
+                 (CAST((a + b) * (na + nb - a - b) AS DOUBLE) *
+                  CAST(na * nb AS DOUBLE)) AS chi2
+          FROM cnt0, tot WHERE a + b >= 20""",
+    "q_ngram_novelty" ->
+      s"""WITH $shingleCte,
+          fd AS (SELECT doc_id,
+                        min(doc_id) OVER (PARTITION BY shingle) AS first_doc
+                 FROM sh)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                 CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_novel,
+                 CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+          FROM fd GROUP BY doc_id"""
   )
 }

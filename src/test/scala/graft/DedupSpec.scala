@@ -274,4 +274,23 @@ class DedupSpec extends SparkSpec {
     assert(fp(1L) == fp(3L))
     assert(fp(1L) != fp(2L)) // reordering changes a rolling hash
   }
+
+  test("tfidfCosinePairs: identical docs ~1, df cut drops stopword-only overlap") {
+    // docs 1/2 identical; 3 shares ONLY the ubiquitous 'the' with
+    // them (df cut at 2 removes it — no candidate pair at all);
+    // 4 half-overlaps 1 in rare terms -> strictly between 0 and 1.
+    val docs = Seq(
+      (1L, "the alpha beta gamma"), (2L, "the alpha beta gamma"),
+      (3L, "the zeta eta theta"), (4L, "the alpha beta iota")
+    ).toDF("doc_id", "text")
+    val got = Dedup.tfidfCosinePairs(docs, "text", "doc_id",
+        maxDf = 3L, minCosine = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(math.abs(got((1L, 2L)) - 1.0) < 1e-12)
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)) &&
+      !got.contains((3L, 4L)))
+    val c14 = got((1L, 4L))
+    assert(c14 > 0.0 && c14 < 1.0 && math.abs(got((2L, 4L)) - c14) < 1e-15)
+  }
 }

@@ -719,4 +719,56 @@ class OpsSpec extends SparkSpec {
       causes(e).map(c => Option(c.getMessage).getOrElse(""))
         .exists(m => m.contains("group width exceeds 1") && m.contains("(a)")))
   }
+
+  test("acf: hand-computed lag-1/2 values; gapped bucket drops its pairs") {
+    // series k=[1,2,3,4] at t=1..4: mu=2.5, Sxx=5.0,
+    // Sxy(1)=1.25 -> r1=0.25; Sxy(2)=(3-2.5)(1-2.5)+(4-2.5)(2-2.5)=-1.5 -> r2=-0.3
+    val s = Seq(("k", 1L, 1L), ("k", 2L, 2L), ("k", 3L, 3L), ("k", 4L, 4L))
+      .toDF("g", "t", "v")
+    val got = Timeseries.acf(s, "g", "t", "v", 2)
+      .as[(String, Long, Double)].collect()
+      .map { case (_, l, a) => l -> a }.toMap
+    assert(math.abs(got(1L) - 0.25) < 1e-15 && math.abs(got(2L) + 0.3) < 1e-15)
+    // remove t=2: lag-1 pairs are only (4,3) and... (3,2)/(2,1) gone ->
+    // arithmetic lag sees the GAP (row-lag would silently bridge it)
+    val gapped = s.filter($"t" =!= 2L)
+    val g2 = Timeseries.acf(gapped, "g", "t", "v", 1)
+      .as[(String, Long, Double)].collect()
+    // pairs at lag 1: only (4,3); mu=8/3, Sxx=(1-8/3)^2+(3-8/3)^2+(4-8/3)^2
+    val mu = 8.0 / 3
+    val sxx = (1 - mu) * (1 - mu) + (3 - mu) * (3 - mu) + (4 - mu) * (4 - mu)
+    assert(g2.length == 1 &&
+      math.abs(g2.head._3 - (4 - mu) * (3 - mu) / sxx) < 1e-12)
+  }
+
+  test("bipartiteJaccardTopK: hand-computed jaccard, ranks, fanout guard") {
+    // attrs: s1={p1,p2,p3}, s2={p2,p3}, s3={p3,p4}: J(1,2)=2/3,
+    // J(1,3)=1/4, J(2,3)=1/3; duplicate (node,attr) rows collapse
+    val rel = Seq((1L, "p1"), (1L, "p2"), (1L, "p3"), (1L, "p3"),
+      (2L, "p2"), (2L, "p3"), (3L, "p3"), (3L, "p4")).toDF("n", "p")
+    val got = Graph.bipartiteJaccardTopK(rel, "n", "p", k = 1, 10L)
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 2L, 2.0 / 3)) && got(2L) == ((1L, 2L, 2.0 / 3)))
+    assert(got(3L) == ((2L, 1L, 1.0 / 3))) // beats J(1,3)=0.25
+    val e = intercept[Exception] {
+      Graph.bipartiteJaccardTopK(rel, "n", "p", 1, 2L).count()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).map(c => Option(c.getMessage).getOrElse(""))
+      .exists(_.contains("group width exceeds 2"))) // p3 has fanout 3
+  }
+
+  test("ngramNovelty: first doc fully novel, exact dup fully stale") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c x y"))
+      .toDF("doc_id", "text")
+    val got = Text.ngramNovelty(docs, "text", "doc_id", 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 3L, 1.0))) // 3 distinct shingles, all first here
+    assert(got(2L) == ((3L, 0L, 0.0))) // exact dup of doc 1: nothing new
+    // doc 3: shingles {abc, bcx, cxy}; only abc was seen before
+    assert(got(3L) == ((3L, 2L, 2.0 / 3)))
+  }
 }

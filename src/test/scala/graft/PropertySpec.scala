@@ -387,4 +387,47 @@ class PropertySpec extends SparkSpec {
     assert((batched.head._2, batched.head._3, batched.head._5) ==
       (single._2, single._3, single._5))
   }
+
+  test("JL projection is exactly 2-homogeneous: proj(2a) == 2*proj(a) bitwise") {
+    // ±1 signs and a power-of-two scale: every product and partial sum
+    // doubles EXACTLY in binary floats, so the projection must too —
+    // any deviation means the kernel reordered or widened differently.
+    val sf = "/root/testdata/sf0.001"
+    val q = graft.queries.QSimilarity.queries("q_random_projection")
+    val base = q(spark, sf).as[(Long, Long, Double)].collect()
+      .map { case (id, j, y) => (id, j) -> y }.toMap
+    val q2 = graft.Tables(spark, sf).embeddings
+      .select($"vec_id", transform($"embedding", x => x * lit(2.0f)).as("embedding"))
+    // re-run the same projection expression over the doubled vectors
+    val proj2 = {
+      import graft.expressions.VectorExpressions
+      val d = VectorExpressions.dot _
+      val ys = (0 until 16).map { j =>
+        val signs: Seq[Float] = (0 until 64).map { i =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"rp_${i}_${j}".getBytes("UTF-8"))
+          if (((md(0) >> 4) & 0xf) < 8) 1.0f else -1.0f
+        }
+        d(col("embedding"), typedlit(signs))
+      }
+      q2.select(col("vec_id"), posexplode(array(ys: _*)).as(Seq("j", "y")))
+        .select(col("vec_id"), col("j").cast("bigint").as("j"), col("y"))
+    }.as[(Long, Long, Double)].collect()
+    proj2.foreach { case (id, j, y) =>
+      assert(y == 2.0 * base((id, j)), s"vec $id dim $j: $y vs ${base((id, j))}")
+    }
+  }
+
+  test("removeDuplicateSpans conserves words: n_removed == n_words - words(clean)") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.QText.queries("q_span_removal")(spark, sf)
+      .as[(Long, String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, clean, nw, nr) =>
+      assert(nr >= 0 && nr <= nw, s"doc $id: removed $nr of $nw")
+      if (clean.nonEmpty) // "" is ambiguous: 0 kept words or 1 empty token
+        assert(nw - nr == clean.split(" ", -1).length,
+          s"doc $id: $nw - $nr != kept words")
+    }
+  }
 }
