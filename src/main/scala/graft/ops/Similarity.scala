@@ -478,4 +478,54 @@ object Similarity {
     def bufferEncoder = Encoders.tuple(Encoders.kryo[Array[Double]], Encoders.scalaLong)
     def outputEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
+
+  /** One k-means Lloyd iteration over the coarse quantizer — the
+    * TRAINING step behind the IVF family ([[ivfAssign]] consumes the
+    * centroids an iterated version of this produces). Assignment is
+    * the map-only inlined-centroid argmin (zero joins, zero shuffles
+    * over the corpus — [[ivfAssign]]'s kernel); ONE (cluster, dim)
+    * aggregation then recomputes every centroid coordinate as the
+    * decimal-exact mean of its members, so the corpus is scanned
+    * EXACTLY ONCE (the within-cluster sum of squares rides the same
+    * exploded frame instead of a second pass).
+    *
+    * Returns per-cluster step diagnostics — member count, WCSS (the
+    * k-means objective), and squared centroid shift (the convergence
+    * signal a training loop watches) — as decimal sums rounded to 6
+    * decimals: double→decimal conversion rounds differently in the
+    * last ulp across engines (Spark goes through the shortest-repr
+    * BigDecimal, DuckDB through the exact binary expansion), so the
+    * raw 18-digit sums differ ~1e-16 relative; round(…, 6) is the
+    * [[graft.ops.Graph.pageRank]] oracle contract for exactly this.
+    * The old centroid coordinates ride in as a driver-built k×d frame
+    * (bounded by the IVF contract: k small, d fixed).
+    */
+  def kmeansStep(df: DataFrame, vecCol: String, idCol: String,
+      centroids: DataFrame, cVecCol: String, cIdCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = collectCentroids(centroids, cVecCol, cIdCol)
+    val oldc = cents.flatMap { case (cid, vec) =>
+      vec.zipWithIndex.map { case (v, i) => (cid, i, v.toDouble) }
+    }.toDF("cluster_id", "i", "c")
+    val assigned = df.withColumn("__best", assignExpr(vecCol, cents))
+      .select(col("__best.cid").as("cluster_id"),
+        col("__best.dist2").as("dist2"), col(vecCol).as("__v"))
+    val per = assigned
+      .select(col("cluster_id"), col("dist2"),
+        posexplode(col("__v")).as(Seq("i", "x")))
+      .groupBy(col("cluster_id"), col("i"))
+      .agg(sum(col("x").cast("double").cast("decimal(38,18)")).as("sx"),
+        count(lit(1)).as("nn"),
+        sum(col("dist2").cast("decimal(38,18)")).as("sd"))
+    per.join(broadcast(oldc), Seq("cluster_id", "i"))
+      .withColumn("m", col("sx").cast("double") / col("nn").cast("double"))
+      .groupBy(col("cluster_id"))
+      .agg(max(col("nn")).as("n_assigned"),
+        // sd is the SAME decimal value for every dim row of a cluster
+        // (each member's dist2 lands once per dim) — max picks it
+        round(max(col("sd")).cast("double"), 6).as("wcss"),
+        round(sum(((col("m") - col("c")) * (col("m") - col("c")))
+          .cast("decimal(38,18)")).cast("double"), 6).as("shift2"))
+  }
 }

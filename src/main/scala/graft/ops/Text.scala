@@ -166,7 +166,7 @@ object Text {
     * fold there keeps the distributed plan free of empty-PARTITION-BY
     * windows — [[Guard]] stays strict with zero exemptions.
     */
-  private def bandOffsets(banded: org.apache.spark.sql.DataFrame,
+  private[graft] def bandOffsets(banded: org.apache.spark.sql.DataFrame,
       bandCol: String, totalOf: Column): org.apache.spark.sql.DataFrame = {
     val spark = banded.sparkSession
     import spark.implicits._

@@ -566,6 +566,43 @@ object QAnalytics {
         "event_type", "day", "n", maxLag = 3)
     }),
 
+    // Two-sample Kolmogorov–Smirnov distance between the English and
+    // non-English document-length distributions (distribution-drift
+    // testing — the nonparametric sibling of q_psi/q_chi_square).
+    // D = max_v |F1(v) − F2(v)| stays EXACT-INTEGER to the end:
+    // |r1·n2 − r2·n1| is maximized as a bigint and divided by n1·n2
+    // once. The running ECDFs need a global cumulative order — done
+    // WITHOUT an empty-PARTITION-BY window via the corpus-shuffle
+    // discipline: value-range bands (fixed-width zero-padded so
+    // lexicographic band order == numeric), within-band running sums,
+    // and driver-folded band offsets (the band frame is ≤ a few dozen
+    // rows by construction).
+    "q_ks_test" -> ((s, dir) => {
+      val cnt = Tables(s, dir).documents
+        .select((col("lang") === "en").cast("bigint").as("g"),
+          col("n_chars").as("v"))
+        .groupBy(col("v"))
+        .agg(sum(col("g")).as("c1"), sum(lit(1) - col("g")).as("c2"))
+        .withColumn("band", format_string("%08d", (col("v") / 64).cast("int")))
+      val wb = Window.partitionBy(col("band")).orderBy(col("v"))
+      val run = cnt
+        .withColumn("b1", sum(col("c1")).over(wb))
+        .withColumn("b2", sum(col("c2")).over(wb))
+      val o1 = Text.bandOffsets(cnt, "band", sum(col("c1")))
+        .withColumnRenamed("band_offset", "o1")
+      val o2 = Text.bandOffsets(cnt, "band", sum(col("c2")))
+        .withColumnRenamed("band_offset", "o2")
+      val tot = cnt.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      run.join(broadcast(o1), Seq("band")).join(broadcast(o2), Seq("band"))
+        .select((col("b1") + col("o1")).as("r1"), (col("b2") + col("o2")).as("r2"))
+        .join(broadcast(tot))
+        .groupBy(col("n1"), col("n2"))
+        .agg(max(abs(col("r1") * col("n2") - col("r2") * col("n1"))).as("d_num"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          (col("d_num").cast("double") / (col("n1") * col("n2")).cast("double"))
+            .as("d_stat"))
+    }),
+
     // Top session paths (the sankey/flow input): first 3 event types
     // of each 30-min session concatenated, sessions counted per path.
     // Sessionize + ranking ride ONE (user)-shuffled sort; the path agg
@@ -1909,6 +1946,21 @@ object QAnalytics {
                  (CAST(sxx2 AS DOUBLE) -
                     CAST(cnt AS DOUBLE) * mu * mu) AS acf
           FROM m""",
+    "q_ks_test" ->
+      """WITH d AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g,
+                           n_chars AS v FROM documents),
+          cnt AS (SELECT v, CAST(sum(g) AS BIGINT) AS c1,
+                         CAST(sum(1 - g) AS BIGINT) AS c2
+                  FROM d GROUP BY 1),
+          run AS (SELECT v, CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS r1,
+                         CAST(sum(c2) OVER (ORDER BY v) AS BIGINT) AS r2
+                  FROM cnt),
+          tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                         CAST(sum(c2) AS BIGINT) AS n2 FROM cnt)
+          SELECT n1, n2, max(abs(r1 * n2 - r2 * n1)) AS d_num,
+                 CAST(max(abs(r1 * n2 - r2 * n1)) AS DOUBLE) /
+                   CAST(n1 * n2 AS DOUBLE) AS d_stat
+          FROM run, tot GROUP BY n1, n2""",
     "q_event_paths" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events),
           l AS (SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev

@@ -227,6 +227,17 @@ object QSimilarity {
         "embedding", "vec_id", centroids, "cvec", "cid")
     }),
 
+    // One k-means Lloyd iteration on the seeded coarse quantizer —
+    // the IVF TRAINING step: map-only argmin assignment, ONE
+    // (cluster, dim) aggregation for the new means, WCSS + squared
+    // centroid shift riding the same single corpus scan. Exact
+    // decimal sums -> hash-exact unrounded diagnostics.
+    "q_kmeans_step" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Similarity.kmeansStep(emb.select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", seedCentroids(emb), "cvec", "cid")
+    }),
+
     // IVF probe search — the ANN scale path end-to-end: map-only
     // cluster assignment, prune to the nprobe=2 clusters nearest the
     // query, cosine top-k over survivors only. Each query touches
@@ -612,6 +623,36 @@ object QSimilarity {
                    row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
             FROM dists)
           SELECT vec_id, cid AS cluster_id, dist2 FROM ranked WHERE rn = 1""",
+    "q_kmeans_step" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+          dists AS (
+            SELECT e.vec_id, c.cid,
+                   list_sum(list_transform(range(1, len(e.embedding) + 1),
+                     i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                        * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))) AS dist2
+            FROM embeddings e CROSS JOIN c),
+          ranked AS (
+            SELECT vec_id, cid, dist2,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+            FROM dists),
+          a AS (SELECT vec_id, cid AS cluster_id, dist2 FROM ranked WHERE rn = 1),
+          ex AS (SELECT a.cluster_id, a.dist2, ii.i,
+                        CAST(e.embedding[ii.i + 1] AS DOUBLE) AS x
+                 FROM a JOIN embeddings e USING (vec_id)
+                 CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ii),
+          per AS (SELECT cluster_id, i,
+                         sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,18))) AS sx,
+                         count(*) AS nn,
+                         sum(CAST(dist2 AS DECIMAL(38,18))) AS sd
+                  FROM ex GROUP BY 1, 2),
+          m AS (SELECT per.*, CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE) AS m,
+                       CAST(c.cvec[per.i + 1] AS DOUBLE) AS oc
+                FROM per JOIN c ON c.cid = per.cluster_id)
+          SELECT cluster_id, max(nn) AS n_assigned,
+                 round(CAST(max(sd) AS DOUBLE), 6) AS wcss,
+                 round(CAST(sum(CAST((m - oc) * (m - oc) AS DECIMAL(38,18)))
+                            AS DOUBLE), 6) AS shift2
+          FROM m GROUP BY cluster_id""",
     "q_ivf_search" -> ivfSearchSql,
     "q_ivf_search_pruned" -> ivfSearchSql,
     "q_ann_recall" ->

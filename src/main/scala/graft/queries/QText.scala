@@ -796,7 +796,35 @@ object QText {
     // corpus) — the marginal-value signal for crawl-snapshot triage,
     // dual of q_dup_passages' duplication share.
     "q_ngram_novelty" -> ((s, dir) =>
-      Text.ngramNovelty(Tables(s, dir).documents, "text", "doc_id", 3))
+      Text.ngramNovelty(Tables(s, dir).documents, "text", "doc_id", 3)),
+
+    // J3-ext — TextRank keyword scores (Mihalcea & Tarau 2004):
+    // PageRank over the word co-occurrence graph (±2 window, unordered
+    // pairs seen ≥ 30 times, self-loops dropped) — the graph-centrality
+    // keyword extractor, composed ENTIRELY from existing operators:
+    // the PMI demo's map-side pair generation feeds [[Graph.pageRank]]
+    // unchanged (map-side zip_with pairs -> one (pair,count) shuffle
+    // -> bounded iterative rank). round(…, 6) absorbs the double
+    // sum-order ulps exactly as q_pagerank's oracle contract does.
+    "q_textrank" -> ((s, dir) => {
+      val ws = Text.tokens(col("text"))
+      def pairsAt(d: Int) = zip_with(
+        slice(ws, lit(1), greatest(size(ws) - d, lit(0))),
+        slice(ws, lit(1 + d), greatest(size(ws) - d, lit(0))),
+        (a, b) => when(a <= b, concat(a, lit("|"), b))
+          .otherwise(concat(b, lit("|"), a)))
+      val und = Tables(s, dir).documents
+        .select(explode(flatten(array(pairsAt(1), pairsAt(2)))).as("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 30)
+        .select(split(col("pk"), "\\|").getItem(0).as("w1"),
+          split(col("pk"), "\\|").getItem(1).as("w2"))
+        .filter(col("w1") =!= col("w2"))
+      val edges = und.select(col("w1").as("src"), col("w2").as("dst"))
+        .unionByName(und.select(col("w2").as("src"), col("w1").as("dst")))
+      graft.ops.Graph.pageRank(edges, 3)
+        .select(col("node"), round(col("pr"), 6).as("pr"))
+    })
   )
 
   private val shingleCte =
@@ -1538,6 +1566,49 @@ object QText {
                       AS BIGINT) AS n_novel,
                  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
                       AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
-          FROM fd GROUP BY doc_id"""
+          FROM fd GROUP BY doc_id""",
+    "q_textrank" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+          pk AS (
+            SELECT unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+              i -> CASE WHEN ws[i] <= ws[i+1] THEN ws[i] || '|' || ws[i+1]
+                        ELSE ws[i+1] || '|' || ws[i] END)) AS pk FROM w
+            UNION ALL
+            SELECT unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+              i -> CASE WHEN ws[i] <= ws[i+2] THEN ws[i] || '|' || ws[i+2]
+                        ELSE ws[i+2] || '|' || ws[i] END)) FROM w),
+          und AS (SELECT string_split(pk, '|')[1] AS w1,
+                         string_split(pk, '|')[2] AS w2
+                  FROM (SELECT pk, count(*) AS cab FROM pk GROUP BY 1
+                        HAVING count(*) >= 30)
+                  WHERE string_split(pk, '|')[1] <> string_split(pk, '|')[2]),
+          e AS (SELECT w1 AS src, w2 AS dst FROM und
+                UNION ALL SELECT w2, w1 FROM und),
+          nodes AS (SELECT DISTINCT src AS node FROM e),
+          prm AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+          od AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
+          pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM prm) AS pr FROM nodes),
+          it1 AS (SELECT n2.node,
+                         CAST(0.15 AS DOUBLE) / (SELECT n FROM prm) +
+                           CAST(0.85 AS DOUBLE) * COALESCE(c.inc, 0.0) AS pr
+                  FROM nodes n2 LEFT JOIN (
+                    SELECT e.dst AS node, sum(p.pr / od.outdeg) AS inc
+                    FROM e JOIN pr0 p ON p.node = e.src JOIN od ON od.src = e.src
+                    GROUP BY e.dst) c ON c.node = n2.node),
+          it2 AS (SELECT n2.node,
+                         CAST(0.15 AS DOUBLE) / (SELECT n FROM prm) +
+                           CAST(0.85 AS DOUBLE) * COALESCE(c.inc, 0.0) AS pr
+                  FROM nodes n2 LEFT JOIN (
+                    SELECT e.dst AS node, sum(p.pr / od.outdeg) AS inc
+                    FROM e JOIN it1 p ON p.node = e.src JOIN od ON od.src = e.src
+                    GROUP BY e.dst) c ON c.node = n2.node),
+          it3 AS (SELECT n2.node,
+                         CAST(0.15 AS DOUBLE) / (SELECT n FROM prm) +
+                           CAST(0.85 AS DOUBLE) * COALESCE(c.inc, 0.0) AS pr
+                  FROM nodes n2 LEFT JOIN (
+                    SELECT e.dst AS node, sum(p.pr / od.outdeg) AS inc
+                    FROM e JOIN it2 p ON p.node = e.src JOIN od ON od.src = e.src
+                    GROUP BY e.dst) c ON c.node = n2.node)
+          SELECT node, round(pr, 6) AS pr FROM it3"""
   )
 }

@@ -760,6 +760,20 @@ class OpsSpec extends SparkSpec {
       .exists(_.contains("group width exceeds 2"))) // p3 has fanout 3
   }
 
+  test("kmeansStep: hand-computed means, wcss, shift on two 2-D clusters") {
+    // c0=(0,0), c1=(10,10); members: c0 <- (0,0),(0,2); c1 <- (10,10),(10,8)
+    // new means (0,1)/(10,9): shift2 = 1.0 each; wcss = 0+4 = 4 each
+    val pts = Seq((0L, Seq(0f, 0f)), (1L, Seq(0f, 2f)),
+      (2L, Seq(10f, 10f)), (3L, Seq(10f, 8f))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(0f, 0f)), (1L, Seq(10f, 10f)))
+      .toDF("cid", "cvec")
+    val got = Similarity.kmeansStep(pts, "embedding", "vec_id",
+        cents, "cvec", "cid")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(0L) == ((2L, 4.0, 1.0)) && got(1L) == ((2L, 4.0, 1.0)))
+  }
+
   test("ngramNovelty: first doc fully novel, exact dup fully stale") {
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c x y"))
       .toDF("doc_id", "text")

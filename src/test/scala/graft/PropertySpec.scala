@@ -418,6 +418,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("q_ks_test banded ECDF == naive sequential ECDF") {
+    // the query assembles the running ECDFs from value-range bands +
+    // driver-folded offsets (no empty-PARTITION-BY window in the
+    // registered plan); this law re-derives D with a naive sequential
+    // fold over the sorted counts and demands the identical integers
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.queries.QAnalytics.queries("q_ks_test")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().head
+    val cnt = graft.Tables(spark, sf).documents
+      .select(($"lang" === "en").cast("bigint").as("g"), $"n_chars".as("v"))
+      .groupBy($"v").agg(sum($"g").as("c1"), sum(lit(1) - $"g").as("c2"))
+    val rows = cnt.orderBy($"v").as[(Long, Long, Long)].collect()
+    val n1 = rows.map(_._2).sum; val n2 = rows.map(_._3).sum
+    var r1 = 0L; var r2 = 0L; var dnum = 0L
+    rows.foreach { case (_, c1, c2) =>
+      r1 += c1; r2 += c2
+      dnum = math.max(dnum, math.abs(r1 * n2 - r2 * n1))
+    }
+    assert((got._1, got._2, got._3) == ((n1, n2, dnum)))
+    assert(math.abs(got._4 - dnum.toDouble / (n1 * n2)) < 1e-15)
+  }
+
+  test("q_textrank: PageRank mass is conserved (sum pr ~ 1)") {
+    val rows = graft.queries.QText.queries("q_textrank")(
+      spark, "/root/testdata/sf0.001").as[(String, Double)].collect()
+    assert(rows.nonEmpty && math.abs(rows.map(_._2).sum - 1.0) < 1e-4)
+  }
+
   test("removeDuplicateSpans conserves words: n_removed == n_words - words(clean)") {
     val sf = "/root/testdata/sf0.001"
     val rows = graft.queries.QText.queries("q_span_removal")(spark, sf)
