@@ -79,6 +79,66 @@ object Graph {
     pr
   }
 
+  /** Personalized PageRank: the teleport mass lands ONLY on the
+    * `sources` set (uniformly) instead of every node — the
+    * neighborhood-relevance ranking recommenders and related-entity
+    * queries run ("important FROM this seed's point of view"). Same
+    * two-shuffles-per-iteration shape, broadcast cap, and
+    * localCheckpoint lineage discipline as [[pageRank]]; the per-node
+    * base term rides in the checkpointed (node, base) frame, so each
+    * round is still one join + one aggregation. pr₀ = 1/|S| on the
+    * sources, 0 elsewhere; nodes never reached within `iterations`
+    * hops report 0 (they are present in the output — callers see the
+    * full node set, as in [[pageRank]]).
+    */
+  def personalizedPageRank(edges: DataFrame, sources: DataFrame,
+      iterations: Int, damping: Double = 0.85,
+      teleport: Double = 0.15): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .withColumn("outdeg", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val n = nodes.count()
+    val src = sources.select(col("node")).distinct()
+    val nS = src.count()
+    require(nS > 0, "personalizedPageRank needs at least one source")
+    def cpBlocks(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    val bcastRanks = n * 100L < 64L * 1024 * 1024
+    val base = nodes
+      .join(broadcast(src.withColumn("__is", lit(1))), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__is").isNotNull, lit(teleport / nS)).otherwise(lit(0.0))
+          .as("base"),
+        when(col("__is").isNotNull, lit(1.0 / nS)).otherwise(lit(0.0))
+          .as("pr"))
+      .localCheckpoint()
+    var pr = base.select(col("node"), col("pr"))
+    for (it <- 1 to iterations) {
+      val ranks = if (bcastRanks) broadcast(pr) else pr
+      val contrib = e.join(ranks, e("src") === ranks("node"))
+        .select(col("dst").as("node"), (col("pr") / col("outdeg")).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("inc"))
+      val next = base.select(col("node"), col("base"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (col("base") + lit(damping) * coalesce(col("inc"), lit(0.0))).as("pr"))
+        .localCheckpoint()
+      // round 1's pr is a view OVER the base checkpoint (which every
+      // later round still reads for its base term) — only rounds ≥ 2
+      // own a superseded checkpoint to free
+      if (it > 1) cpBlocks(pr).foreach(_.unpersist(blocking = false))
+      pr = next
+    }
+    if (iterations > 0) cpBlocks(base).foreach(_.unpersist(blocking = false))
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    pr
+  }
+
   /** Multi-source BFS levels over an undirected graph: `level` =
     * shortest hop distance from any source node, explored up to
     * `maxDepth`. Per round: frontier ⋈ edges (one equi-join on the

@@ -603,6 +603,75 @@ object QAnalytics {
             .as("d_stat"))
     }),
 
+    // Mann–Whitney U (rank-sum) for the same two samples — the KS
+    // test's location-shift sibling. Average tie ranks stay EXACT:
+    // 2·R1 = Σ c1·(2·cumBefore + ties + 1) is a pure bigint sum
+    // (cumBefore over BOTH groups via the same banded running-sum
+    // discipline as q_ks_test), and U1 = (2R1 − n1(n1+1))/2 is a
+    // dyadic division — exact in doubles.
+    "q_mannwhitney" -> ((s, dir) => {
+      val cnt = Tables(s, dir).documents
+        .select((col("lang") === "en").cast("bigint").as("g"),
+          col("n_chars").as("v"))
+        .groupBy(col("v"))
+        .agg(sum(col("g")).as("c1"), sum(lit(1) - col("g")).as("c2"))
+        .withColumn("band", format_string("%08d", (col("v") / 64).cast("int")))
+      val wb = Window.partitionBy(col("band")).orderBy(col("v"))
+      val run = cnt.withColumn("bc",
+        sum(col("c1") + col("c2")).over(wb) - (col("c1") + col("c2")))
+      val ob = Text.bandOffsets(cnt, "band", sum(col("c1") + col("c2")))
+        .withColumnRenamed("band_offset", "ob")
+      val tot = cnt.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      run.join(broadcast(ob), Seq("band"))
+        .select((col("bc") + col("ob")).as("cb"), col("c1"), col("c2"))
+        .agg(sum(col("c1") *
+          (lit(2) * col("cb") + col("c1") + col("c2") + lit(1))).as("r1x2"))
+        .join(broadcast(tot))
+        .select(col("n1"), col("n2"), col("r1x2"),
+          ((col("r1x2").cast("double") -
+            (col("n1") * (col("n1") + lit(1))).cast("double")) / lit(2.0))
+            .as("u1"),
+          ((col("n1") * col("n2")).cast("double") / lit(2.0)).as("mean_u"))
+    }),
+
+    // CUPED variance reduction (controlled experiments): per-user
+    // post-period metric y adjusted by the pre-period covariate x,
+    // θ = cov(x,y)/var(x) — everything derives from INTEGER power
+    // sums (Σx, Σy, Σx², Σxy) recombined in one fixed double tree, so
+    // θ and the per-variant adjusted means are hash-exact. One shuffle
+    // on user, one vocab-sized re-aggregation on variant; the one-row
+    // stats frame broadcasts.
+    "q_cuped" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val d0 = ev.agg(min(expr("ts_ns DIV 86400000000000")).as("d0"))
+      val u = ev.join(broadcast(d0))
+        .select(col("user_id"),
+          (expr("ts_ns DIV 86400000000000") - col("d0")).as("rd"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("rd") < 15, 1L).otherwise(0L)).as("x"),
+          sum(when(col("rd") >= 15, 1L).otherwise(0L)).as("y"))
+        .withColumn("variant", (col("user_id") % 2).cast("bigint"))
+      val st = u.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      val theta =
+        (col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+        (col("n").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))
+      val meanX = col("sx").cast("double") / col("n").cast("double")
+      u.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_users"), sum(col("y")).as("syv"),
+          sum(col("x")).as("sxv"))
+        .join(broadcast(st))
+        .select(col("variant"), col("n_users"),
+          (col("syv").cast("double") / col("n_users").cast("double"))
+            .as("mean_y"),
+          (col("syv").cast("double") / col("n_users").cast("double") -
+            theta * (col("sxv").cast("double") / col("n_users").cast("double") -
+              meanX)).as("mean_y_adj"))
+    }),
+
     // Top session paths (the sankey/flow input): first 3 event types
     // of each 30-min session concatenated, sessions counted per path.
     // Sessionize + ranking ride ONE (user)-shuffled sort; the path agg
@@ -1348,6 +1417,22 @@ object QAnalytics {
         .select(col("node"), round(col("pr"), 6).as("pr"))
     }),
 
+    // Personalized PageRank from the lexicographically-first node of
+    // the same graph — relevance FROM a seed's point of view (the
+    // related-entity / recommendation ranking). Teleport mass lands
+    // only on the seed; same two-shuffle iteration shape.
+    "q_ppr" -> ((s, dir) => {
+      val pairs = Tables(s, dir).lineitem.select(
+        concat(lit("p"), col("l_partkey")).as("p"),
+        concat(lit("s"), col("l_suppkey")).as("sup")).distinct()
+      val edges = pairs.select(col("p").as("src"), col("sup").as("dst"))
+        .unionByName(pairs.select(col("sup").as("src"), col("p").as("dst")))
+      val source = edges.select(col("src").as("node"))
+        .agg(min(col("node")).as("node"))
+      Graph.personalizedPageRank(edges, source, 3)
+        .select(col("node"), round(col("pr"), 6).as("pr"))
+    }),
+
     // Fixed-iteration HITS over the DIRECTED part -> supplier edge set
     // (hubs = parts spread across many good suppliers, authorities =
     // suppliers stocked by many good parts), anchored on the CURRENT
@@ -1961,6 +2046,53 @@ object QAnalytics {
                  CAST(max(abs(r1 * n2 - r2 * n1)) AS DOUBLE) /
                    CAST(n1 * n2 AS DOUBLE) AS d_stat
           FROM run, tot GROUP BY n1, n2""",
+    "q_mannwhitney" ->
+      """WITH d AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g,
+                           n_chars AS v FROM documents),
+          cnt AS (SELECT v, CAST(sum(g) AS BIGINT) AS c1,
+                         CAST(sum(1 - g) AS BIGINT) AS c2
+                  FROM d GROUP BY 1),
+          run AS (SELECT v, c1, c2,
+                         CAST(coalesce(sum(c1 + c2) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           AS BIGINT) AS cb
+                  FROM cnt),
+          tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                         CAST(sum(c2) AS BIGINT) AS n2 FROM cnt),
+          r AS (SELECT CAST(sum(c1 * (2 * cb + c1 + c2 + 1)) AS BIGINT) AS r1x2
+                FROM run)
+          SELECT n1, n2, r1x2,
+                 (CAST(r1x2 AS DOUBLE) - CAST(n1 * (n1 + 1) AS DOUBLE)) / 2.0 AS u1,
+                 CAST(n1 * n2 AS DOUBLE) / 2.0 AS mean_u
+          FROM r, tot""",
+    "q_cuped" ->
+      """WITH d0 AS (SELECT min(epoch_us(ts) // 86400000000) AS d0 FROM events),
+          u AS (SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+                       CAST(sum(CASE WHEN epoch_us(ts) // 86400000000 -
+                                  (SELECT d0 FROM d0) < 15 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS x,
+                       CAST(sum(CASE WHEN epoch_us(ts) // 86400000000 -
+                                  (SELECT d0 FROM d0) >= 15 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS y
+                FROM events GROUP BY 1, 2),
+          st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                        CAST(sum(x * x) AS BIGINT) AS sxx,
+                        CAST(sum(x * y) AS BIGINT) AS sxy FROM u),
+          v AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+                       CAST(sum(y) AS BIGINT) AS syv,
+                       CAST(sum(x) AS BIGINT) AS sxv
+                FROM u GROUP BY 1)
+          SELECT variant, n_users,
+                 CAST(syv AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_y,
+                 CAST(syv AS DOUBLE) / CAST(n_users AS DOUBLE) -
+                   ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                       CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
+                   (CAST(sxv AS DOUBLE) / CAST(n_users AS DOUBLE) -
+                      CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS mean_y_adj
+          FROM v, st""",
     "q_event_paths" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events),
           l AS (SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
@@ -2565,6 +2697,34 @@ object QAnalytics {
                          CAST(0.15 AS DOUBLE) / (SELECT n FROM prm) +
                            CAST(0.85 AS DOUBLE) * COALESCE(c.inc, 0.0) AS pr
                   FROM nodes n2 LEFT JOIN (
+                    SELECT e.dst AS node, sum(p.pr / od.outdeg) AS inc
+                    FROM e JOIN it2 p ON p.node = e.src JOIN od ON od.src = e.src
+                    GROUP BY e.dst) c ON c.node = n2.node)
+          SELECT node, round(pr, 6) AS pr FROM it3""",
+    "q_ppr" ->
+      """WITH pairs AS (SELECT DISTINCT 'p' || l_partkey AS p, 's' || l_suppkey AS s FROM lineitem),
+          e AS (SELECT p AS src, s AS dst FROM pairs UNION ALL SELECT s, p FROM pairs),
+          nodes AS (SELECT DISTINCT src AS node FROM e),
+          s0 AS (SELECT min(node) AS s FROM nodes),
+          od AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
+          pr0 AS (SELECT node, CASE WHEN node = (SELECT s FROM s0)
+                                    THEN CAST(1.0 AS DOUBLE)
+                                    ELSE CAST(0.0 AS DOUBLE) END AS pr FROM nodes),
+          bs AS (SELECT node, CASE WHEN node = (SELECT s FROM s0)
+                                   THEN CAST(0.15 AS DOUBLE)
+                                   ELSE CAST(0.0 AS DOUBLE) END AS b FROM nodes),
+          it1 AS (SELECT n2.node, b.b + CAST(0.85 AS DOUBLE) * COALESCE(c.inc, 0.0) AS pr
+                  FROM nodes n2 JOIN bs b ON b.node = n2.node LEFT JOIN (
+                    SELECT e.dst AS node, sum(p.pr / od.outdeg) AS inc
+                    FROM e JOIN pr0 p ON p.node = e.src JOIN od ON od.src = e.src
+                    GROUP BY e.dst) c ON c.node = n2.node),
+          it2 AS (SELECT n2.node, b.b + CAST(0.85 AS DOUBLE) * COALESCE(c.inc, 0.0) AS pr
+                  FROM nodes n2 JOIN bs b ON b.node = n2.node LEFT JOIN (
+                    SELECT e.dst AS node, sum(p.pr / od.outdeg) AS inc
+                    FROM e JOIN it1 p ON p.node = e.src JOIN od ON od.src = e.src
+                    GROUP BY e.dst) c ON c.node = n2.node),
+          it3 AS (SELECT n2.node, b.b + CAST(0.85 AS DOUBLE) * COALESCE(c.inc, 0.0) AS pr
+                  FROM nodes n2 JOIN bs b ON b.node = n2.node LEFT JOIN (
                     SELECT e.dst AS node, sum(p.pr / od.outdeg) AS inc
                     FROM e JOIN it2 p ON p.node = e.src JOIN od ON od.src = e.src
                     GROUP BY e.dst) c ON c.node = n2.node)

@@ -760,6 +760,20 @@ class OpsSpec extends SparkSpec {
       .exists(_.contains("group width exceeds 2"))) // p3 has fanout 3
   }
 
+  test("personalizedPageRank: hand-computed 1-iteration star from one seed") {
+    // undirected star a-b, a-c; seed {a}: after 1 round
+    // pr(a) = 0.15 (teleport only), pr(b) = pr(c) = 0.85 * 0.5
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    val src = Seq("a").toDF("node")
+    val got = Graph.personalizedPageRank(edges, src, 1)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(got("a") - 0.15) < 1e-15)
+    assert(math.abs(got("b") - 0.425) < 1e-15 &&
+      math.abs(got("c") - 0.425) < 1e-15)
+    assert(math.abs(got.values.sum - 1.0) < 1e-12) // no dangling: mass conserved
+  }
+
   test("kmeansStep: hand-computed means, wcss, shift on two 2-D clusters") {
     // c0=(0,0), c1=(10,10); members: c0 <- (0,0),(0,2); c1 <- (10,10),(10,8)
     // new means (0,1)/(10,9): shift2 = 1.0 each; wcss = 0+4 = 4 each

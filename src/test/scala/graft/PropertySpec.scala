@@ -440,6 +440,37 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(got._4 - dnum.toDouble / (n1 * n2)) < 1e-15)
   }
 
+  test("q_mannwhitney == naive sequential rank fold; U1+U2 == n1*n2") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.queries.QAnalytics.queries("q_mannwhitney")(spark, sf)
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    val cnt = graft.Tables(spark, sf).documents
+      .select(($"lang" === "en").cast("bigint").as("g"), $"n_chars".as("v"))
+      .groupBy($"v").agg(sum($"g").as("c1"), sum(lit(1) - $"g").as("c2"))
+      .orderBy($"v").as[(Long, Long, Long)].collect()
+    val n1 = cnt.map(_._2).sum; val n2 = cnt.map(_._3).sum
+    var cb = 0L; var r1x2 = 0L; var r2x2 = 0L
+    cnt.foreach { case (_, c1, c2) =>
+      r1x2 += c1 * (2 * cb + c1 + c2 + 1)
+      r2x2 += c2 * (2 * cb + c1 + c2 + 1)
+      cb += c1 + c2
+    }
+    assert((got._1, got._2, got._3) == ((n1, n2, r1x2)))
+    val u1 = (r1x2 - n1 * (n1 + 1)) / 2.0
+    val u2 = (r2x2 - n2 * (n2 + 1)) / 2.0
+    assert(got._4 == u1 && math.abs(u1 + u2 - n1.toDouble * n2) < 1e-9)
+  }
+
+  test("q_cuped preserves the global mean: weighted adj mean == raw mean") {
+    val rows = graft.queries.QAnalytics.queries("q_cuped")(
+      spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double, Double)].collect()
+    val n = rows.map(_._2).sum.toDouble
+    val rawMean = rows.map(r => r._2 * r._3).sum / n
+    val adjMean = rows.map(r => r._2 * r._4).sum / n
+    assert(math.abs(rawMean - adjMean) < 1e-9)
+  }
+
   test("q_textrank: PageRank mass is conserved (sum pr ~ 1)") {
     val rows = graft.queries.QText.queries("q_textrank")(
       spark, "/root/testdata/sf0.001").as[(String, Double)].collect()
