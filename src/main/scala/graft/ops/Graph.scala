@@ -17,10 +17,31 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Materializes pre-annotated edges: returns (src, dst, outdeg). If
+    * the input already carries `outdeg` (a staged graph frame — the
+    * amortized-index contract) it is taken as-is; otherwise out-degree
+    * is computed with one window over `src`.
+    */
+  private def withOutdeg(edges: DataFrame): DataFrame =
+    if (edges.columns.contains("outdeg"))
+      edges.select(col("src"), col("dst"), col("outdeg"))
+    else edges.select(col("src"), col("dst"))
+      .withColumn("outdeg", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+
+  private def cpBlocks(df: DataFrame) =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
   /** Fixed-iteration PageRank. `edges` must carry `src`/`dst` string
-    * columns (directed; add both directions for an undirected graph).
-    * Dangling nodes (no out-edges) contribute nothing — standard
-    * simplified formulation, matched exactly by the SQL oracle.
+    * columns (directed; add both directions for an undirected graph)
+    * and MAY carry a precomputed `outdeg` (staged graph input — skips
+    * the degree window). Dangling nodes (no out-edges) contribute
+    * nothing — standard simplified formulation, matched exactly by the
+    * SQL oracle. `nodesOpt` supplies a pre-staged node universe
+    * (single `node` column) so the per-query src∪dst distinct shuffle
+    * disappears when the graph is an amortized index.
     *
     * `damping` and `teleport` are both explicit literals rather than
     * deriving teleport = 1 - damping: `1 - 0.85` is
@@ -28,27 +49,26 @@ object Graph {
     * literal `0.15` is not — passing both keeps the two engines
     * bit-identical.
     *
-    * Lineage: each iteration's plan builds on the previous one; for
-    * iteration counts beyond ~10, interpose `localCheckpoint` like
-    * [[Dedup]]'s connected components does.
+    * Round shape: ONE edges ⋈ ranks equi-join (broadcast under the
+    * node-count cap) + ONE union-aggregate that merges the teleport
+    * base row with the damped contribution row per node — the old
+    * nodes ⋈ contrib left-join is gone; per node the sum has exactly
+    * the two addends (base, damping·inc) the oracle's unrolled SQL
+    * adds, so the values stay bit-identical (IEEE addition of two
+    * terms is commutative). Lineage is cut every `cpEvery` rounds AND
+    * on the final round (the returned frame owns no live caches), so
+    * an N-round rank costs ~N/cpEvery driver actions instead of N —
+    * the per-action planning/codegen fixed cost was the measured
+    * sweep-tail dominator at sf0.1, not the data.
     */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
-      teleport: Double = 0.15): DataFrame = {
-    // Cache the loop-invariant frames and cut each round's lineage
-    // with an eager localCheckpoint (the [[Dedup]] CC pattern):
-    // without it, round k's plan inlines rounds 1..k-1 as
-    // subtrees and the edge scan re-executes a quadratic number of
-    // times — measured 25 s -> ~3 s at sf0.1 for 3 rounds.
-    val e = edges.select(col("src"), col("dst"))
-      .withColumn("outdeg", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-      .cache()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
+      teleport: Double = 0.15, nodesOpt: Option[DataFrame] = None,
+      cpEvery: Int = 2): DataFrame = {
+    val e = withOutdeg(edges).cache()
+    val nodes = nodesOpt.getOrElse(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()).cache()
     val n = nodes.count() // also materializes the caches' inputs
-    def cpBlocks(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }
     // A checkpointed rank frame carries no stats, so Catalyst will
     // NOT broadcast it on its own and every round pays a sort-merge
     // join over the edge list (measured 3-6x slower per round at
@@ -61,17 +81,21 @@ object Graph {
     // and the ContextCleaner reclaims it, so the byte cap is the real
     // safety lever; above it the shuffle join takes over.
     val bcastRanks = n * 100L < 64L * 1024 * 1024
-    var pr = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint()
-    for (_ <- 1 to iterations) {
+    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    var owned: DataFrame = null // last checkpointed frame whose blocks we own
+    for (it <- 1 to iterations) {
       val ranks = if (bcastRanks) broadcast(pr) else pr
       val contrib = e.join(ranks, e("src") === ranks("node"))
         .select(col("dst").as("node"), (col("pr") / col("outdeg")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("inc"))
-      val next = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport / n) + lit(damping) * coalesce(col("inc"), lit(0.0))).as("pr"))
-        .localCheckpoint()
-      cpBlocks(pr).foreach(_.unpersist(blocking = false))
+      var next = nodes.select(col("node"), lit(teleport / n).as("v"))
+        .unionAll(contrib.select(col("node"), (lit(damping) * col("inc")).as("v")))
+        .groupBy("node").agg(sum(col("v")).as("pr"))
+      if (it % cpEvery == 0 || it == iterations) {
+        next = next.localCheckpoint()
+        if (owned != null) cpBlocks(owned).foreach(_.unpersist(blocking = false))
+        owned = next
+      }
       pr = next
     }
     e.unpersist(blocking = false)
@@ -93,50 +117,54 @@ object Graph {
     */
   def personalizedPageRank(edges: DataFrame, sources: DataFrame,
       iterations: Int, damping: Double = 0.85,
-      teleport: Double = 0.15): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-      .withColumn("outdeg", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-      .cache()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
+      teleport: Double = 0.15, nodesOpt: Option[DataFrame] = None,
+      cpEvery: Int = 2): DataFrame = {
+    val e = withOutdeg(edges).cache()
+    val nodes = nodesOpt.getOrElse(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()).cache()
     val n = nodes.count()
     val src = sources.select(col("node")).distinct()
     val nS = src.count()
     require(nS > 0, "personalizedPageRank needs at least one source")
-    def cpBlocks(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }
     val bcastRanks = n * 100L < 64L * 1024 * 1024
-    val base = nodes
+    // The per-node teleport base RIDES IN the iterated state frame
+    // (node, base, pr): each round re-derives it from the same
+    // checkpointed frame the ranks come from, so one round is ONE
+    // edges ⋈ state join + ONE union-aggregate — the separate base
+    // checkpoint (and its per-round re-join) is gone. first(base) in
+    // the merge aggregate is deterministic: exactly one of the two
+    // merged rows per node (the state row) carries a non-null base.
+    var state = nodes
       .join(broadcast(src.withColumn("__is", lit(1))), Seq("node"), "left")
       .select(col("node"),
         when(col("__is").isNotNull, lit(teleport / nS)).otherwise(lit(0.0))
           .as("base"),
         when(col("__is").isNotNull, lit(1.0 / nS)).otherwise(lit(0.0))
           .as("pr"))
-      .localCheckpoint()
-    var pr = base.select(col("node"), col("pr"))
+    var owned: DataFrame = null
     for (it <- 1 to iterations) {
-      val ranks = if (bcastRanks) broadcast(pr) else pr
+      val ranks = if (bcastRanks) broadcast(state) else state
       val contrib = e.join(ranks, e("src") === ranks("node"))
         .select(col("dst").as("node"), (col("pr") / col("outdeg")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("inc"))
-      val next = base.select(col("node"), col("base"))
-        .join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (col("base") + lit(damping) * coalesce(col("inc"), lit(0.0))).as("pr"))
-        .localCheckpoint()
-      // round 1's pr is a view OVER the base checkpoint (which every
-      // later round still reads for its base term) — only rounds ≥ 2
-      // own a superseded checkpoint to free
-      if (it > 1) cpBlocks(pr).foreach(_.unpersist(blocking = false))
-      pr = next
+      var next = state.select(col("node"), col("base"), col("base").as("v"))
+        .unionAll(contrib.select(col("node"),
+          lit(null).cast("double").as("base"),
+          (lit(damping) * col("inc")).as("v")))
+        .groupBy("node")
+        .agg(first(col("base"), ignoreNulls = true).as("base"),
+          sum(col("v")).as("pr"))
+      if (it % cpEvery == 0 || it == iterations) {
+        next = next.localCheckpoint()
+        if (owned != null) cpBlocks(owned).foreach(_.unpersist(blocking = false))
+        owned = next
+      }
+      state = next
     }
-    if (iterations > 0) cpBlocks(base).foreach(_.unpersist(blocking = false))
     e.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
-    pr
+    state.select(col("node"), col("pr"))
   }
 
   /** Multi-source BFS levels over an undirected graph: `level` =

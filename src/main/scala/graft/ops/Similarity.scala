@@ -528,4 +528,63 @@ object Similarity {
         round(sum(((col("m") - col("c")) * (col("m") - col("c")))
           .cast("decimal(38,18)")).cast("double"), 6).as("shift2"))
   }
+
+  /** Fixed-iteration k-means Lloyd TRAINING loop — the composed form
+    * of [[kmeansStep]] that actually produces a trained coarse
+    * quantizer for [[ivfBuild]]/[[ivfSearch]]. Per iteration: ONE
+    * corpus scan (map-only inlined-centroid argmin assignment — no
+    * joins, no per-row shuffle beyond the (cluster, dim) aggregate),
+    * then the k×d mean frame — bounded by the IVF contract (k small,
+    * d fixed) — collects to the driver and becomes the next round's
+    * inlined literal, exactly how production IVF trainers iterate
+    * (centroids are driver/coordinator state; the corpus never
+    * rendezvouses with itself). Fixed iterations keep the result
+    * engine-replayable: the oracle unrolls the same rounds as SQL.
+    *
+    * Numeric contract, per coordinate: decimal(38,18)-exact member
+    * sum → double mean → float32 centroid. Both engines compute the
+    * identical decimal sum (order-independent), the identical double
+    * quotient, and the identical round-to-nearest float32, so the
+    * trained centroids are BIT-IDENTICAL cross-engine and every
+    * downstream assignment/search agrees too. Empty clusters keep
+    * their previous coordinates (n_assigned 0).
+    *
+    * Returns (cid, cvec array<float>, n_assigned) — the trained
+    * quantizer plus last-round member counts.
+    */
+  def kmeansTrain(df: DataFrame, vecCol: String, idCol: String,
+      init: DataFrame, cVecCol: String, cIdCol: String,
+      iterations: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var cents = collectCentroids(init, cVecCol, cIdCol)
+    var counts = Map.empty[Long, Long]
+    for (_ <- 1 to iterations) {
+      val assigned = df.withColumn("__best", assignExpr(vecCol, cents))
+        .select(col("__best.cid").as("cluster_id"), col(vecCol).as("__v"))
+      val per = assigned
+        .select(col("cluster_id"), posexplode(col("__v")).as(Seq("i", "x")))
+        .groupBy(col("cluster_id"), col("i"))
+        .agg(sum(col("x").cast("double").cast("decimal(38,18)")).as("sx"),
+          count(lit(1)).as("nn"))
+        .collect() // ≤ k·d rows — bounded by the IVF contract
+      val means: Map[Long, Map[Int, Float]] = per
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.map(r => r.getInt(1) ->
+            (r.getDecimal(2).doubleValue() / r.getLong(3).toDouble).toFloat).toMap
+        }
+      counts = per.groupBy(_.getLong(0))
+        .map { case (cid, rows) => cid -> rows.head.getLong(3) }
+      cents = cents.map { case (cid, old) =>
+        means.get(cid) match {
+          case Some(m) => (cid, old.indices.map(i => m(i)): Seq[Float])
+          case None => (cid, old)
+        }
+      }
+    }
+    val countsF = counts
+    cents.map { case (cid, v) => (cid, v, countsF.getOrElse(cid, 0L)) }
+      .toDF(cIdCol, cVecCol, "n_assigned")
+  }
 }

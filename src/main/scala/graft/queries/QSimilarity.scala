@@ -310,6 +310,54 @@ object QSimilarity {
             .as("recall_at_10"))
     }),
 
+    // J2-train — the COMPOSED k-means trainer: 2 Lloyd iterations from
+    // the vec_id<8 seed, per-iteration map-only assignment + one
+    // (cluster, dim) aggregate whose k×d means become the next round's
+    // inlined centroids (driver-bounded by the IVF contract). Decimal
+    // sum → double mean → float32 per coordinate keeps the trained
+    // quantizer BIT-IDENTICAL to the oracle's unrolled replay.
+    "q_kmeans_train" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val trained = Similarity.kmeansTrain(
+        emb.select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", seedCentroids(emb), "cvec", "cid",
+        iterations = 2)
+      trained.select(col("cid").as("cluster_id"), col("n_assigned"),
+          posexplode(col("cvec")).as(Seq("i", "x")))
+        .select(col("cluster_id"), col("i").cast("bigint").as("i"),
+          round(col("x").cast("double"), 6).as("c"), col("n_assigned"))
+    }),
+
+    // J2-eval-2 — the ANN training loop CLOSED: recall@10 of the
+    // nprobe=2 IVF search under the TRAINED quantizer vs the id-seeded
+    // one, same brute-force ground truth — the before/after read-out
+    // that justifies spending the training scans (trained centroids
+    // tighten clusters, so the same probe budget recovers more of the
+    // true top-k).
+    "q_ann_recall_trained" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val base = emb.select(col("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head()
+        .getSeq[Float](0)
+      val trained = Similarity.kmeansTrain(base, "embedding", "vec_id",
+        seedCentroids(emb), "cvec", "cid", iterations = 2)
+      val truth = Similarity.cosineTopK(base, "embedding", "vec_id", q, 10)
+        .select(col("vec_id"))
+      def hitsOf(cents: DataFrame) =
+        truth.join(Similarity.ivfSearch(base, "embedding", "vec_id",
+            cents, "cvec", "cid", q, nprobe = 2, k = 10).select(col("vec_id")),
+          Seq("vec_id"), "left_semi").agg(count(lit(1)))
+      truth.agg(count(lit(1)).as("k"))
+        .crossJoin(broadcast(hitsOf(seedCentroids(emb)).toDF("hits_seed")))
+        .crossJoin(broadcast(
+          hitsOf(trained.select(col("cid"), col("cvec"))).toDF("hits_trained")))
+        .select(col("k"), col("hits_seed"), col("hits_trained"),
+          round(col("hits_seed").cast("double") / col("k").cast("double"), 6)
+            .as("recall_seed"),
+          round(col("hits_trained").cast("double") / col("k").cast("double"), 6)
+            .as("recall_trained"))
+    }),
+
     // J2-ext — product quantization, encode side: 64 float dims → 8
     // codes (32× smaller index). Deterministic codebooks (subvectors
     // of vec_id < 16, the IVF seed-centroid contract); encoding is a
@@ -445,6 +493,69 @@ object QSimilarity {
           FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id, q
           WHERE a.cluster_id IN (SELECT cid FROM probes)
           ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10"""
+
+  /** Unrolled k-means training CTEs for DuckDB: `c0` (vec_id<8 seed)
+    * → `c<iters>` trained float32 centroids, with `p<n>` carrying each
+    * round's (cid, dim) decimal sums + member counts — the SAME
+    * numeric contract as [[Similarity.kmeansTrain]] (decimal sum →
+    * double mean → float32), so the two engines' centroids are
+    * bit-identical.
+    */
+  private def kmeansTrainCtes(iters: Int): String = {
+    val steps = (1 to iters).map { n =>
+      s"""d$n AS (SELECT e.vec_id, c.cid,
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                    * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))) AS dist2
+             FROM embeddings e CROSS JOIN c${n - 1} c),
+        a$n AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+                 FROM d$n) t WHERE rn = 1),
+        p$n AS (SELECT a.cid, dd.i,
+                       sum(CAST(CAST(e.embedding[dd.i + 1] AS DOUBLE) AS DECIMAL(38,18))) AS sx,
+                       count(*) AS nn
+                FROM a$n a JOIN embeddings e USING (vec_id) CROSS JOIN dd
+                GROUP BY 1, 2),
+        c$n AS (SELECT c.cid,
+                       list(CAST(coalesce(CAST(p.sx AS DOUBLE) / CAST(p.nn AS DOUBLE),
+                                          CAST(c.cvec[dd.i + 1] AS DOUBLE)) AS FLOAT)
+                            ORDER BY dd.i) AS cvec
+                FROM c${n - 1} c CROSS JOIN dd
+                LEFT JOIN p$n p ON p.cid = c.cid AND p.i = dd.i
+                GROUP BY c.cid)"""
+    }.mkString(",\n")
+    s"""c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+       dd AS (SELECT unnest(range(0, 64)) AS i),
+       $steps"""
+  }
+
+  /** nprobe=2 / top-10 IVF search (the [[ivfSearchSql]] shape) against
+    * an arbitrary centroid CTE — reused by the trained-vs-seed recall
+    * oracle. Expects a CTE `q(qe)` holding the query vector.
+    */
+  private def ivfTop10From(cent: String): String =
+    s"""SELECT e.vec_id
+        FROM embeddings e
+        JOIN (SELECT vec_id, cid FROM (
+                SELECT dx.vec_id, dx.cid,
+                       row_number() OVER (PARTITION BY dx.vec_id ORDER BY dx.dist2 ASC, dx.cid ASC) AS rn
+                FROM (SELECT e2.vec_id, c.cid,
+                             list_sum(list_transform(range(1, len(e2.embedding) + 1),
+                               i -> (CAST(e2.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                                  * (CAST(e2.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))) AS dist2
+                      FROM embeddings e2 CROSS JOIN $cent c) dx) t
+              WHERE rn = 1) a ON a.vec_id = e.vec_id, q
+        WHERE a.cid IN (
+          SELECT cid FROM $cent c3, q
+          ORDER BY list_sum(list_transform(range(1, len(c3.cvec) + 1),
+                     i -> (CAST(q.qe[i] AS DOUBLE) - CAST(c3.cvec[i] AS DOUBLE))
+                        * (CAST(q.qe[i] AS DOUBLE) - CAST(c3.cvec[i] AS DOUBLE)))) ASC, cid ASC
+          LIMIT 2)
+        ORDER BY ${dDot("e.embedding", "qe")} /
+                 (sqrt(${dDot("e.embedding", "e.embedding")}) * sqrt(${dDot("qe", "qe")})) DESC,
+                 e.vec_id ASC
+        LIMIT 10"""
 
   /** Unrolled cosine-LSH bucket expression for DuckDB, from the SAME
     * Scala-generated ±1 planes the Spark side uses.
@@ -670,6 +781,32 @@ object QSimilarity {
          SELECT k, hits,
                 round(CAST(hits AS DOUBLE) / CAST(k AS DOUBLE), 6) AS recall_at_10
          FROM k, h""",
+    "q_kmeans_train" ->
+      s"""WITH ${kmeansTrainCtes(2)}
+          SELECT c.cid AS cluster_id, dd.i AS i,
+                 round(CAST(c.cvec[dd.i + 1] AS DOUBLE), 6) AS c,
+                 coalesce(n.nn, 0) AS n_assigned
+          FROM c2 c CROSS JOIN dd
+          LEFT JOIN (SELECT cid, max(nn) AS nn FROM p2 GROUP BY 1) n
+            ON n.cid = c.cid""",
+    "q_ann_recall_trained" ->
+      s"""WITH ${kmeansTrainCtes(2)},
+          q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          truth AS (
+            SELECT vec_id FROM embeddings, q
+            ORDER BY ${dDot("embedding", "qe")} /
+                     (sqrt(${dDot("embedding", "embedding")}) * sqrt(${dDot("qe", "qe")})) DESC,
+                     vec_id ASC
+            LIMIT 10),
+          k AS (SELECT count(*) AS k FROM truth),
+          hs AS (SELECT count(*) AS hits_seed FROM truth
+                 WHERE vec_id IN (${ivfTop10From("c0")})),
+          ht AS (SELECT count(*) AS hits_trained FROM truth
+                 WHERE vec_id IN (${ivfTop10From("c2")}))
+          SELECT k, hits_seed, hits_trained,
+                 round(CAST(hits_seed AS DOUBLE) / CAST(k AS DOUBLE), 6) AS recall_seed,
+                 round(CAST(hits_trained AS DOUBLE) / CAST(k AS DOUBLE), 6) AS recall_trained
+          FROM k, hs, ht""",
     "q_ivf_knn_join" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
           q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings

@@ -788,6 +788,22 @@ class OpsSpec extends SparkSpec {
     assert(got(0L) == ((2L, 4.0, 1.0)) && got(1L) == ((2L, 4.0, 1.0)))
   }
 
+  test("kmeansTrain: converges to the true 2-D cluster means; empty cluster keeps coords") {
+    // true clusters around (0,1) and (10,9); a bad seed (5,5) captures
+    // nothing after round 1 and must keep its coordinates with n=0.
+    val pts = Seq((0L, Seq(0f, 0f)), (1L, Seq(0f, 2f)),
+      (2L, Seq(10f, 10f)), (3L, Seq(10f, 8f))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(0f, 0f)), (1L, Seq(10f, 10f)), (2L, Seq(99f, 99f)))
+      .toDF("cid", "cvec")
+    val got = Similarity.kmeansTrain(pts, "embedding", "vec_id",
+        cents, "cvec", "cid", iterations = 3)
+      .as[(Long, Seq[Float], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0L) == ((Seq(0f, 1f), 2L)))
+    assert(got(1L) == ((Seq(10f, 9f), 2L)))
+    assert(got(2L) == ((Seq(99f, 99f), 0L))) // empty: unchanged, n=0
+  }
+
   test("ngramNovelty: first doc fully novel, exact dup fully stale") {
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c x y"))
       .toDF("doc_id", "text")
