@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import graft.ops.Text
+import graft.ops.{Dedup, Text}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -30,6 +30,75 @@ object TrainingPrep {
     // cached: both the rank assignment and the chunker consume it —
     // without this the whole cleaning subtree executes twice. (At
     // 100 TB, persist the accepted set to storage here instead.)
+    val mixed = Text.stratifiedSample(kept, "doc_id", "lang",
+      Map("en" -> 50, "de" -> 80), 100).cache()
+    val ranked = Text.corpusShuffle(mixed, "doc_id", seed)
+      .select(col("doc_id"), col("shuffle_rank"))
+    Text.chunk(mixed, "text", "doc_id", chunkSize, chunkSize)
+      .join(ranked, Seq("doc_id"))
+      .select(col("doc_id"), col("shuffle_rank"), col("chunk_id"), col("chunk"))
+  }
+
+  /** The FULL dedup cascade ahead of [[run]]'s chain — the production
+    * corpus-prep order (coarse + cheap first, expensive + fine last):
+    *
+    *   0. exact duplicated-span EXCISION ([[Text.removeDuplicateSpans]],
+    *      Lee et al. 2022): every repeated 15-gram is cut everywhere
+    *      but its first occurrence — one corpus tokenization, spans
+    *      shuffle as (hash, offset) only
+    *   1. benchmark DECONTAMINATION: drop training docs sharing any
+    *      word 8-gram with the benchmark set (here doc_id < 50) — a
+    *      broadcast semi-join on 60-bit shingle hashes
+    *   2. tf·idf-cosine NEAR-DUP removal (cos ≥ `minCosine` in the
+    *      df ≤ N/10 term space): drop the higher id of each attested
+    *      pair — the weighted complement of the set-based LSH stage;
+    *      the relative df cut uses the RAW corpus count (metadata-cheap
+    *      and the same contract as the standalone q_tfidf_cosine)
+    *   3. [[run]]'s chain on the excised survivors: exact dedup → LSH
+    *      near-dup → quality gate → rebalance → shuffle → chunk
+    *
+    * Every stage operates on the EXCISED text (the point of running
+    * excision first: later similarity stages must not re-attest docs on
+    * spans that were already cut). One oracle statement replays the
+    * entire composition.
+    */
+  def runV2(documents: DataFrame, benchMaxId: Long = 50, seed: String = "prep",
+      chunkSize: Int = 128, minCosine: Double = 0.3): DataFrame = {
+    // 0 — span excision. Stage boundaries are EAGER localCheckpoints,
+    // not caches: each stage's frame fans into several downstream
+    // consumers (shingle sides, the tf·idf self-join, CorpusClean's
+    // three survivor uses), so with lazy frames the cascade's subtree
+    // would be INLINED once per consumer — measured: Catalyst spent
+    // >10 min single-threaded optimizing the composed plan at sf0.01.
+    // The checkpoint collapses each stage to a scan node (plans stay
+    // small, optimization stays O(stage)), which is also the 100 TB
+    // shape: a real pipeline persists stage outputs to storage.
+    val excised = Text.removeDuplicateSpans(documents, "text", "doc_id", 15)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .localCheckpoint()
+    // 1 — decontamination (the q_contamination shape, excised text)
+    val shingle = (d: DataFrame) => d.select(col("doc_id"),
+      explode(graft.expressions.TextSketchExpressions
+        .shingleHash64(col("text"), 8)).as("h"))
+    val bench = shingle(excised.filter(col("doc_id") < benchMaxId))
+      .select(col("h")).distinct()
+    val train = excised.filter(col("doc_id") >= benchMaxId)
+    val contaminated = shingle(train)
+      .join(broadcast(bench), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val decontam = train.join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // 2 — weighted near-dup: first-seen wins (the CorpusClean policy)
+    val maxDf = documents.count() / 10
+    val nearDrop = Dedup.tfidfCosinePairs(decontam, "text", "doc_id",
+        maxDf, minCosine)
+      .select(col("id_b").as("doc_id")).distinct()
+    val afterCosine = decontam.join(nearDrop, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // 3 — the v1 chain over the excised, decontaminated survivors
+    val cleanedIds = CorpusClean.run(afterCosine).select("doc_id")
+    val kept = afterCosine.join(cleanedIds, Seq("doc_id"))
     val mixed = Text.stratifiedSample(kept, "doc_id", "lang",
       Map("en" -> 50, "de" -> 80), 100).cache()
     val ranked = Text.corpusShuffle(mixed, "doc_id", seed)

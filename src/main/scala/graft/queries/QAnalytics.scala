@@ -92,6 +92,7 @@ object QAnalytics {
     "q_triangle_count" -> ((s, dir) => stageBrandEdges(s, dir)),
     "q_kcore" -> ((s, dir) => stageBrandEdges(s, dir)),
     "q_item_similarity" -> ((s, dir) => stageBrandEdges(s, dir)),
+    "q_degree_summary" -> ((s, dir) => stagePsGraph(s, dir)),
     "q_pagerank" -> ((s, dir) => stagePsGraph(s, dir)))
   type Q = (SparkSession, String) => DataFrame
 
@@ -1057,6 +1058,44 @@ object QAnalytics {
     // fans out by MIN degree, the skew-proof orientation.
     "q_triangle_count" -> ((s, dir) =>
       Graph.triangleCount(brandEdges(s, dir))),
+
+    // Graph audit summary: degree distribution + degree ASSORTATIVITY
+    // (Pearson correlation of endpoint degrees over the symmetrized
+    // edge list — positive = hubs attach to hubs) in ONE row, over the
+    // current-year part<->supplier graph (the brand co-basket graph is
+    // degree-regular, which leaves assortativity's variance term 0).
+    // Two node-sized aggregations; the correlation's power sums are
+    // exact integers (degrees are counts), so only the final double
+    // divisions touch IEEE — hash-stable at round(6).
+    "q_degree_summary" -> ((s, dir) => {
+      val e = psGraph(s, dir, "edges2001")
+        .select(col("src").as("a"), col("dst").as("b"))
+      val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      val sums = sym
+        .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+        .agg(count(lit(1)).as("m"),
+          sum(col("da").cast("decimal(38,0)")).as("sx"),
+          sum((col("da") * col("da")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("da") * col("db")).cast("decimal(38,0)")).as("sxy"))
+      val dsum = deg.agg(count(lit(1)).as("n_nodes"),
+        min(col("d")).as("min_degree"), max(col("d")).as("max_degree"),
+        sum(col("d")).as("sd"))
+      // symmetric edge list: sy = sx and syy = sxx, so Pearson reduces
+      // to (m·sxy − sx²) / (m·sxx − sx²)
+      dsum.crossJoin(broadcast(sums))
+        .select(col("n_nodes"), (col("m") / 2).cast("bigint").as("n_edges"),
+          col("min_degree"), col("max_degree"),
+          round(col("sd").cast("double") / col("n_nodes").cast("double"), 6)
+            .as("avg_degree"),
+          round((col("m").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) /
+            (col("m").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")), 6)
+            .as("assortativity"))
+    }),
 
     // Multi-source BFS levels on the brand co-basket graph from its
     // lexicographically-first brand: per round one frontier ⋈ edges
@@ -2398,6 +2437,30 @@ object QAnalytics {
                 (SELECT count(*) FROM und) AS n_edges,
                 n_triangles
          FROM tri""",
+    "q_degree_summary" ->
+      """WITH und AS (SELECT DISTINCT 'p' || l_partkey AS a, 's' || l_suppkey AS b
+                     FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01'),
+          deg AS (SELECT node, count(*) AS d
+                  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+                  GROUP BY 1),
+          sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+          sums AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                          sum(da.d) AS sx, sum(da.d * da.d) AS sxx,
+                          sum(da.d * db.d) AS sxy
+                   FROM sym s JOIN deg da ON da.node = s.a
+                              JOIN deg db ON db.node = s.b),
+          ds AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                        CAST(min(d) AS BIGINT) AS min_degree,
+                        CAST(max(d) AS BIGINT) AS max_degree,
+                        sum(d) AS sd FROM deg)
+          SELECT n_nodes, CAST(m // 2 AS BIGINT) AS n_edges, min_degree, max_degree,
+                 round(CAST(sd AS DOUBLE) / CAST(n_nodes AS DOUBLE), 6) AS avg_degree,
+                 round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+                       (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                   AS assortativity
+          FROM ds, sums""",
     "q_bfs_levels" ->
       """WITH RECURSIVE
           items AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b

@@ -281,6 +281,25 @@ object QText {
         .select(col("node").as("doc_id"), col("cluster_id"))
     }),
 
+    // Component SIZE histogram over the duplicate-cluster graph — the
+    // corpus-audit read-out ("how much of the corpus sits in dup
+    // clusters of size k"). Docs attested in no candidate pair are
+    // size-1 singleton components, so sum(component_size·n_components)
+    // equals the corpus row count. Reuses connectedComponents; the
+    // histogram itself is two node-keyed aggregations.
+    "q_cc_size_histogram" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val sig = Dedup.minhashSignature(d, "text", "doc_id", 8)
+      val stars = Dedup.minhashClusterEdges(sig, "doc_id", bands = 8, rowsPerBand = 1)
+      val cc = Dedup.connectedComponents(stars, "id_a", "id_b")
+        .withColumnRenamed("node", "doc_id")
+      d.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
+        .select(coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("component_size"))
+        .agg(count(lit(1)).as("n_components"))
+    }),
+
     // INCREMENTAL cluster maintenance: the corpus's duplicate
     // components are built from the OLD docs only (doc_id % 3 != 0,
     // the q_incremental_dedup split), then the NEW batch's candidate
@@ -443,6 +462,17 @@ object QText {
     // the COMPOSITION.
     "q_training_prep" -> ((s, dir) => {
       graft.pipelines.TrainingPrep.run(Tables(s, dir).documents)
+    }),
+
+    // The FULL dedup cascade composed under one oracle: span excision
+    // -> 8-gram benchmark decontamination -> tf·idf-cosine near-dup ->
+    // exact dedup -> LSH near-dup -> quality gate -> rebalance ->
+    // shuffle -> chunk. Each stage is individually oracle-proven
+    // (q_span_removal, q_contamination, q_tfidf_cosine, q_corpus_clean,
+    // q_training_prep); this row pins their COMPOSITION on the excised
+    // text.
+    "q_training_prep_v2" -> ((s, dir) => {
+      graft.pipelines.TrainingPrep.runV2(Tables(s, dir).documents)
     }),
 
     // Deterministic distributed corpus shuffle: seeded-md5 global
@@ -1019,6 +1049,102 @@ object QText {
           SELECT doc_id, shuffle_rank, CAST((s - 1) // 128 AS BIGINT) AS chunk_id,
                  array_to_string(w[s:s + 127], ' ') AS chunk
           FROM st""",
+    "q_training_prep_v2" ->
+      s"""WITH w0 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          occ AS MATERIALIZED (SELECT doc_id,
+                         unnest(range(1, greatest(len(w) - 14, 0) + 1)) AS i,
+                         unnest(list_transform(range(1, greatest(len(w) - 14, 0) + 1),
+                                i -> md5(array_to_string(w[i:i+14], ' ')))) AS h
+                  FROM w0),
+          kk AS (SELECT h, count(*) AS n_occ, min(doc_id * 1000000 + i) AS keeper
+                 FROM occ GROUP BY h),
+          cut AS (SELECT doc_id, list(i) AS cuts
+                  FROM occ JOIN kk USING (h)
+                  WHERE kk.n_occ > 1 AND occ.doc_id * 1000000 + occ.i <> kk.keeper
+                  GROUP BY doc_id),
+          exc AS MATERIALIZED (SELECT t.doc_id,
+                         coalesce(array_to_string(list_transform(keep, p -> t.w[p]), ' '), '') AS text
+                  FROM (SELECT w0.doc_id, w0.w,
+                               list_filter(range(1, len(w0.w) + 1),
+                                 p -> len(list_filter(coalesce(c.cuts, []),
+                                        s -> p >= s AND p <= s + 14)) = 0) AS keep
+                        FROM w0 LEFT JOIN cut c USING (doc_id)) t),
+          docs2 AS MATERIALIZED (SELECT e.doc_id, e.text, d.lang FROM exc e JOIN documents d USING (doc_id)),
+          words2 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM docs2),
+          sh8 AS MATERIALIZED (SELECT DISTINCT doc_id,
+                         CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h
+                  FROM (SELECT doc_id,
+                               unnest(list_transform(range(1, greatest(len(w) - 7, 1) + 1),
+                                      i -> array_to_string(w[i:i+7], ' '))) AS shingle
+                        FROM words2)),
+          bench AS (SELECT DISTINCT h FROM sh8 WHERE doc_id < 50),
+          cont AS (SELECT DISTINCT s.doc_id FROM sh8 s JOIN bench b USING (h)
+                   WHERE s.doc_id >= 50),
+          dec AS MATERIALIZED (SELECT * FROM docs2
+                  WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM cont)),
+          wt0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM dec),
+          tfx AS MATERIALIZED (SELECT doc_id, t, count(*) AS tf FROM wt0 GROUP BY 1, 2),
+          nraw AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+          ndec AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dec),
+          dfr AS (SELECT t, count(*) AS df FROM tfx GROUP BY t
+                  HAVING count(*) <= (SELECT n FROM nraw) // 10),
+          wt AS MATERIALIZED (SELECT doc_id, tfx.t,
+                        tfx.tf * (CAST((SELECT n FROM ndec) AS DOUBLE) / CAST(dfr.df AS DOUBLE)) AS wgt
+                 FROM tfx JOIN dfr ON dfr.t = tfx.t),
+          nr AS MATERIALIZED (SELECT doc_id, sqrt(CAST(sum(CAST(wgt * wgt AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+                 FROM wt GROUP BY doc_id),
+          pp AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                        CAST(sum(CAST(a.wgt * b.wgt AS DECIMAL(38,18))) AS DOUBLE) AS dotp
+                 FROM wt a JOIN wt b ON a.t = b.t AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+          ndrop AS (SELECT DISTINCT id_b AS doc_id FROM pp
+                    JOIN nr na ON na.doc_id = pp.id_a
+                    JOIN nr nb ON nb.doc_id = pp.id_b
+                    WHERE dotp / (na.nrm * nb.nrm) >= 0.3),
+          ac AS MATERIALIZED (SELECT * FROM dec WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)),
+          survivors AS MATERIALIZED (
+            SELECT d.* FROM ac d
+            JOIN (SELECT min(doc_id) AS doc_id FROM ac GROUP BY sha256(text)) k2
+              ON d.doc_id = k2.doc_id),
+          wordsS AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM survivors),
+          shS AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                                         i -> array_to_string(w[i:i+2], ' '))) AS shingle
+            FROM wordsS)),
+          mh AS MATERIALIZED (SELECT doc_id,
+                        ${(0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")}
+                 FROM shS GROUP BY doc_id),
+          bands AS MATERIALIZED (${(0 until 8).map(i =>
+            s"SELECT doc_id, $i AS band, md5(mh$i) AS bucket FROM mh").mkString(" UNION ALL ")}),
+          dropped AS (
+            SELECT DISTINCT b.doc_id FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+          kept AS MATERIALIZED (SELECT * FROM survivors WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+          quality AS MATERIALIZED (
+            SELECT doc_id, text, lang FROM kept
+            WHERE len(string_split(text, ' ')) BETWEEN 20 AND 1000
+              AND CAST(len(list_filter(string_split(text, ' '),
+                           t -> list_contains(['the','a','of','and','to','in','is','for'], t))) AS DOUBLE)
+                    / len(string_split(text, ' ')) >= 0.02),
+          mixed AS MATERIALIZED (
+            SELECT doc_id, text FROM quality
+            WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+                  < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 80 ELSE 100 END),
+          ranked AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                     ORDER BY md5('prep|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+                     AS shuffle_rank
+            FROM mixed),
+          rw AS MATERIALIZED (SELECT m.doc_id, r.shuffle_rank, string_split(m.text, ' ') AS w
+                 FROM mixed m JOIN ranked r ON m.doc_id = r.doc_id),
+          st AS (SELECT doc_id, shuffle_rank, w,
+                        unnest(range(1, greatest(len(w), 1) + 1, 128)) AS s
+                 FROM rw)
+          SELECT doc_id, shuffle_rank, CAST((s - 1) // 128 AS BIGINT) AS chunk_id,
+                 array_to_string(w[s:s + 127], ' ') AS chunk
+          FROM st""",
     "q_mixture_sample" ->
       """WITH st AS (SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS toks
                      FROM documents GROUP BY lang),
@@ -1223,6 +1349,28 @@ object QText {
             UNION
             SELECT e.dst, r.label FROM edges e JOIN reach r ON r.node = e.src)
           SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node""",
+    "q_cc_size_histogram" ->
+      s"""WITH RECURSIVE $shingleCte,
+          mh AS (SELECT doc_id,
+                        ${(0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")}
+                 FROM sh GROUP BY doc_id),
+          bands AS (${(0 until 8).map(i =>
+            s"SELECT doc_id, $i AS band, md5(mh$i) AS bucket FROM mh").mkString(" UNION ALL ")}),
+          pairs AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                    FROM bands a JOIN bands b
+                      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+          edges AS (SELECT src, dst FROM pairs UNION SELECT dst AS src, src AS dst FROM pairs),
+          reach(node, label) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, r.label FROM edges e JOIN reach r ON r.node = e.src),
+          cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+          lab AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+                  FROM documents d LEFT JOIN cc USING (doc_id)),
+          szs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+                  FROM lab GROUP BY cluster_id)
+          SELECT sz AS component_size, count(*) AS n_components
+          FROM szs GROUP BY sz""",
     // the incremental road must equal the from-scratch rebuild: the
     // oracle IS the full-recompute CC over all candidate pairs
     "q_incremental_components" ->

@@ -243,6 +243,10 @@ class ScaleOpsSpec extends SparkSpec {
           Seq("view", "click", "purchase"))
         .as[(Long, Int)].collect().toMap
       assert(b == latest, s"stream $latest vs batch $b")
+      // state bound: one ValueState row per live key — 2 users seen
+      val stateRows = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .last.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 2L, s"funnel state must be one row per user, got $stateRows")
     } finally {
       q.stop()
       prev match {
@@ -281,6 +285,10 @@ class ScaleOpsSpec extends SparkSpec {
         .as[(Long, String, Int, Long, Long)].collect().toSeq.sortBy(_._3)
       assert(streamed == batchClosed, s"stream $streamed vs batch $batchClosed")
       assert(streamed.map(_._2) == Seq("bronze", "silver")) // gold still open in state
+      // state bound: exactly the OPEN run per live key — 1 user
+      val stateRows = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .last.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 1L, s"SCD2 state must be one open run per user, got $stateRows")
     } finally {
       q.stop()
       prev match {

@@ -222,6 +222,56 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** Last reported state-row total and the cumulative eviction count —
+    * the metrics that turn "watermark bounds state" from a semantics
+    * argument into a measured fact (VERDICT r6 item 4).
+    */
+  private def stateMetrics(q: org.apache.spark.sql.streaming.StreamingQuery): (Long, Long) = {
+    val ps = q.recentProgress.filter(_.stateOperators.nonEmpty)
+    assert(ps.nonEmpty, "expected a stateful streaming plan")
+    (ps.last.stateOperators.map(_.numRowsTotal).sum,
+      ps.map(_.stateOperators.map(_.numRowsRemoved).sum).sum)
+  }
+
+  test("state bound: watermark EVICTS dedup state (numRowsRemoved > 0, total = live keys)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.dedupWithinWatermark(mem.toDF()).writeStream
+      .format("memory").queryName("dedup_state_out").outputMode("append").start()
+    try {
+      mem.addData(evs: _*) // 4 distinct keys within 00:01-01:00
+      q.processAllAvailable()
+      // advance the watermark far past every earlier key, then run one
+      // more batch: eviction applies on the batch AFTER the watermark
+      // moves (it is computed at batch end)
+      mem.addData(Ev(9, Timestamp.valueOf("2024-01-01 03:00:00"), 9, "click", 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(10, Timestamp.valueOf("2024-01-01 03:01:00"), 9, "click", 0.0))
+      q.processAllAvailable()
+      val (total, removed) = stateMetrics(q)
+      assert(removed >= 4L, s"watermark should evict the 4 early keys, removed=$removed")
+      assert(total <= 2L, s"state must hold only keys inside the watermark, total=$total")
+    } finally q.stop()
+  }
+
+  test("state bound: closed session windows leave the store (total = open sessions)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.sessionAgg(mem.toDF()).writeStream
+      .format("memory").queryName("session_state_out").outputMode("append").start()
+    try {
+      mem.addData(evs: _*) // sessions: user1 ×1, user2 ×2 (54-min gap)
+      q.processAllAvailable()
+      mem.addData(Ev(9, Timestamp.valueOf("2024-01-01 03:00:00"), 9, "click", 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(10, Timestamp.valueOf("2024-01-01 03:01:00"), 9, "click", 0.0))
+      q.processAllAvailable()
+      val (total, removed) = stateMetrics(q)
+      assert(removed >= 3L, s"3 closed sessions should leave the store, removed=$removed")
+      assert(total <= 2L, s"only user 9's open session may remain, total=$total")
+    } finally q.stop()
+  }
+
   test("I3 streaming: session windows close once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
