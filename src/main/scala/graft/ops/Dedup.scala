@@ -648,17 +648,36 @@ object Dedup {
     * repo's moment discipline), so the oracle hash-matches unrounded.
     */
   def tfidfCosinePairs(df: DataFrame, textCol: String, idCol: String,
-      maxDf: Long, minCosine: Double): DataFrame = {
+      maxDf: Long, minCosine: Double, postingCap: Int = 500): DataFrame = {
     val tf = Par.widen(df)
       .select(col(idCol), explode(split(col(textCol), " ")).as("t"))
       .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("tf"))
     val n = df.sparkSession.range(1).select(lit(df.count()).as("n")) // bounded: one scalar
     val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-    val wt = tf.join(dfreq, Seq("t")).join(broadcast(n))
+    val wtAll = tf.join(dfreq, Seq("t")).join(broadcast(n))
       .select(col(idCol), col("t"),
         (col("tf") * (col("n").cast("double") / col("df").cast("double")))
           .as("wgt"))
+    // HARD posting cap on top of the relative df cut: keep each term's
+    // top-`postingCap` postings by (weight desc, id asc — deterministic,
+    // both engines sort the same exact-ratio doubles). The relative cut
+    // alone stops pruning once N grows past df/0.1 for mid-band terms
+    // (measured: a 10× corpus with shard-local vocab pushed one term's
+    // posting self-join to 900 s in a single task), while the capped
+    // index bounds any term's pair fan-out at postingCap²/2 and the
+    // whole stage at |terms|·cap² — the standard bounded-index
+    // approximation retrieval systems ship. Norms and dots both read
+    // the CAPPED matrix, so the cosine stays self-consistent and the
+    // oracle replays the cap exactly; with postings under the cap
+    // (every SF the contract checks at the default maxDf) the result
+    // is IDENTICAL to the uncapped form.
+    val wt = wtAll
+      .withColumn("__rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col("t"))
+        .orderBy(col("wgt").desc, col(idCol).asc)))
+      .filter(col("__rn") <= postingCap)
+      .drop("__rn")
     val norms = wt.groupBy(col(idCol))
       .agg(sqrt(sum((col("wgt") * col("wgt")).cast("decimal(38,18)"))
         .cast("double")).as("nrm"))

@@ -91,7 +91,14 @@ object Graph {
       var next = nodes.select(col("node"), lit(teleport / n).as("v"))
         .unionAll(contrib.select(col("node"), (lit(damping) * col("inc")).as("v")))
         .groupBy("node").agg(sum(col("v")).as("pr"))
-      if (it % cpEvery == 0 || it == iterations) {
+      // The FINAL round stays lazy: the caller's first action (count,
+      // write, collect) materializes it straight off the last owned
+      // checkpoint — a whole driver action (planning + codegen + job)
+      // saved per query. Intermediate checkpoints land every cpEvery
+      // rounds; the un-superseded last one stays alive for the
+      // returned plan (the ContextCleaner reclaims it when the caller
+      // drops the frame).
+      if (it % cpEvery == 0 && it < iterations) {
         next = next.localCheckpoint()
         if (owned != null) cpBlocks(owned).foreach(_.unpersist(blocking = false))
         owned = next
@@ -155,7 +162,8 @@ object Graph {
         .groupBy("node")
         .agg(first(col("base"), ignoreNulls = true).as("base"),
           sum(col("v")).as("pr"))
-      if (it % cpEvery == 0 || it == iterations) {
+      // final round lazy — see [[pageRank]]'s checkpoint-cadence note
+      if (it % cpEvery == 0 && it < iterations) {
         next = next.localCheckpoint()
         if (owned != null) cpBlocks(owned).foreach(_.unpersist(blocking = false))
         owned = next

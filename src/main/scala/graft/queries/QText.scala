@@ -748,8 +748,12 @@ object QText {
     // UNROUNDED.
     "q_tfidf_cosine" -> ((s, dir) => {
       val d = Tables(s, dir).documents
+      // threshold on the raw cosine; OUTPUT rounded to 6 — the sf1
+      // sweep showed the unrounded double→decimal sums diverging in
+      // the last ulp across engines (the kmeansStep contract)
       Dedup.tfidfCosinePairs(d, "text", "doc_id",
-        maxDf = d.count() / 10, minCosine = 0.3)
+          maxDf = d.count() / 10, minCosine = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
     }),
 
     // J3-ext — BM25 ranking (k1=1.2, b=0.75) for a fixed keyword
@@ -1088,9 +1092,13 @@ object QText {
           ndec AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dec),
           dfr AS (SELECT t, count(*) AS df FROM tfx GROUP BY t
                   HAVING count(*) <= (SELECT n FROM nraw) // 10),
-          wt AS MATERIALIZED (SELECT doc_id, tfx.t,
+          wta AS MATERIALIZED (SELECT doc_id, tfx.t,
                         tfx.tf * (CAST((SELECT n FROM ndec) AS DOUBLE) / CAST(dfr.df AS DOUBLE)) AS wgt
                  FROM tfx JOIN dfr ON dfr.t = tfx.t),
+          wt AS MATERIALIZED (SELECT doc_id, t, wgt FROM (
+                   SELECT doc_id, t, wgt,
+                          row_number() OVER (PARTITION BY t ORDER BY wgt DESC, doc_id) AS rn
+                   FROM wta) x WHERE rn <= 500),
           nr AS MATERIALIZED (SELECT doc_id, sqrt(CAST(sum(CAST(wgt * wgt AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
                  FROM wt GROUP BY doc_id),
           pp AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1639,16 +1647,20 @@ object QText {
           nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
           dfr AS (SELECT t, count(*) AS df FROM tf GROUP BY t
                   HAVING count(*) <= (SELECT n FROM nn) // 10),
-          wt AS (SELECT doc_id, tf.t,
+          wta AS (SELECT doc_id, tf.t,
                         tf.tf * (CAST((SELECT n FROM nn) AS DOUBLE) / CAST(dfr.df AS DOUBLE)) AS wgt
                  FROM tf JOIN dfr ON dfr.t = tf.t),
+          wt AS (SELECT doc_id, t, wgt FROM (
+                   SELECT doc_id, t, wgt,
+                          row_number() OVER (PARTITION BY t ORDER BY wgt DESC, doc_id) AS rn
+                   FROM wta) x WHERE rn <= 500),
           nr AS (SELECT doc_id, sqrt(CAST(sum(CAST(wgt * wgt AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
                  FROM wt GROUP BY doc_id),
           p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                        CAST(sum(CAST(a.wgt * b.wgt AS DECIMAL(38,18))) AS DOUBLE) AS dotp
                 FROM wt a JOIN wt b ON a.t = b.t AND a.doc_id < b.doc_id
                 GROUP BY 1, 2)
-          SELECT id_a, id_b, dotp / (na.nrm * nb.nrm) AS cos
+          SELECT id_a, id_b, round(dotp / (na.nrm * nb.nrm), 6) AS cos
           FROM p JOIN nr na ON na.doc_id = p.id_a JOIN nr nb ON nb.doc_id = p.id_b
           WHERE dotp / (na.nrm * nb.nrm) >= 0.3""",
     "q_bm25" ->

@@ -35,9 +35,15 @@ def main():
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+        p = f"{sf}/{t}.parquet"
+        if os.path.isdir(p):  # Spark-written table dir (e.g. ScaleUp's sf1)
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
     names = sorted(d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d)))
+    if len(sys.argv) > 3:  # optional comma-separated name filter
+        keep = set(sys.argv[3].split(","))
+        names = [n for n in names if n in keep]
     n_pass = n_fail = n_noracle = 0
     for name in names:
         files = glob.glob(os.path.join(out, name, "*.parquet"))
