@@ -59,24 +59,27 @@ object Bench {
     val retriedJson = retried.map { n =>
       "\"" + n + "\":" + (samples.toMap.apply(n)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // one sample reused by both records of this run — the disk artifact
+    // and the stdout line must agree (ADVICE r7)
+    val loadEnd = loadAvg()
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":${loadAvg()},"retried_samples":$retriedJson}"""
-    // The full per-query map is ~12 KB — sbt's log pipeline truncates
-    // lines that long, so every round's driver artifact parsed as null.
-    // The artifact of record goes to disk COMPLETE; stdout gets a line
-    // short enough (~1.2 KB) to survive the tail intact: the headline
-    // total plus the 30 slowest queries (all the judge's bar checks
-    // live in that tail) and the full-file pointer.
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"retried_samples":$retriedJson}"""
+    // The full per-query map is ~12 KB — the driver's log tail keeps
+    // only the last ~530 bytes of stdout, so even last round's ~1.2 KB
+    // top-30 line was cut mid-JSON (BENCH_r07 "parsed": null, seven
+    // rounds running). The artifact of record goes to disk COMPLETE;
+    // stdout gets a line hard-bounded WELL under the tail (~300 bytes):
+    // total, median, the 5 slowest queries, and the full-file pointer.
     java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
       fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     def r3(v: Double) = math.round(v * 1000.0) / 1000.0
     val sortedT = results.map(_._2).toSeq.sorted
     val median = if (sortedT.nonEmpty) sortedT(sortedT.length / 2) else 0.0
-    val top = results.toSeq.sortBy(-_._2).take(30)
+    val top = results.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top,"n_queries":${results.size},"median":${r3(median)},"sf":"$sfDir","load_avg_start":${r3(loadStart)},"load_avg_end":${r3(loadAvg())},"queries_truncated_to_slowest":30,"full_artifact":"target/bench_full.json"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top,"n_queries":${results.size},"median":${r3(median)},"sf":"$sfDir","load_end":${r3(loadEnd)},"full_artifact":"target/bench_full.json"}""")
     spark.stop()
   }
 }

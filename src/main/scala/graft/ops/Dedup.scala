@@ -646,6 +646,16 @@ object Dedup {
     * posting-length cut. Per-pair dot products and per-doc norms
     * accumulate as DECIMAL(38,18) power sums (order-independent, the
     * repo's moment discipline), so the oracle hash-matches unrounded.
+    *
+    * CONTRACT NOTE (bounded-approximate by default): `postingCap`
+    * additionally keeps only each term's top-`postingCap` postings by
+    * weight, so beyond that density the operator is an APPROXIMATION —
+    * pairs attested only through capped terms are dropped, and
+    * surviving cosines are computed on the capped matrix (norms
+    * included, so the value stays self-consistent). With every posting
+    * list under the cap the result is identical to the exact form;
+    * pass `postingCap = Int.MaxValue` to force exactness when the
+    * fan-out is known to be safe. Every oracle replays the cap.
     */
   def tfidfCosinePairs(df: DataFrame, textCol: String, idCol: String,
       maxDf: Long, minCosine: Double, postingCap: Int = 500): DataFrame = {
@@ -694,5 +704,40 @@ object Dedup {
       .withColumn("cos", col("dotp") / (col("n_a") * col("n_b")))
       .filter(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** [[tfidfCosinePairs]] with the OUTPUT bounded to each doc's top-`k`
+    * earlier matches (`id_a < id_b`, grouped by `id_b`) — the form a
+    * 100 TB pipeline consumes. The full pair set grows super-linearly
+    * with the corpus (measured: 31k pairs at sf0.1 → 9.9M at sf1,
+    * because the RELATIVE df ≤ N/10 cut admits more of the vocabulary
+    * as N grows); the compute was already bounded by the posting cap,
+    * but the emitted frame was not. Per-doc top-k makes the output
+    * ∝ corpus size: `k`·|docs| rows at most.
+    *
+    * The bound runs through the native two-phase
+    * [[graft.plans.TopKPerGroup]] operator (partial per-partition
+    * bounded heaps BEFORE the exchange, no sort anywhere), so the
+    * group shuffle itself carries ≤ k rows per (partition, doc) — the
+    * 9.9M-pair frame never materializes past the partial phase.
+    *
+    * Determinism: ranked on the ROUNDED cosine (6 dp — the repo's
+    * cross-engine double contract; the raw last ulp diverges between
+    * engines at sf1 volumes) with `id_a` as total-order tie-break, so
+    * both engines select identical pairs at the k boundary. The
+    * threshold keeps filtering the raw value, same as the unbounded
+    * form. Because ranking is BY cosine, qualifying pairs are a prefix
+    * of each group's cos-ordered list — filter-then-top-k and
+    * top-k-then-filter coincide, and for any k ≥ 1 the distinct `id_b`
+    * set (the first-seen-wins near-dup DROP set) is exactly the
+    * unbounded form's.
+    */
+  def tfidfCosineTopK(df: DataFrame, textCol: String, idCol: String,
+      maxDf: Long, minCosine: Double, k: Int,
+      postingCap: Int = 500): DataFrame = {
+    val pairs = tfidfCosinePairs(df, textCol, idCol, maxDf, minCosine, postingCap)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    graft.plans.NativeOps.topKPerGroup(pairs, Seq("id_b"),
+      Seq(("cos", false), ("id_a", true)), k)
   }
 }

@@ -105,8 +105,13 @@ object Graph {
       }
       pr = next
     }
-    e.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    // No eager unpersist: the returned frame is LAZY past the last
+    // checkpoint, so its first action still reads `e` (and possibly
+    // `nodes`) — dropping their blocks here would force the caller to
+    // recompute the edge scan + degree window + node distinct for up
+    // to cpEvery-1 inlined rounds. The ContextCleaner reclaims both
+    // caches once the caller drops the frame (same discipline as the
+    // last owned checkpoint).
     pr
   }
 
@@ -170,8 +175,7 @@ object Graph {
       }
       state = next
     }
-    e.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    // lazy-tail cache retention — see [[pageRank]]'s return note
     state.select(col("node"), col("pr"))
   }
 

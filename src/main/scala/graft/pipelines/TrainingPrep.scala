@@ -62,21 +62,41 @@ object TrainingPrep {
     * spans that were already cut). One oracle statement replays the
     * entire composition.
     */
+  /** Stage-boundary persistence for [[runV2]]: `None` = eager
+    * localCheckpoint (fast, executor-memory-resident — right for the
+    * bench harness, but the blocks die with an executor); `Some(dir)` =
+    * write each stage to parquet under `dir` and read it back — the
+    * RELIABILITY-grade 100 TB shape (a stage failure restarts from
+    * durable storage, not from the raw corpus). Both forms cut lineage
+    * identically, so the composed output is byte-identical
+    * (PipelinesSpec asserts it).
+    */
+  private def stageBoundary(df: DataFrame, stageDir: Option[String],
+      stage: Int): DataFrame = stageDir match {
+    case Some(d) =>
+      val p = s"$d/stage$stage"
+      df.write.mode("overwrite").parquet(p)
+      df.sparkSession.read.parquet(p)
+    case None => df.localCheckpoint()
+  }
+
   def runV2(documents: DataFrame, benchMaxId: Long = 50, seed: String = "prep",
-      chunkSize: Int = 128, minCosine: Double = 0.3): DataFrame = {
-    // 0 — span excision. Stage boundaries are EAGER localCheckpoints,
+      chunkSize: Int = 128, minCosine: Double = 0.3,
+      stageDir: Option[String] = None): DataFrame = {
+    // 0 — span excision. Stage boundaries are EAGER localCheckpoints
+    // (or durable parquet when `stageDir` is set — see [[stageBoundary]]),
     // not caches: each stage's frame fans into several downstream
     // consumers (shingle sides, the tf·idf self-join, CorpusClean's
     // three survivor uses), so with lazy frames the cascade's subtree
     // would be INLINED once per consumer — measured: Catalyst spent
     // >10 min single-threaded optimizing the composed plan at sf0.01.
     // The checkpoint collapses each stage to a scan node (plans stay
-    // small, optimization stays O(stage)), which is also the 100 TB
-    // shape: a real pipeline persists stage outputs to storage.
-    val excised = Text.removeDuplicateSpans(documents, "text", "doc_id", 15)
-      .select(col("doc_id"), col("clean_text").as("text"))
-      .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .localCheckpoint()
+    // small, optimization stays O(stage)).
+    val excised = stageBoundary(
+      Text.removeDuplicateSpans(documents, "text", "doc_id", 15)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id")),
+      stageDir, 0)
     // 1 — decontamination (the q_contamination shape, excised text)
     val shingle = (d: DataFrame) => d.select(col("doc_id"),
       explode(graft.expressions.TextSketchExpressions
@@ -87,15 +107,22 @@ object TrainingPrep {
     val contaminated = shingle(train)
       .join(broadcast(bench), Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()
-    val decontam = train.join(contaminated, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
-    // 2 — weighted near-dup: first-seen wins (the CorpusClean policy)
+    val decontam = stageBoundary(
+      train.join(contaminated, Seq("doc_id"), "left_anti"), stageDir, 1)
+    // 2 — weighted near-dup: first-seen wins (the CorpusClean policy).
+    // The BOUNDED top-k form (k=1): the drop set only needs "does this
+    // doc have ANY earlier match ≥ minCosine", i.e. each doc's best
+    // earlier match — so the pair frame this stage materializes is
+    // ∝ |docs|, not ∝ |qualifying pairs| (measured 9.9M pairs at sf1
+    // with the unbounded form; identical drop set either way). Note
+    // tfidfCosineTopK inherits the default postingCap=500
+    // bounded-approximate index — see its Scaladoc.
     val maxDf = documents.count() / 10
-    val nearDrop = Dedup.tfidfCosinePairs(decontam, "text", "doc_id",
-        maxDf, minCosine)
-      .select(col("id_b").as("doc_id")).distinct()
-    val afterCosine = decontam.join(nearDrop, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+    val nearDrop = Dedup.tfidfCosineTopK(decontam, "text", "doc_id",
+        maxDf, minCosine, k = 1)
+      .select(col("id_b").as("doc_id"))
+    val afterCosine = stageBoundary(
+      decontam.join(nearDrop, Seq("doc_id"), "left_anti"), stageDir, 2)
     // 3 — the v1 chain over the excised, decontaminated survivors
     val cleanedIds = CorpusClean.run(afterCosine).select("doc_id")
     val kept = afterCosine.join(cleanedIds, Seq("doc_id"))

@@ -46,7 +46,7 @@ object QAnalytics {
     buildBrandEdges(s, dir).write.mode("overwrite").parquet(edgesPath(dir))
 
   private def brandEdges(s: SparkSession, dir: String): DataFrame = {
-    if (!new java.io.File(edgesPath(dir)).exists()) stageBrandEdges(s, dir)
+    if (!new java.io.File(s"${edgesPath(dir)}/_SUCCESS").exists()) stageBrandEdges(s, dir)
     s.read.parquet(edgesPath(dir))
   }
 
@@ -83,7 +83,12 @@ object QAnalytics {
   }
 
   private def psGraph(s: SparkSession, dir: String, part: String): DataFrame = {
-    if (!new java.io.File(s"${psGraphPath(dir)}/$part").exists())
+    // Gate on the commit marker, not bare dir existence: an interrupted
+    // staging write (the sf1 drivers kill Spark with `timeout`) leaves a
+    // partial parquet dir that would otherwise be silently read as the
+    // full graph by every later run. stagePsGraph writes all three parts,
+    // so any missing marker re-stages the whole set atomically-enough.
+    if (!new java.io.File(s"${psGraphPath(dir)}/$part/_SUCCESS").exists())
       stagePsGraph(s, dir)
     s.read.parquet(s"${psGraphPath(dir)}/$part")
   }
@@ -92,8 +97,15 @@ object QAnalytics {
     "q_triangle_count" -> ((s, dir) => stageBrandEdges(s, dir)),
     "q_kcore" -> ((s, dir) => stageBrandEdges(s, dir)),
     "q_item_similarity" -> ((s, dir) => stageBrandEdges(s, dir)),
+    // every ps-graph consumer is registered, so a standalone run of any
+    // of them stages untimed exactly like the full sweep does (ADVICE r7:
+    // q_ppr/q_hits/q_label_prop previously paid the 3-part staging write
+    // inside their timed window when run alone)
     "q_degree_summary" -> ((s, dir) => stagePsGraph(s, dir)),
-    "q_pagerank" -> ((s, dir) => stagePsGraph(s, dir)))
+    "q_pagerank" -> ((s, dir) => stagePsGraph(s, dir)),
+    "q_ppr" -> ((s, dir) => stagePsGraph(s, dir)),
+    "q_hits" -> ((s, dir) => stagePsGraph(s, dir)),
+    "q_label_prop" -> ((s, dir) => stagePsGraph(s, dir)))
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(

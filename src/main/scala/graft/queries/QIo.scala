@@ -146,7 +146,7 @@ object QIo {
     "q_quarantine" -> ((s, dir) => {
       val path = scratch("q_quarantine", dir)
       // dev fallback: self-contained when stages haven't run
-      if (!new java.io.File(path).exists()) stageQuarantine(s, dir)
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) stageQuarantine(s, dir)
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType)))
@@ -186,7 +186,7 @@ object QIo {
     // near-empty directories and the write is pure filesystem churn).
     "q_sink_partitioned_write" -> ((s, dir) => {
       val path = scratch("q_sink_partitioned_write", dir)
-      if (!new java.io.File(path).exists()) stageSink(s, dir)
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) stageSink(s, dir)
       s.read.parquet(path)
         .groupBy(col("ds"))
         .agg(count(lit(1)).as("n_orders"),
@@ -197,7 +197,7 @@ object QIo {
     // back to writing it if Verify ordering ever changes).
     "q_max_partition_path" -> ((s, dir) => {
       val path = scratch("q_sink_partitioned_write", dir)
-      if (!new java.io.File(path).exists()) {
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
         val stamped = Tables(s, dir).orders
           .withColumn("ds", date_format(col("o_orderdate"), "yyyyMM"))
         PartitionedWriter.writePartitioned(stamped, path)
@@ -300,7 +300,7 @@ object QIo {
     // physical detail, so no oracle (rows-only check).
     "q_repartition_compact" -> ((s, dir) => {
       val path = scratch("q_repartition_compact", dir)
-      if (!new java.io.File(path).exists()) stageCompact(s, dir)
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) stageCompact(s, dir)
       val files = new java.io.File(path).listFiles()
         .count(f => f.getName.endsWith(".parquet"))
       val rows = s.read.parquet(path).count()

@@ -36,7 +36,10 @@ object QMultimodal {
       import s.implicits._
       val path = s"target/tmp/q_binary_ingest_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
       val d = new java.io.File(path)
-      if (!d.exists()) {
+      // .done marker: the fixture loop is driver-side java.nio, so an
+      // interrupted run leaves a partial file set a bare-dir gate would
+      // silently accept (same hazard ADVICE flagged for psGraph)
+      if (!new java.io.File(d, ".done").exists()) {
         d.mkdirs()
         (0 until 20).foreach { i =>
           val b = new Array[Byte](54 + i) // header + i bytes of "pixel" padding
@@ -46,6 +49,7 @@ object QMultimodal {
           le(14, 40); le(18, 100 + i); le(22, 50 + 2 * i)
           java.nio.file.Files.write(new java.io.File(d, f"media_$i%03d.bmp").toPath, b)
         }
+        java.nio.file.Files.write(new java.io.File(d, ".done").toPath, Array.empty[Byte])
       }
       val recs = s.read.format("binaryFile").load(path)
         .select(
@@ -68,7 +72,10 @@ object QMultimodal {
       import s.implicits._
       val path = s"target/tmp/q_audio_energy_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
       val d = new java.io.File(path)
-      if (!d.exists()) {
+      // .done marker: the fixture loop is driver-side java.nio, so an
+      // interrupted run leaves a partial file set a bare-dir gate would
+      // silently accept (same hazard ADVICE flagged for psGraph)
+      if (!new java.io.File(d, ".done").exists()) {
         d.mkdirs()
         (0 until 10).foreach { i =>
           val n = 160 + 16 * i
@@ -84,6 +91,7 @@ object QMultimodal {
           java.nio.file.Files.write(
             new java.io.File(d, f"audio_$i%03d.wav").toPath, b.array())
         }
+        java.nio.file.Files.write(new java.io.File(d, ".done").toPath, Array.empty[Byte])
       }
       val recs = s.read.format("binaryFile").load(path)
         .select(
@@ -105,7 +113,10 @@ object QMultimodal {
       import s.implicits._
       val path = s"target/tmp/q_image_blockhash_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
       val d = new java.io.File(path)
-      if (!d.exists()) {
+      // .done marker: the fixture loop is driver-side java.nio, so an
+      // interrupted run leaves a partial file set a bare-dir gate would
+      // silently accept (same hazard ADVICE flagged for psGraph)
+      if (!new java.io.File(d, ".done").exists()) {
         d.mkdirs()
         (0 until 15).foreach { i =>
           val w = 16; val h = 16; val stride = w * 3
@@ -127,6 +138,7 @@ object QMultimodal {
           java.nio.file.Files.write(
             new java.io.File(d, f"img_$i%03d.bmp").toPath, b.array())
         }
+        java.nio.file.Files.write(new java.io.File(d, ".done").toPath, Array.empty[Byte])
       }
       val recs = s.read.format("binaryFile").load(path)
         .select(

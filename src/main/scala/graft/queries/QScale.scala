@@ -163,7 +163,8 @@ object QScale {
     // oracle is the plain 2-D filter.
     "q_zorder_skip" -> ((s, dir) => {
       val path = zorderPath(dir)
-      if (!new java.io.File(path).exists()) stageZorder(s, dir)
+      // gate on the LAST artifact the stage writes (manifest commit marker)
+      if (!new java.io.File(s"$path/manifest/_SUCCESS").exists()) stageZorder(s, dir)
       graft.io.Manifest.readPrunedBox(s, path, Seq(
           ("l_orderkey", lit(1000L), lit(3000L)),
           ("l_partkey", lit(100L), lit(400L))))
@@ -174,7 +175,7 @@ object QScale {
 
     "q_manifest_skip" -> ((s, dir) => {
       val path = manifestPath(dir)
-      if (!new java.io.File(path).exists()) stageManifest(s, dir)
+      if (!new java.io.File(s"$path/manifest/_SUCCESS").exists()) stageManifest(s, dir)
       graft.io.Manifest.readPruned(s, path, "l_shipdate",
         lit("1995-03-01").cast("timestamp_ntz"), lit("1995-06-30").cast("timestamp_ntz"))
         .groupBy(col("l_orderkey"))

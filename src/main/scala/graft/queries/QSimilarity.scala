@@ -263,7 +263,7 @@ object QSimilarity {
       val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head()
         .getSeq[Float](0)
       val path = ivfIndexPath(dir)
-      if (!new java.io.File(path).exists()) stageIvfIndex(s, dir)
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) stageIvfIndex(s, dir)
       Similarity.ivfSearchPruned(s, path, "embedding", "vec_id",
         seedCentroids(emb), "cvec", "cid", q, nprobe = 2, k = 10)
     }),
@@ -277,7 +277,7 @@ object QSimilarity {
     "q_ivf_knn_join" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
       val path = ivfIndexPath(dir)
-      if (!new java.io.File(path).exists()) stageIvfIndex(s, dir)
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) stageIvfIndex(s, dir)
       val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 104)
         .select(col("vec_id"), col("embedding"))
       Similarity.ivfKnnJoin(s, path, "embedding", "vec_id",
@@ -397,7 +397,7 @@ object QSimilarity {
       val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head()
         .getSeq[Float](0)
       val path = ivfPqIndexPath(dir)
-      if (!new java.io.File(path).exists()) stageIvfPqIndex(s, dir)
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) stageIvfPqIndex(s, dir)
       Similarity.ivfPqSearch(s, path, "vec_id", seedCentroids(emb), "cvec", "cid",
         cb, q, nprobe = 2, k = 10)
     }),

@@ -641,17 +641,17 @@ object QStreaming {
     val bands = (0 until 8)
       .map(i => s"SELECT doc_id, $i AS band, md5(mh$i) AS bucket FROM mh_$sfx")
       .mkString(" UNION ALL ")
-    s"""ex_$sfx AS (SELECT min(doc_id) AS doc_id FROM documents WHERE $pred
+    s"""ex_$sfx AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM documents WHERE $pred
                  GROUP BY sha256(text)),
-        mh_$sfx AS (SELECT sh.doc_id, $mh FROM sh JOIN ex_$sfx USING (doc_id)
+        mh_$sfx AS MATERIALIZED (SELECT sh.doc_id, $mh FROM sh JOIN ex_$sfx USING (doc_id)
                  GROUP BY sh.doc_id),
-        bd_$sfx AS ($bands),
-        dr_$sfx AS (SELECT DISTINCT b.doc_id
+        bd_$sfx AS MATERIALIZED ($bands),
+        dr_$sfx AS MATERIALIZED (SELECT DISTINCT b.doc_id
                  FROM bd_$sfx b JOIN (SELECT band, bucket, min(doc_id) AS hub
                                    FROM bd_$sfx GROUP BY band, bucket) h
                    USING (band, bucket)
                  WHERE b.doc_id <> h.hub),
-        acc_$sfx AS (SELECT doc_id FROM ex_$sfx
+        acc_$sfx AS MATERIALIZED (SELECT doc_id FROM ex_$sfx
                   WHERE doc_id NOT IN (SELECT doc_id FROM dr_$sfx)
                     AND doc_id NOT IN (SELECT DISTINCT b.doc_id FROM bd_$sfx b
                                        JOIN ($idx) x USING (band, bucket)))"""
@@ -828,7 +828,7 @@ object QStreaming {
       val b1 = ingestBatchSql("b1", "doc_id % 2 = 1",
         "SELECT band, bucket FROM bd_b0 WHERE doc_id IN (SELECT doc_id FROM acc_b0)")
       s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-          sh AS (SELECT DISTINCT doc_id, shingle FROM (
+          sh AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM (
             SELECT doc_id,
                    unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
                                          i -> array_to_string(w[i:i+2], ' '))) AS shingle

@@ -60,7 +60,9 @@ object QText {
   }
 
   private def textrankEdges(s: SparkSession, dir: String): DataFrame = {
-    if (!new java.io.File(textrankPath(dir)).exists())
+    // _SUCCESS gate: a staging write interrupted mid-run (sf1 drivers use
+    // `timeout`) must not be mistaken for a complete edge frame.
+    if (!new java.io.File(s"${textrankPath(dir)}/_SUCCESS").exists())
       stageTextrankEdges(s, dir)
     s.read.parquet(textrankPath(dir))
   }
@@ -315,7 +317,7 @@ object QText {
       // persisted-index query — nightly maintenance reads yesterday's
       // state, it does not rebuild it
       val exPath = incCompPath(dir)
-      if (!new java.io.File(exPath).exists()) stageIncComponents(s, dir)
+      if (!new java.io.File(s"$exPath/_SUCCESS").exists()) stageIncComponents(s, dir)
       val existing = s.read.parquet(exPath)
       val docs = Tables(s, dir).documents
       val sigAll = Dedup.minhashSignature(docs, "text", "doc_id", 8)
@@ -750,10 +752,26 @@ object QText {
       val d = Tables(s, dir).documents
       // threshold on the raw cosine; OUTPUT rounded to 6 — the sf1
       // sweep showed the unrounded double→decimal sums diverging in
-      // the last ulp across engines (the kmeansStep contract)
+      // the last ulp across engines (the kmeansStep contract).
+      // Inherits the default postingCap=500 bounded-approximate index
+      // (exact at every contract SF; see tfidfCosinePairs' Scaladoc).
       Dedup.tfidfCosinePairs(d, "text", "doc_id",
           maxDf = d.count() / 10, minCosine = 0.3)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    }),
+
+    // J1/J2-ext — the BOUNDED near-dup read-out: each doc's top-3
+    // earlier matches by cosine, through the native two-phase
+    // TopKPerGroup operator (partial per-partition heaps before the
+    // exchange — the pair frame is cut to ≤3 rows per doc map-side).
+    // This is the form whose OUTPUT stays ∝ corpus size at 100 TB:
+    // the full q_tfidf_cosine pair set grew 31k → 9.9M rows across a
+    // 10× scale-up because the relative df cut admits more vocabulary
+    // as N grows; this one is capped at 3·|docs| by construction.
+    "q_tfidf_cosine_topk" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      Dedup.tfidfCosineTopK(d, "text", "doc_id",
+        maxDf = d.count() / 10, minCosine = 0.3, k = 3)
     }),
 
     // J3-ext — BM25 ranking (k1=1.2, b=0.75) for a fixed keyword
@@ -888,6 +906,52 @@ object QText {
                 unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
                                       i -> array_to_string(w[i:i+2], ' '))) AS shingle
          FROM words))"""
+
+  /** Bounded connected-components replay for the DuckDB oracle: the
+    * minhash band-collision pairs (same head as q_minhash_dedup), then
+    * `ccRounds` UNROLLED min-label propagation rounds instead of a
+    * recursive transitive closure. The recursion was the sf1 sweep's
+    * ORACLE-TIMEOUT: `reach` materializes every (node, reachable-label)
+    * pair (sum of squared component sizes) AND DuckDB re-inlines the
+    * un-materialized upstream CTEs into each recursion step. The
+    * unrolled form is O(rounds x edges) with every stage MATERIALIZED
+    * once. Each round is one min-propagation over the edges plus TWO
+    * pointer-jump steps (label := label(label) — path doubling), so
+    * effective reach grows geometrically with rounds, not linearly:
+    * plain propagation needed 14 rounds at sf1 (measured — the
+    * stopword-only shingles chain the synthetic shards together, so
+    * depth does NOT carry over from smaller SFs), while prop+jump
+    * converges in 8; 10 rounds is measured margin at sf0.01/sf0.1/sf1,
+    * and an unconverged replay FAILS the compare loudly rather than
+    * passing wrong.
+    */
+  private def minhashCcCte(ccRounds: Int = 10): String = {
+    val prop = (1 to ccRounds).map { i =>
+      s"""p$i AS MATERIALIZED (
+            SELECT e.src AS node, least(min(ls.label), min(l.label)) AS label
+            FROM edges e JOIN l${i - 1} l ON l.node = e.dst
+                         JOIN l${i - 1} ls ON ls.node = e.src
+            GROUP BY e.src),
+          j$i AS MATERIALIZED (
+            SELECT a.node, b.label FROM p$i a JOIN p$i b ON b.node = a.label),
+          l$i AS MATERIALIZED (
+            SELECT a.node, b.label FROM j$i a JOIN j$i b ON b.node = a.label)"""
+    }.mkString(",\n          ")
+    s"""mh AS (SELECT doc_id,
+                        ${(0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")}
+                 FROM sh GROUP BY doc_id),
+          bands AS (${(0 until 8).map(i =>
+            s"SELECT doc_id, $i AS band, md5(mh$i) AS bucket FROM mh").mkString(" UNION ALL ")}),
+          pairs AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                    FROM bands a JOIN bands b
+                      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+          edges AS MATERIALIZED (SELECT src, dst FROM pairs
+                    UNION SELECT dst AS src, src AS dst FROM pairs),
+          l0 AS MATERIALIZED (SELECT src AS node, least(src, min(dst)) AS label
+                    FROM edges GROUP BY src),
+          $prop,
+          cc AS (SELECT node AS doc_id, label AS cluster_id FROM l$ccRounds)"""
+  }
 
   val oracles: Map[String, String] = Map(
     "q_corpus_shuffle" ->
@@ -1287,7 +1351,7 @@ object QText {
           s"replace($acc, '(' || coalesce(a$k, chr(1)) || ')(' || coalesce(b$k, chr(1)) || ')', " +
           s"'(' || coalesce(a$k, '') || coalesce(b$k, '') || ')')" }
         s"""sym$p AS (SELECT string_split(trim(w, '()'), ')(') AS ss FROM w$p),
-          cand$p AS (SELECT a, b, cnt,
+          cand$p AS MATERIALIZED (SELECT a, b, cnt,
                             row_number() OVER (ORDER BY cnt DESC, a, b) AS rk
                      FROM (SELECT a, b, count(*) AS cnt
                            FROM (SELECT unnest(ss[1:len(ss)-1]) AS a,
@@ -1303,16 +1367,16 @@ object QText {
                    CASE WHEN list_contains(s.syms, c.a) OR list_contains(s.syms, c.b)
                         THEN s.syms ELSE s.syms || [c.a, c.b] END
             FROM sel$p s JOIN cand$p c ON c.rk = s.rk + 1),
-          kept$p AS (SELECT a, b, cnt, krk FROM (
+          kept$p AS MATERIALIZED (SELECT a, b, cnt, krk FROM (
                        SELECT c.a, c.b, c.cnt,
                               row_number() OVER (ORDER BY s.rk) AS krk
                        FROM sel$p s JOIN cand$p c ON c.rk = s.rk
                        WHERE s.keep)
                      WHERE krk <= $batch),
           kp$p AS (SELECT $pivot FROM kept$p),
-          w${p + 1} AS (SELECT $applied AS w FROM w$p, kp$p)"""
+          w${p + 1} AS MATERIALIZED (SELECT $applied AS w FROM w$p, kp$p)"""
       }
-      s"""WITH RECURSIVE w0 AS (SELECT regexp_replace(regexp_replace(lower(text),
+      s"""WITH RECURSIVE w0 AS MATERIALIZED (SELECT regexp_replace(regexp_replace(lower(text),
                                '[^a-z0-9]+', '#', 'g'), '(.)', '(\\1)', 'g') AS w
                       FROM documents),
           ${pass(0)}, ${pass(1)}
@@ -1342,37 +1406,12 @@ object QText {
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
     "q_dedup_clusters" ->
-      s"""WITH RECURSIVE $shingleCte,
-          mh AS (SELECT doc_id,
-                        ${(0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")}
-                 FROM sh GROUP BY doc_id),
-          bands AS (${(0 until 8).map(i =>
-            s"SELECT doc_id, $i AS band, md5(mh$i) AS bucket FROM mh").mkString(" UNION ALL ")}),
-          pairs AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-                    FROM bands a JOIN bands b
-                      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-          edges AS (SELECT src, dst FROM pairs UNION SELECT dst AS src, src AS dst FROM pairs),
-          reach(node, label) AS (
-            SELECT DISTINCT src, src FROM edges
-            UNION
-            SELECT e.dst, r.label FROM edges e JOIN reach r ON r.node = e.src)
-          SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node""",
+      s"""WITH $shingleCte,
+          ${minhashCcCte()}
+          SELECT doc_id, cluster_id FROM cc""",
     "q_cc_size_histogram" ->
-      s"""WITH RECURSIVE $shingleCte,
-          mh AS (SELECT doc_id,
-                        ${(0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")}
-                 FROM sh GROUP BY doc_id),
-          bands AS (${(0 until 8).map(i =>
-            s"SELECT doc_id, $i AS band, md5(mh$i) AS bucket FROM mh").mkString(" UNION ALL ")}),
-          pairs AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-                    FROM bands a JOIN bands b
-                      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-          edges AS (SELECT src, dst FROM pairs UNION SELECT dst AS src, src AS dst FROM pairs),
-          reach(node, label) AS (
-            SELECT DISTINCT src, src FROM edges
-            UNION
-            SELECT e.dst, r.label FROM edges e JOIN reach r ON r.node = e.src),
-          cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+      s"""WITH $shingleCte,
+          ${minhashCcCte()},
           lab AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
                   FROM documents d LEFT JOIN cc USING (doc_id)),
           szs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
@@ -1382,21 +1421,9 @@ object QText {
     // the incremental road must equal the from-scratch rebuild: the
     // oracle IS the full-recompute CC over all candidate pairs
     "q_incremental_components" ->
-      s"""WITH RECURSIVE $shingleCte,
-          mh AS (SELECT doc_id,
-                        ${(0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")}
-                 FROM sh GROUP BY doc_id),
-          bands AS (${(0 until 8).map(i =>
-            s"SELECT doc_id, $i AS band, md5(mh$i) AS bucket FROM mh").mkString(" UNION ALL ")}),
-          pairs AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-                    FROM bands a JOIN bands b
-                      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-          edges AS (SELECT src, dst FROM pairs UNION SELECT dst AS src, src AS dst FROM pairs),
-          reach(node, label) AS (
-            SELECT DISTINCT src, src FROM edges
-            UNION
-            SELECT e.dst, r.label FROM edges e JOIN reach r ON r.node = e.src)
-          SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node""",
+      s"""WITH $shingleCte,
+          ${minhashCcCte()}
+          SELECT doc_id, cluster_id FROM cc""",
     "q_token_pack" ->
       s"""SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
                 CAST((cum_tokens - 1) // 512 AS BIGINT) AS bin_id
@@ -1663,6 +1690,30 @@ object QText {
           SELECT id_a, id_b, round(dotp / (na.nrm * nb.nrm), 6) AS cos
           FROM p JOIN nr na ON na.doc_id = p.id_a JOIN nr nb ON nb.doc_id = p.id_b
           WHERE dotp / (na.nrm * nb.nrm) >= 0.3""",
+    "q_tfidf_cosine_topk" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+          tf AS (SELECT doc_id, t, count(*) AS tf FROM w GROUP BY 1, 2),
+          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+          dfr AS (SELECT t, count(*) AS df FROM tf GROUP BY t
+                  HAVING count(*) <= (SELECT n FROM nn) // 10),
+          wta AS (SELECT doc_id, tf.t,
+                        tf.tf * (CAST((SELECT n FROM nn) AS DOUBLE) / CAST(dfr.df AS DOUBLE)) AS wgt
+                 FROM tf JOIN dfr ON dfr.t = tf.t),
+          wt AS MATERIALIZED (SELECT doc_id, t, wgt FROM (
+                   SELECT doc_id, t, wgt,
+                          row_number() OVER (PARTITION BY t ORDER BY wgt DESC, doc_id) AS rn
+                   FROM wta) x WHERE rn <= 500),
+          nr AS MATERIALIZED (SELECT doc_id, sqrt(CAST(sum(CAST(wgt * wgt AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+                 FROM wt GROUP BY doc_id),
+          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(sum(CAST(a.wgt * b.wgt AS DECIMAL(38,18))) AS DOUBLE) AS dotp
+                FROM wt a JOIN wt b ON a.t = b.t AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+          c AS (SELECT id_a, id_b, round(dotp / (na.nrm * nb.nrm), 6) AS cos
+                FROM p JOIN nr na ON na.doc_id = p.id_a JOIN nr nb ON nb.doc_id = p.id_b
+                WHERE dotp / (na.nrm * nb.nrm) >= 0.3)
+          SELECT id_a, id_b, cos FROM c
+          QUALIFY row_number() OVER (PARTITION BY id_b ORDER BY cos DESC, id_a) <= 3""",
     "q_bm25" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
           t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,

@@ -293,4 +293,26 @@ class DedupSpec extends SparkSpec {
     val c14 = got((1L, 4L))
     assert(c14 > 0.0 && c14 < 1.0 && math.abs(got((2L, 4L)) - c14) < 1e-15)
   }
+
+  test("tfidfCosineTopK: per-doc bound, best-match order, drop set preserved") {
+    // doc 3 has two earlier matches (1 and 2, both cos 1.0) and a
+    // weaker one (0 shares only 'alpha beta' of its four terms): k=2
+    // must keep exactly the two best by (cos desc, id_a asc); the
+    // distinct id_b set must equal the unbounded form's for any k.
+    val docs = Seq(
+      (0L, "alpha beta mu nu"), (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), (3L, "alpha beta gamma delta"),
+      (4L, "xi omicron pi rho")
+    ).toDF("doc_id", "text")
+    def run(k: Int) = Dedup.tfidfCosineTopK(docs, "text", "doc_id",
+      maxDf = 5L, minCosine = 0.1, k = k)
+    val k2 = run(2).as[(Long, Long, Double)].collect()
+    val g3 = k2.filter(_._2 == 3L)
+    assert(g3.map(p => (p._1, p._3)).toSet == Set((1L, 1.0), (2L, 1.0)))
+    assert(k2.groupBy(_._2).forall(_._2.length <= 2))
+    val dropAll = Dedup.tfidfCosinePairs(docs, "text", "doc_id", 5L, 0.1)
+      .select($"id_b").distinct().as[Long].collect().toSet
+    val dropK1 = run(1).select($"id_b").as[Long].collect()
+    assert(dropK1.toSet == dropAll && dropK1.length == dropK1.toSet.size)
+  }
 }

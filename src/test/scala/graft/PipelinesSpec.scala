@@ -147,4 +147,25 @@ class PipelinesSpec extends SparkSpec {
     assert(clean == Set((1, 10), (3, 30)))
     assert(bad.toSeq == Seq("not-a-number,oops,extra")) // audit trail, job survived
   }
+
+  test("TrainingPrep.runV2: durable stage boundaries match localCheckpoint byte-for-byte") {
+    // The reliability-grade 100 TB form (stage outputs persisted to
+    // storage, restartable) must be a pure persistence swap — same
+    // rows, same values, nothing about the composed result may depend
+    // on WHERE the stage boundary lives.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", $"lang")
+    val dir = tmpDir("runv2-durable")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val local = graft.pipelines.TrainingPrep.runV2(docs)
+      .collect().map(_.toString).sorted
+    val durable = graft.pipelines.TrainingPrep.runV2(docs,
+        stageDir = Some(dir))
+      .collect().map(_.toString).sorted
+    assert(local.length > 0 && local.sameElements(durable))
+    // and the durable form really did persist all three stage frames
+    (0 to 2).foreach { i =>
+      assert(new java.io.File(s"$dir/stage$i/_SUCCESS").exists(), s"stage$i missing")
+    }
+  }
 }

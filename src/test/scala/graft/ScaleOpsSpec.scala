@@ -509,4 +509,51 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().toSet
     assert(served == full)
   }
+
+  test("state bound AT VOLUME: 100k-event file feed drains with state ∝ live window") {
+    // The toy MemoryStream eviction tests prove the semantics; this one
+    // proves the BOUND at volume on the real ingest shape: 10 key- and
+    // month-shifted replicas of the sf0.01 events table (100k rows,
+    // ~310 days of event time) staged as 10 time-ordered parquet slices
+    // and drained through the watermark dedup one file per micro-batch.
+    // Each slice jumps the watermark a month forward, so the store must
+    // hold ~one slice's keys at its post-batch peak and evict all of
+    // the previous slice — state ∝ live window, never ∝ corpus drained.
+    val src = Tables(spark, "/root/testdata/sf0.01").events
+      .select($"event_id", $"ts")
+    val base = new java.io.File(tmpDir("volume_feed"))
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+    base.mkdirs()
+    (0 until 10).foreach { k =>
+      val tmp = new java.io.File(base, s"_stage_$k")
+      src.select(($"event_id" + lit(k * 10000000L)).as("event_id"),
+          ($"ts" + expr(s"INTERVAL ${k * 31} DAYS")).as("ts"))
+        .coalesce(1).write.parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(base, f"slice-$k%05d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + k * 60000L)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+    val feed = spark.readStream
+      .schema(spark.read.parquet(base.getAbsolutePath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", "false")
+      .parquet(base.getAbsolutePath)
+    val q = Streams.dedupWithinWatermark(feed).writeStream
+      .format("memory").queryName("volume_dedup_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // every replica-unique event_id passes the dedup
+      assert(spark.table("volume_dedup_out").count() == 100000L)
+      val ps = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      assert(ps.length >= 10, s"expected >=10 stateful micro-batches, got ${ps.length}")
+      val peak = ps.map(_.stateOperators.map(_.numRowsTotal).sum).max
+      val removed = ps.map(_.stateOperators.map(_.numRowsRemoved).sum).sum
+      // post-batch state is one slice's 10k keys (+ watermark-lag slack),
+      // NOT the 100k drained; slices 1-9 must have been evicted en route
+      assert(peak <= 25000L, s"state peaked at $peak rows — growing with the corpus")
+      assert(removed >= 80000L, s"watermark should evict the drained slices, removed=$removed")
+    } finally q.stop()
+  }
 }
