@@ -117,6 +117,126 @@ object Multimodal {
       else None
     }
 
+    /** REAL compressed-image decode for 8-bit non-interlaced PNG
+      * (grayscale / RGB / RGBA): chunk-walk to IHDR, concatenate the
+      * IDAT zlib stream, inflate it with the JDK's zlib, and undo the
+      * per-scanline filters (None/Sub/Up/Average/Paeth — the full
+      * filter set). Returns (width, height, first-channel pixel values
+      * in stored top-down row order). This is an actual decompressing
+      * codec in pure JVM — only bit depths/color types outside the
+      * 8-bit gray/RGB/RGBA family and interlaced streams remain the
+      * [[DecoderStub]]'s territory.
+      */
+    def pngGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      if (b.length < 8 || !(0 until 8).forall(i => b(i) == sig(i))) return None
+      def be32(off: Int): Int =
+        ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+          ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+      var off = 8
+      var w = 0; var h = 0; var channels = 0
+      val idat = new java.io.ByteArrayOutputStream()
+      var ok = true; var done = false
+      while (ok && !done && off + 12 <= b.length) {
+        val len = be32(off)
+        if (len < 0 || off.toLong + 12 + len > b.length) ok = false
+        else {
+          if (tag(b, off + 4, "IHDR")) {
+            if (len < 13) ok = false
+            else {
+              w = be32(off + 8); h = be32(off + 12)
+              val depth = b(off + 16) & 0xff
+              val ct = b(off + 17) & 0xff
+              val interlace = b(off + 20) & 0xff
+              channels = ct match { case 0 => 1; case 2 => 3; case 6 => 4; case _ => 0 }
+              if (depth != 8 || channels == 0 || interlace != 0 ||
+                  w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) ok = false
+            }
+          } else if (tag(b, off + 4, "IDAT")) idat.write(b, off + 8, len)
+          else if (tag(b, off + 4, "IEND")) done = true
+          off += 12 + len
+        }
+      }
+      if (!ok || w == 0 || idat.size == 0) return None
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      val rowBytes = w * channels
+      val raw = new Array[Byte]((rowBytes + 1) * h)
+      try {
+        var n = 0
+        while (n < raw.length && !inf.finished()) {
+          val k = inf.inflate(raw, n, raw.length - n)
+          if (k == 0 && inf.needsInput()) return None // truncated stream
+          n += k
+        }
+        if (n < raw.length) return None
+      } catch { case _: java.util.zip.DataFormatException => return None }
+      finally inf.end()
+      val px = new Array[Int](w * h)
+      val cur = new Array[Int](rowBytes)
+      val prev = new Array[Int](rowBytes)
+      var y = 0
+      while (y < h) {
+        val base = y * (rowBytes + 1)
+        val ft = raw(base) & 0xff
+        if (ft > 4) return None
+        var i = 0
+        while (i < rowBytes) {
+          val x = raw(base + 1 + i) & 0xff
+          val a = if (i >= channels) cur(i - channels) else 0
+          val up = prev(i)
+          val c = if (i >= channels) prev(i - channels) else 0
+          val rec = ft match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + up
+            case 3 => x + ((a + up) >> 1)
+            case _ => // Paeth
+              val p = a + up - c
+              val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+              x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+          }
+          cur(i) = rec & 0xff
+          i += 1
+        }
+        var xx = 0
+        while (xx < w) { px(y * w + xx) = cur(xx * channels); xx += 1 }
+        System.arraycopy(cur, 0, prev, 0, rowBytes)
+        y += 1
+      }
+      Some((w, h, px))
+    }
+
+    /** [[bmpBlockHash]]'s 16-bit block-mean perceptual hash over a
+      * DECODED PNG ([[pngGray]]): same cross-multiplied exact-integer
+      * block comparisons, rows in stored (top-down) order.
+      */
+    def pngBlockHash(b: Array[Byte]): Option[Long] = pngGray(b).map {
+      case (w, h, px) =>
+        val bs = new Array[Long](16)
+        val bc = new Array[Long](16)
+        var ts = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = px(y * w + x)
+            val bi = (y * 4 / h) * 4 + (x * 4 / w)
+            bs(bi) += v; bc(bi) += 1; ts += v
+            x += 1
+          }
+          y += 1
+        }
+        val tp = w.toLong * h
+        var hash = 0L
+        var i = 0
+        while (i < 16) {
+          if (bs(i) * tp > ts * bc(i)) hash |= (1L << i)
+          i += 1
+        }
+        hash
+    }
+
     /** JPEG: marker walk from SOI; dimensions live in the first SOF
       * frame header (height/width as BE16 at payload offsets 3/5).
       * Handles fill bytes and the standalone markers (TEM/RSTn) that
@@ -246,6 +366,11 @@ object Multimodal {
 
   /** The codec seam. Deterministic fake: "decodes" dimensions from the
     * payload hash. A real implementation would parse/decompress here.
+    * Its territory has shrunk to entropy-coded JPEG scan data and the
+    * exotic PNG variants — BMP pixels ([[Headers.bmpBlockHash]]),
+    * 8-bit gray/RGB/RGBA PNG ([[Headers.pngGray]] — real inflate +
+    * unfilter), PCM16 WAV ([[Headers.wavSamples16]]), and all three
+    * formats' dimension headers are REAL decoders.
     */
   object DecoderStub {
     def decode(payload: Array[Byte]): (Int, Int) = {

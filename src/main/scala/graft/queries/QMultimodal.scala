@@ -154,6 +154,89 @@ object QMultimodal {
           org.apache.spark.sql.expressions.Window.partitionBy(col("hash16"))))
     }),
 
+    // REAL compressed-image dedup: deterministic 16×16 8-bit RGB PNGs
+    // on disk — zlib-DEFLATED scanlines with the FULL filter set
+    // (row y uses filter y%5: None/Sub/Up/Average/Paeth), files 10–14
+    // repeating files 0–4's pixel content — ingested via binaryFile,
+    // INFLATED + UNFILTERED in pure JVM (Multimodal.Headers.pngGray),
+    // and reduced to the 16-bit block-mean hash. A regression anywhere
+    // in the codec (chunk walk, inflate, any of the five filter
+    // inversions, channel stride) changes the decoded pixels and
+    // breaks the hash against the oracle's generator-arithmetic replay.
+    "q_png_blockhash" -> ((s, dir) => {
+      import s.implicits._
+      val path = s"target/tmp/q_png_blockhash_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val d = new java.io.File(path)
+      if (!new java.io.File(d, ".done").exists()) {
+        d.mkdirs()
+        def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+          val crc = new java.util.zip.CRC32()
+          crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+          java.nio.ByteBuffer.allocate(12 + data.length)
+            .putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+            .putInt(crc.getValue.toInt).array()
+        }
+        (0 until 15).foreach { i =>
+          val w = 16; val h = 16; val ch = 3
+          val j = i % 10
+          def pix(y: Int, x: Int): Int = (j * 37 + y * 5 + x * 11) % 256
+          // filter-encode the scanlines: row y carries filter y%5, so
+          // the decoder must invert all five reconstruction rules
+          val raw = new Array[Byte]((w * ch + 1) * h)
+          val prev = new Array[Int](w * ch)
+          (0 until h).foreach { y =>
+            val cur = Array.tabulate(w * ch)(k => pix(y, k / ch))
+            val ft = y % 5
+            raw(y * (w * ch + 1)) = ft.toByte
+            (0 until w * ch).foreach { k =>
+              val a = if (k >= ch) cur(k - ch) else 0
+              val up = prev(k)
+              val c = if (k >= ch) prev(k - ch) else 0
+              val predicted = ft match {
+                case 0 => 0
+                case 1 => a
+                case 2 => up
+                case 3 => (a + up) >> 1
+                case _ =>
+                  val p = a + up - c
+                  val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+                  if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+              }
+              raw(y * (w * ch + 1) + 1 + k) = ((cur(k) - predicted) & 0xff).toByte
+            }
+            System.arraycopy(cur, 0, prev, 0, w * ch)
+          }
+          val defl = new java.util.zip.Deflater()
+          defl.setInput(raw); defl.finish()
+          val buf = new Array[Byte](raw.length + 64)
+          val zlen = defl.deflate(buf); defl.end()
+          val ihdr = java.nio.ByteBuffer.allocate(13)
+            .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+            .put(0.toByte).put(0.toByte).put(0.toByte).array()
+          val out = new java.io.ByteArrayOutputStream()
+          out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+          out.write(chunk("IHDR", ihdr))
+          out.write(chunk("IDAT", buf.take(zlen)))
+          out.write(chunk("IEND", Array.empty[Byte]))
+          java.nio.file.Files.write(
+            new java.io.File(d, f"img_$i%03d.png").toPath, out.toByteArray)
+        }
+        java.nio.file.Files.write(new java.io.File(d, ".done").toPath, Array.empty[Byte])
+      }
+      val recs = s.read.format("binaryFile").load(path)
+        .select(
+          regexp_extract(col("path"), "img_(\\d+)\\.png", 1).cast("long").as("media_id"),
+          col("content").as("bytes"))
+        .as[Multimodal.MediaRecord]
+      val hashed = recs
+        .map(r => (r.media_id,
+          Multimodal.Headers.pngBlockHash(r.bytes).getOrElse(-1L)))
+        .toDF("media_id", "hash16")
+      hashed.withColumn("canon_id",
+        min(col("media_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("hash16"))))
+    }),
+
     // Frame sampling: 32-byte chunks, every 2nd kept — count + the md5
     // of the first sampled frame (content-addressed, engine-portable).
     "q_multimodal_frames" -> ((s, dir) => {
@@ -191,6 +274,23 @@ object QMultimodal {
          FROM s
          WHERE t < ((160 + 16 * media_id) // 32) * 32
          GROUP BY 1, 2""",
+    "q_png_blockhash" ->
+      """WITH px AS (SELECT i.range AS media_id, y.range AS y, x.range AS x,
+                            ((i.range % 10) * 37 + y.range * 5 + x.range * 11) % 256 AS v
+                     FROM range(15) i CROSS JOIN range(16) y CROSS JOIN range(16) x),
+          blk AS (SELECT media_id, (y // 4) * 4 + (x // 4) AS bi,
+                         sum(v) AS bs, count(*) AS bc
+                  FROM px GROUP BY 1, 2),
+          tot AS (SELECT media_id, sum(v) AS ts, count(*) AS tp
+                  FROM px GROUP BY 1),
+          h AS (SELECT b.media_id,
+                       CAST(sum(CASE WHEN bs * tp > ts * bc
+                                     THEN 1 << bi ELSE 0 END) AS BIGINT) AS hash16
+                FROM blk b JOIN tot t ON b.media_id = t.media_id
+                GROUP BY 1)
+         SELECT media_id, hash16,
+                min(media_id) OVER (PARTITION BY hash16) AS canon_id
+         FROM h""",
     "q_image_blockhash" ->
       """WITH px AS (SELECT i.range AS media_id, y.range AS y, x.range AS x,
                             ((i.range % 10) * 31 + y.range * 7 + x.range * 3) % 256 AS v

@@ -815,4 +815,76 @@ class OpsSpec extends SparkSpec {
     // doc 3: shingles {abc, bcx, cxy}; only abc was seen before
     assert(got(3L) == ((3L, 2L, 2.0 / 3)))
   }
+
+  test("png decode: inflate + all five filter inversions recover the pixels") {
+    import Multimodal.Headers
+    // encode a known pixel field through a REAL png pipeline: per-row
+    // filter y%5 (None/Sub/Up/Average/Paeth), zlib deflate, chunk+CRC
+    def encode(w: Int, h: Int, ch: Int, colorType: Int,
+        pix: (Int, Int, Int) => Int): Array[Byte] = {
+      def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+        val crc = new java.util.zip.CRC32()
+        crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+        java.nio.ByteBuffer.allocate(12 + data.length)
+          .putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+          .putInt(crc.getValue.toInt).array()
+      }
+      val raw = new Array[Byte]((w * ch + 1) * h)
+      val prev = new Array[Int](w * ch)
+      (0 until h).foreach { y =>
+        val cur = Array.tabulate(w * ch)(k => pix(y, k / ch, k % ch))
+        val ft = y % 5
+        raw(y * (w * ch + 1)) = ft.toByte
+        (0 until w * ch).foreach { k =>
+          val a = if (k >= ch) cur(k - ch) else 0
+          val up = prev(k)
+          val c = if (k >= ch) prev(k - ch) else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => a
+            case 2 => up
+            case 3 => (a + up) >> 1
+            case _ =>
+              val p = a + up - c
+              val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+          }
+          raw(y * (w * ch + 1) + 1 + k) = ((cur(k) - pred) & 0xff).toByte
+        }
+        System.arraycopy(cur, 0, prev, 0, w * ch)
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val zlen = defl.deflate(buf); defl.end()
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      out.write(chunk("IHDR", ihdr))
+      out.write(chunk("IDAT", buf.take(zlen)))
+      out.write(chunk("IEND", Array.empty[Byte]))
+      out.toByteArray
+    }
+    def field(y: Int, x: Int, c: Int): Int = (y * 31 + x * 7 + c * 3) % 256
+    // RGB: 7 rows so every filter type appears at least once
+    val rgb = encode(9, 7, 3, 2, field)
+    val Some((w, h, px)) = Headers.pngGray(rgb)
+    assert(w == 9 && h == 7)
+    (0 until 7).foreach(y => (0 until 9).foreach(x =>
+      assert(px(y * 9 + x) == field(y, x, 0), s"($x,$y)")))
+    // grayscale (1ch) and RGBA (4ch) strides decode too
+    assert(Headers.pngGray(encode(6, 6, 1, 0, field)).exists {
+      case (_, _, p) => p(3 * 6 + 4) == field(3, 4, 0) })
+    assert(Headers.pngGray(encode(6, 6, 4, 6, field)).exists {
+      case (_, _, p) => p(5 * 6 + 2) == field(5, 2, 0) })
+    // hostile inputs degrade to None: truncated IDAT, bad filter code
+    assert(Headers.pngGray(rgb.dropRight(30)).isEmpty)
+    val interlaced = encode(4, 4, 3, 2, field)
+    interlaced(8 + 8 + 12) = 1 // IHDR interlace byte — Adam7 unsupported
+    assert(Headers.pngGray(interlaced).isEmpty)
+    // the block hash groups identical pixel content across codecs' files
+    assert(Headers.pngBlockHash(rgb) == Headers.pngBlockHash(encode(9, 7, 3, 2, field)))
+  }
 }
