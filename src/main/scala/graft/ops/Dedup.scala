@@ -682,12 +682,24 @@ object Dedup {
     // oracle replays the cap exactly; with postings under the cap
     // (every SF the contract checks at the default maxDf) the result
     // is IDENTICAL to the uncapped form.
+    // PERSIST the capped matrix: it feeds THREE consumers (the norm
+    // aggregate and both sides of the posting self-join) whose
+    // exchanges differ, so Catalyst cannot reuse one — without the
+    // cache the tokenize → tf-aggregate → df-join → posting-top-k
+    // pipeline runs three times end-to-end (measured at sf1: the
+    // triple recompute was most of a 112–145 s wall; plan audit shows
+    // 8 scans / 28 exchanges, zero ReusedExchange). Values are
+    // unaffected: the decimal power sums are order-independent.
+    // Callers' sweep harnesses clearCache between queries; the 100 TB
+    // form writes this matrix to storage once (same shape as the
+    // cascade's durable stage boundaries).
     val wt = wtAll
       .withColumn("__rn", row_number().over(org.apache.spark.sql.expressions
         .Window.partitionBy(col("t"))
         .orderBy(col("wgt").desc, col(idCol).asc)))
       .filter(col("__rn") <= postingCap)
       .drop("__rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = wt.groupBy(col(idCol))
       .agg(sqrt(sum((col("wgt") * col("wgt")).cast("decimal(38,18)"))
         .cast("double")).as("nrm"))

@@ -19,7 +19,14 @@ object ProfQ {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
+        // Same discipline as Bench: shuffle/broadcast state from prior
+        // reps is only reclaimed when the driver GCs the references
+        // (ContextCleaner) — on a 64 GB heap that can be never, and at
+        // sf1 the orphaned state compounds rep-over-rep (measured:
+        // 82→192→427 s on one query whose quiet steady is ~70 s).
+        // Collect it in the UNTIMED window.
         spark.catalog.clearCache()
+        System.gc()
         dt
       }
       println(f"[profq] $name%-28s ${times.map(t => f"$t%6.2f").mkString(" ")}")
