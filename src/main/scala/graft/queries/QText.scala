@@ -239,6 +239,52 @@ object QText {
           concat(col("a"), col("b")).as("merged"), col("cnt"))
     }),
 
+    // BPE learning in DICTIONARY form — the scale road, and how
+    // Sennrich's reference trainer actually iterates: pairs never
+    // cross the '#' boundary, so the corpus collapses ONCE to
+    // (word, freq) and every merge round runs over the dictionary
+    // with pair counts weighted by freq. This is an EXACT
+    // reformulation, not an approximation: per-word pair multisets
+    // times frequency reproduce the corpus pair counts term for term,
+    // and the (cnt DESC, a, b) argmax tie-break is unchanged, so the
+    // merge table is identical to [[q_bpe_learn]]'s round for round
+    // (spec-asserted). Cost: ONE corpus-wide tokenize+count shuffle,
+    // then rounds ∝ |vocabulary| — sub-linear in the corpus (Heaps'
+    // law), which is why 12 merges here cost less than 3 corpus-form
+    // merges; at 100 TB the dictionary is the only frame the loop
+    // ever rescans, and it shrinks as merges fuse symbols.
+    "q_bpe_learn_dict" -> ((s, dir) => {
+      val rounds = 12
+      var dict: DataFrame = Tables(s, dir).documents
+        .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .select(regexp_replace(col("word"), "(.)", "($1)").as("w"), col("freq"))
+        .localCheckpoint()
+      val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (step <- 1 to rounds) {
+        val ss = split(btrim(col("w"), lit("()")), "\\)\\(")
+        val top = dict.select(col("freq"), explode(zip_with(
+            slice(ss, lit(1), greatest(size(ss) - 1, lit(0))),
+            slice(ss, lit(2), greatest(size(ss) - 1, lit(0))),
+            (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+          .collect().head
+        val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+        learned += ((step, a, b, cnt))
+        if (step < rounds)
+          dict = dict.select(replace(col("w"),
+              lit(s"($a)($b)"), lit(s"($a$b)")).as("w"), col("freq"))
+            .localCheckpoint()
+      }
+      import s.implicits._
+      learned.toSeq.toDF("step", "a", "b", "cnt")
+        .select(col("step"), col("a"), col("b"),
+          concat(col("a"), col("b")).as("merged"), col("cnt"))
+    }),
+
     // The BPE encoder itself under the oracle: per-document token
     // count plus the first five emitted subword tokens. The DuckDB
     // side replays the IDENTICAL frozen merge table through the
@@ -1383,6 +1429,35 @@ object QText {
           SELECT CAST(krk AS INTEGER) AS step, a, b, a || b AS merged, cnt FROM kept0
           UNION ALL
           SELECT CAST($batch + krk AS INTEGER), a, b, a || b, cnt FROM kept1"""
+    },
+    "q_bpe_learn_dict" -> {
+      // Replays the dictionary reformulation: corpus -> (word, freq)
+      // once, then 12 unrolled rounds of freq-weighted pair count ->
+      // argmax -> replace over the dictionary. No '#' filter needed:
+      // words are purely alnum by construction. sum(freq) is HUGEINT
+      // in DuckDB — cast back to BIGINT for the schema compare.
+      val rounds = 12
+      def round(i: Int): String =
+        s"""sym$i AS (SELECT string_split(trim(w, '()'), ')(') AS ss, freq FROM w$i),
+          pr$i AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+                   FROM (SELECT unnest(ss[1:len(ss)-1]) AS a,
+                                unnest(ss[2:len(ss)]) AS b, freq
+                         FROM sym$i)
+                   GROUP BY 1, 2),
+          m$i AS (SELECT a, b, cnt FROM pr$i ORDER BY cnt DESC, a, b LIMIT 1),
+          w${i + 1} AS (SELECT replace(w, '(' || m$i.a || ')(' || m$i.b || ')',
+                                 '(' || m$i.a || m$i.b || ')') AS w, freq
+                        FROM w$i, m$i)"""
+      s"""WITH w0 AS MATERIALIZED (
+            SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS w,
+                   count(*) AS freq
+            FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+                  FROM documents)
+            WHERE word <> '' GROUP BY 1),
+          ${(0 until rounds).map(round).mkString(", ")}
+          ${(0 until rounds).map(i =>
+            s"SELECT ${i + 1} AS step, a, b, a || b AS merged, cnt FROM m$i")
+            .mkString(" UNION ALL ")}"""
     },
     "q_bpe_tokens" ->
       s"""SELECT doc_id,

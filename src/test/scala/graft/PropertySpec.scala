@@ -388,6 +388,24 @@ class PropertySpec extends SparkSpec {
       (single._2, single._3, single._5))
   }
 
+  test("dictionary BPE is an EXACT reformulation: merge table equals the corpus-form learner's") {
+    // The dictionary learner folds the corpus to (word, freq) once and
+    // iterates over the dictionary; because pairs never cross the '#'
+    // boundary, its freq-weighted pair counts equal the corpus-form
+    // counts term for term — so the learned merges (and their counts)
+    // must agree round for round, not just statistically.
+    val sf = "/root/testdata/sf0.001"
+    val dict = graft.queries.QText.queries("q_bpe_learn_dict")(spark, sf)
+      .orderBy($"step").as[(Int, String, String, String, Long)].collect()
+    assert(dict.length == 12)
+    val corpus = graft.queries.QText.queries("q_bpe_learn")(spark, sf)
+      .orderBy($"step").as[(Int, String, String, String, Long)].collect()
+    assert(dict.take(3).toSeq == corpus.toSeq)
+    // merged symbols accumulate: later rounds may merge earlier outputs,
+    // and counts are monotonically non-increasing round over round
+    assert(dict.map(_._5).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("JL projection is exactly 2-homogeneous: proj(2a) == 2*proj(a) bitwise") {
     // ±1 signs and a power-of-two scale: every product and partial sum
     // doubles EXACTLY in binary floats, so the projection must too —
