@@ -64,11 +64,26 @@ object QAnalytics {
     val pairs = Tables(s, dir).lineitem.select(
       concat(lit("p"), col("l_partkey")).as("p"),
       concat(lit("s"), col("l_suppkey")).as("sup")).distinct()
-    val edges = pairs.select(col("p").as("src"), col("sup").as("dst"))
+    // DURABLE intermediate, not localCheckpoint: the symmetric edge
+    // frame feeds four consumers (degree agg, degree join, node
+    // distinct, and indirectly e2001's planning) — at sf10 it is 120M
+    // rows, and pinning it as executor-memory blocks starved the
+    // 32-way aggregations into AGGREGATE_OUT_OF_MEMORY on an 8 GB
+    // heap. Writing it to parquet and letting every consumer SCAN it
+    // is the same stage-boundary-to-storage shape as
+    // TrainingPrep.runV2(stageDir=...): memory-neutral, and each
+    // consumer gets full column pruning off the scan.
+    pairs.select(col("p").as("src"), col("sup").as("dst"))
       .unionByName(pairs.select(col("sup").as("src"), col("p").as("dst")))
-      .localCheckpoint()
+      .write.mode("overwrite").parquet(s"${psGraphPath(dir)}/edges_raw")
+    val edges = s.read.parquet(s"${psGraphPath(dir)}/edges_raw")
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    edges.join(broadcast(deg), Seq("src"))
+    // NO broadcast hint on deg: at contract SFs AQE broadcasts it at
+    // runtime (under the 64 MB threshold); at sf10 deg is ~2M nodes and
+    // the forced-broadcast hash relation per task OOMed an 8 GB heap —
+    // the shuffle join is the correct form above the threshold, and AQE
+    // picks per-run without a driver-side size probe.
+    edges.join(deg, Seq("src"))
       .select(col("src"), col("dst"), col("outdeg"))
       .write.mode("overwrite").parquet(s"${psGraphPath(dir)}/edges")
     // the graph is symmetric: the src side already spans every node
