@@ -30,6 +30,12 @@ object GraftSession {
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     .config("spark.sql.adaptive.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Propagate bucketed-scan SORT ORDER (off by default since
+    // SPARK-32859): our bucketed stages write exactly one sorted file
+    // per bucket, so with this on a bucket-key SMJ needs neither an
+    // exchange NOR a sort on the bucketed side — the iterated-graph
+    // rounds' whole point. Cost is a leaf-file count check per scan.
+    .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     // ds partition values are strings by data-model contract (SURVEY
     // §1.1); without this, reading a ds=19950101 directory turns the
     // column into an int.

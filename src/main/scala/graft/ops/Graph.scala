@@ -63,8 +63,16 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
       teleport: Double = 0.15, nodesOpt: Option[DataFrame] = None,
-      cpEvery: Int = 2): DataFrame = {
-    val e = withOutdeg(edges).cache()
+      cpEvery: Int = 2, bcastCapBytes: Long = 64L * 1024 * 1024): DataFrame = {
+    // A STAGED edge frame (outdeg pre-annotated — the amortized-index
+    // contract, ideally a src-bucketed table) is NOT cached: it is
+    // storage-backed and column-pruned, each round's scan is
+    // memory-neutral, and a bucketed scan hands the join its hash
+    // partitioning AND sort order — caching 120M rows on an 8 GB heap
+    // was the sf10 pressure source. An AD-HOC frame is cached so the
+    // degree window doesn't re-execute per round.
+    val staged = edges.columns.contains("outdeg")
+    val e = if (staged) withOutdeg(edges) else withOutdeg(edges).cache()
     val nodes = nodesOpt.getOrElse(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct()).cache()
@@ -80,7 +88,7 @@ object Graph {
     // each round's copy becomes unreachable when `pr` is reassigned
     // and the ContextCleaner reclaims it, so the byte cap is the real
     // safety lever; above it the shuffle join takes over.
-    val bcastRanks = n * 100L < 64L * 1024 * 1024
+    val bcastRanks = n * 100L < bcastCapBytes
     var pr = nodes.withColumn("pr", lit(1.0 / n))
     var owned: DataFrame = null // last checkpointed frame whose blocks we own
     for (it <- 1 to iterations) {
@@ -105,14 +113,20 @@ object Graph {
       }
       pr = next
     }
-    // No eager unpersist: the returned frame is LAZY past the last
-    // checkpoint, so its first action still reads `e` (and possibly
-    // `nodes`) — dropping their blocks here would force the caller to
-    // recompute the edge scan + degree window + node distinct for up
-    // to cpEvery-1 inlined rounds. The ContextCleaner reclaims both
-    // caches once the caller drops the frame (same discipline as the
-    // last owned checkpoint).
-    pr
+    // Materialize the final round, then free every block this call
+    // pinned. Dataset.cache() entries are held STRONGLY by Spark's
+    // CacheManager — they are never GC/ContextCleaner-reclaimed, so a
+    // lazy tail would pin the edge+node blocks for the session
+    // lifetime, and a later plan-identical call could even be served
+    // stale cached edges after the underlying path is re-staged. The
+    // one extra node-sized checkpoint action is the price of a
+    // leak-free contract (localCheckpoint blocks DO die with the RDD
+    // reference).
+    val out = pr.localCheckpoint()
+    if (owned != null) cpBlocks(owned).foreach(_.unpersist(blocking = false))
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
   }
 
   /** Personalized PageRank: the teleport mass lands ONLY on the
@@ -130,8 +144,10 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, sources: DataFrame,
       iterations: Int, damping: Double = 0.85,
       teleport: Double = 0.15, nodesOpt: Option[DataFrame] = None,
-      cpEvery: Int = 2): DataFrame = {
-    val e = withOutdeg(edges).cache()
+      cpEvery: Int = 2, bcastCapBytes: Long = 64L * 1024 * 1024): DataFrame = {
+    // staged-vs-ad-hoc cache policy — see [[pageRank]]
+    val staged = edges.columns.contains("outdeg")
+    val e = if (staged) withOutdeg(edges) else withOutdeg(edges).cache()
     val nodes = nodesOpt.getOrElse(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct()).cache()
@@ -139,7 +155,7 @@ object Graph {
     val src = sources.select(col("node")).distinct()
     val nS = src.count()
     require(nS > 0, "personalizedPageRank needs at least one source")
-    val bcastRanks = n * 100L < 64L * 1024 * 1024
+    val bcastRanks = n * 100L < bcastCapBytes
     // The per-node teleport base RIDES IN the iterated state frame
     // (node, base, pr): each round re-derives it from the same
     // checkpointed frame the ranks come from, so one round is ONE
@@ -175,8 +191,12 @@ object Graph {
       }
       state = next
     }
-    // lazy-tail cache retention — see [[pageRank]]'s return note
-    state.select(col("node"), col("pr"))
+    // materialize-and-release — see [[pageRank]]'s return note
+    val out = state.select(col("node"), col("pr")).localCheckpoint()
+    if (owned != null) cpBlocks(owned).foreach(_.unpersist(blocking = false))
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
   }
 
   /** Multi-source BFS levels over an undirected graph: `level` =

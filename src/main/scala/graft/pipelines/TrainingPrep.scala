@@ -49,11 +49,12 @@ object TrainingPrep {
     *   1. benchmark DECONTAMINATION: drop training docs sharing any
     *      word 8-gram with the benchmark set (here doc_id < 50) — a
     *      broadcast semi-join on 60-bit shingle hashes
-    *   2. tf·idf-cosine NEAR-DUP removal (cos ≥ `minCosine` in the
-    *      df ≤ N/10 term space): drop the higher id of each attested
-    *      pair — the weighted complement of the set-based LSH stage;
-    *      the relative df cut uses the RAW corpus count (metadata-cheap
-    *      and the same contract as the standalone q_tfidf_cosine)
+    *   2. LSH-gated tf·idf-cosine NEAR-DUP removal (MinHash band
+    *      candidates, cos ≥ `minCosine` in the df ≤ N/10 term space):
+    *      drop the higher id of each attested pair — the weighted
+    *      complement of the set-based LSH stage; the relative df cut
+    *      uses the RAW corpus count (metadata-cheap and the same
+    *      contract as the standalone q_tfidf_cosine)
     *   3. [[run]]'s chain on the excised survivors: exact dedup → LSH
     *      near-dup → quality gate → rebalance → shuffle → chunk
     *
@@ -110,13 +111,15 @@ object TrainingPrep {
     val decontam = stageBoundary(
       train.join(contaminated, Seq("doc_id"), "left_anti"), stageDir, 1)
     // 2 — weighted near-dup: first-seen wins (the CorpusClean policy).
-    // The BOUNDED top-k form (k=1): the drop set only needs "does this
-    // doc have ANY earlier match ≥ minCosine", i.e. each doc's best
-    // earlier match — so the pair frame this stage materializes is
-    // ∝ |docs|, not ∝ |qualifying pairs| (measured 9.9M pairs at sf1
-    // with the unbounded form; identical drop set either way). Note
-    // tfidfCosineTopK inherits the default postingCap=500
-    // bounded-approximate index — see its Scaladoc.
+    // The LSH-GATED bounded top-k form (k=1): the drop set only needs
+    // "does this doc have ANY earlier match ≥ minCosine", i.e. each
+    // doc's best earlier match — so the pair frame this stage
+    // materializes is ∝ |docs|, not ∝ |qualifying pairs| (measured
+    // 9.9M pairs at sf1 with the unbounded form; identical drop set
+    // either way). Candidates come from the MinHash band gate and only
+    // candidates are cosine-scored — work ∝ documents, not ∝
+    // vocabulary × cap² (the round-8 45×-at-100× scaler) — see
+    // tfidfCosineTopK's Scaladoc for the gate contract.
     val maxDf = documents.count() / 10
     val nearDrop = Dedup.tfidfCosineTopK(decontam, "text", "doc_id",
         maxDf, minCosine, k = 1)

@@ -237,6 +237,89 @@ object QMultimodal {
           org.apache.spark.sql.expressions.Window.partitionBy(col("hash16"))))
     }),
 
+    // REAL entropy-coded-image dedup — the DecoderStub retirement for
+    // the last real format: deterministic baseline JPEGs on disk
+    // (grayscale SOF0, canonical-Huffman DC categories + EOB-coded AC,
+    // each 8×8 block a constant value with DC quant 8, so
+    // dequant+IDCT reproduce the generator's pixels EXACTLY — the
+    // lossless corner of a lossy codec, which is what lets a DuckDB
+    // oracle replay decoded pixel content), files 10–14 repeating
+    // files 0–4 — ingested via binaryFile, HUFFMAN-DECODED + IDCT'd in
+    // pure JVM (Multimodal.Headers.jpegGray) and reduced to the 16-bit
+    // block-mean hash. A regression anywhere in the scan decode
+    // (marker walk, canonical code build, DC prediction, EXTEND,
+    // byte unstuffing, dequant, IDCT, level shift) changes the pixels
+    // and breaks the hash. The general AC path is cross-checked
+    // against the JDK's independent ImageIO codec in OpsSpec.
+    "q_jpeg_blockhash" -> ((s, dir) => {
+      import s.implicits._
+      val path = s"target/tmp/q_jpeg_blockhash_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val d = new java.io.File(path)
+      if (!new java.io.File(d, ".done").exists()) {
+        d.mkdirs()
+        (0 until 15).foreach { i =>
+          val j = i % 10
+          def blockV(by: Int, bx: Int): Int = (j * 41 + by * 13 + bx * 29) % 256
+          val bos = new java.io.ByteArrayOutputStream()
+          def u8(v: Int): Unit = bos.write(v & 0xff)
+          def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+          def marker(m: Int): Unit = { u8(0xff); u8(m) }
+          marker(0xd8) // SOI
+          // DQT 0: every entry 8 — DC = 8·(v−128)/8 = v−128 exactly
+          marker(0xdb); u16(2 + 65); u8(0x00); (0 until 64).foreach(_ => u8(8))
+          // SOF0: 8-bit grayscale 16×16, sampling 1×1
+          marker(0xc0); u16(8 + 3); u8(8); u16(16); u16(16); u8(1)
+          u8(1); u8(0x11); u8(0)
+          // DHT DC 0: categories 0..8, all at code length 4 (canonical
+          // codes 0000..1000 — never the all-ones code)
+          marker(0xc4); u16(2 + 17 + 9); u8(0x00)
+          (1 to 16).foreach(l => u8(if (l == 4) 9 else 0))
+          (0 to 8).foreach(u8)
+          // DHT AC 0: the single EOB symbol at length 1 (code "0")
+          marker(0xc4); u16(2 + 17 + 1); u8(0x10)
+          (1 to 16).foreach(l => u8(if (l == 1) 1 else 0))
+          u8(0x00)
+          // SOS, then the entropy segment: 4 DC-only blocks in raster
+          // order, DC coded as a prediction DIFF (category + magnitude
+          // bits), AC closed by EOB; 0xFF bytes stuffed, tail padded
+          marker(0xda); u16(6 + 2); u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
+          var acc = 0; var nb = 0
+          def putBits(v: Int, n: Int): Unit = (n - 1 to 0 by -1).foreach { k =>
+            acc = (acc << 1) | ((v >> k) & 1); nb += 1
+            if (nb == 8) {
+              bos.write(acc); if (acc == 0xff) bos.write(0x00); acc = 0; nb = 0
+            }
+          }
+          var pred = 0
+          for (by <- 0 until 2; bx <- 0 until 2) {
+            val dc = blockV(by, bx) - 128
+            val diff = dc - pred; pred = dc
+            val s = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+            putBits(s, 4) // canonical DC code for category s IS s
+            if (s > 0) putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+            putBits(0, 1) // EOB
+          }
+          while (nb != 0) putBits(1, 1) // 1-pad to byte boundary
+          marker(0xd9) // EOI
+          java.nio.file.Files.write(
+            new java.io.File(d, f"img_$i%03d.jpg").toPath, bos.toByteArray)
+        }
+        java.nio.file.Files.write(new java.io.File(d, ".done").toPath, Array.empty[Byte])
+      }
+      val recs = s.read.format("binaryFile").load(path)
+        .select(
+          regexp_extract(col("path"), "img_(\\d+)\\.jpg", 1).cast("long").as("media_id"),
+          col("content").as("bytes"))
+        .as[Multimodal.MediaRecord]
+      val hashed = recs
+        .map(r => (r.media_id,
+          Multimodal.Headers.jpegBlockHash(r.bytes).getOrElse(-1L)))
+        .toDF("media_id", "hash16")
+      hashed.withColumn("canon_id",
+        min(col("media_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("hash16"))))
+    }),
+
     // Frame sampling: 32-byte chunks, every 2nd kept — count + the md5
     // of the first sampled frame (content-addressed, engine-portable).
     "q_multimodal_frames" -> ((s, dir) => {
@@ -277,6 +360,23 @@ object QMultimodal {
     "q_png_blockhash" ->
       """WITH px AS (SELECT i.range AS media_id, y.range AS y, x.range AS x,
                             ((i.range % 10) * 37 + y.range * 5 + x.range * 11) % 256 AS v
+                     FROM range(15) i CROSS JOIN range(16) y CROSS JOIN range(16) x),
+          blk AS (SELECT media_id, (y // 4) * 4 + (x // 4) AS bi,
+                         sum(v) AS bs, count(*) AS bc
+                  FROM px GROUP BY 1, 2),
+          tot AS (SELECT media_id, sum(v) AS ts, count(*) AS tp
+                  FROM px GROUP BY 1),
+          h AS (SELECT b.media_id,
+                       CAST(sum(CASE WHEN bs * tp > ts * bc
+                                     THEN 1 << bi ELSE 0 END) AS BIGINT) AS hash16
+                FROM blk b JOIN tot t ON b.media_id = t.media_id
+                GROUP BY 1)
+         SELECT media_id, hash16,
+                min(media_id) OVER (PARTITION BY hash16) AS canon_id
+         FROM h""",
+    "q_jpeg_blockhash" ->
+      """WITH px AS (SELECT i.range AS media_id, y.range AS y, x.range AS x,
+                            ((i.range % 10) * 41 + (y.range // 8) * 13 + (x.range // 8) * 29) % 256 AS v
                      FROM range(15) i CROSS JOIN range(16) y CROSS JOIN range(16) x),
           blk AS (SELECT media_id, (y // 4) * 4 + (x // 4) AS bi,
                          sum(v) AS bs, count(*) AS bc

@@ -294,11 +294,12 @@ class DedupSpec extends SparkSpec {
     assert(c14 > 0.0 && c14 < 1.0 && math.abs(got((2L, 4L)) - c14) < 1e-15)
   }
 
-  test("tfidfCosineTopK: per-doc bound, best-match order, drop set preserved") {
-    // doc 3 has two earlier matches (1 and 2, both cos 1.0) and a
-    // weaker one (0 shares only 'alpha beta' of its four terms): k=2
-    // must keep exactly the two best by (cos desc, id_a asc); the
-    // distinct id_b set must equal the unbounded form's for any k.
+  test("tfidfCosineTopK: per-doc bound, LSH gate, drop set = gated pair set") {
+    // docs 1/2/3 identical -> same minhash signature -> all three pairs
+    // are band candidates with cos 1.0. Doc 0 overlaps 1/2/3 in the
+    // terms 'alpha beta' (ungated cosine ~0.15 > 0.1) but shares NO
+    // word 3-gram shingle with them, so the MinHash gate excludes the
+    // (0, ·) pairs BY DESIGN — the gated contract this test pins.
     val docs = Seq(
       (0L, "alpha beta mu nu"), (1L, "alpha beta gamma delta"),
       (2L, "alpha beta gamma delta"), (3L, "alpha beta gamma delta"),
@@ -310,9 +311,16 @@ class DedupSpec extends SparkSpec {
     val g3 = k2.filter(_._2 == 3L)
     assert(g3.map(p => (p._1, p._3)).toSet == Set((1L, 1.0), (2L, 1.0)))
     assert(k2.groupBy(_._2).forall(_._2.length <= 2))
-    val dropAll = Dedup.tfidfCosinePairs(docs, "text", "doc_id", 5L, 0.1)
+    // no-shared-shingle pairs are outside the gate even above threshold
+    assert(!run(3).as[(Long, Long, Double)].collect().exists(_._1 == 0L))
+    // drop set (distinct id_b) for ANY k equals the GATED unbounded
+    // pair set's — reconstructed here as exact pairs ∩ band candidates
+    val cand = Dedup.minhashCandidates(
+      Dedup.minhashSignature(docs, "text", "doc_id", 8), "doc_id", 8, 1)
+    val dropGated = Dedup.tfidfCosinePairs(docs, "text", "doc_id", 5L, 0.1)
+      .join(cand, Seq("id_a", "id_b"), "left_semi")
       .select($"id_b").distinct().as[Long].collect().toSet
     val dropK1 = run(1).select($"id_b").as[Long].collect()
-    assert(dropK1.toSet == dropAll && dropK1.length == dropK1.toSet.size)
+    assert(dropK1.toSet == dropGated && dropK1.length == dropK1.toSet.size)
   }
 }

@@ -887,4 +887,90 @@ class OpsSpec extends SparkSpec {
     // the block hash groups identical pixel content across codecs' files
     assert(Headers.pngBlockHash(rgb) == Headers.pngBlockHash(encode(9, 7, 3, 2, field)))
   }
+
+  test("jpeg decode: DC-exact fixture, restart markers, ImageIO cross-check, hostile inputs") {
+    import graft.ops.Multimodal.Headers
+    // minimal baseline encoder for DC-only gray images (the
+    // q_jpeg_blockhash fixture shape), optionally with restart markers
+    def encode(w: Int, h: Int, v: (Int, Int) => Int, restart: Int = 0): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def u8(x: Int): Unit = bos.write(x & 0xff)
+      def u16(x: Int): Unit = { u8(x >> 8); u8(x) }
+      def marker(m: Int): Unit = { u8(0xff); u8(m) }
+      marker(0xd8)
+      marker(0xdb); u16(2 + 65); u8(0x00); (0 until 64).foreach(_ => u8(8))
+      if (restart > 0) { marker(0xdd); u16(4); u16(restart) }
+      marker(0xc0); u16(8 + 3); u8(8); u16(h); u16(w); u8(1); u8(1); u8(0x11); u8(0)
+      marker(0xc4); u16(2 + 17 + 9); u8(0x00)
+      (1 to 16).foreach(l => u8(if (l == 4) 9 else 0)); (0 to 8).foreach(u8)
+      marker(0xc4); u16(2 + 17 + 1); u8(0x10)
+      (1 to 16).foreach(l => u8(if (l == 1) 1 else 0)); u8(0x00)
+      marker(0xda); u16(8); u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
+      var acc = 0; var nb = 0
+      def putBits(x: Int, n: Int): Unit = (n - 1 to 0 by -1).foreach { k =>
+        acc = (acc << 1) | ((x >> k) & 1); nb += 1
+        if (nb == 8) { bos.write(acc); if (acc == 0xff) bos.write(0x00); acc = 0; nb = 0 }
+      }
+      def pad(): Unit = while (nb != 0) putBits(1, 1)
+      var pred = 0
+      var rstN = 0
+      val bw = (w + 7) / 8; val bh = (h + 7) / 8
+      var mcu = 0
+      for (by <- 0 until bh; bx <- 0 until bw) {
+        if (restart > 0 && mcu > 0 && mcu % restart == 0) {
+          pad(); marker(0xd0 + (rstN % 8)); rstN += 1; pred = 0
+        }
+        val dc = v(by, bx) - 128
+        val diff = dc - pred; pred = dc
+        val s = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        putBits(s, 4)
+        if (s > 0) putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        putBits(0, 1)
+        mcu += 1
+      }
+      pad(); marker(0xd9)
+      bos.toByteArray
+    }
+    // DC quant 8 makes the lossy codec exact on flat blocks: decoded
+    // pixels must equal the generator arithmetic bit for bit
+    def vf(by: Int, bx: Int): Int = (41 + by * 13 + bx * 29) % 256
+    val Some((w, h, px)) = Headers.jpegGray(encode(16, 16, vf))
+    assert(w == 16 && h == 16)
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert(px(y * 16 + x) == vf(y / 8, x / 8), s"pixel ($y,$x)")
+    // restart markers: same pixels, DC predictors reset per interval
+    val Some((_, _, pxR)) = Headers.jpegGray(encode(16, 16, vf, restart = 1))
+    assert(pxR.toSeq == px.toSeq)
+    // non-multiple-of-8 dims: edge blocks clipped, interior exact
+    val Some((w2, h2, px2)) = Headers.jpegGray(encode(12, 10, vf))
+    assert(w2 == 12 && h2 == 10 && px2(9 * 12 + 11) == vf(1, 1))
+    // the general AC path against an INDEPENDENT codec: the JDK's
+    // ImageIO encodes a gradient (real quant tables, real AC runs);
+    // our decoder must agree with ImageIO's own decode within the
+    // spec's IDCT tolerance
+    val img = new java.awt.image.BufferedImage(24, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 24)
+      img.getRaster.setSample(x, y, 0, (x * 9 + y * 5 + (x * y) % 7) % 256)
+    val jout = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", jout))
+    val jb = jout.toByteArray
+    val Some((jw, jh, jpx)) = Headers.jpegGray(jb)
+    assert(jw == 24 && jh == 16)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jb))
+    var maxDiff = 0
+    for (y <- 0 until 16; x <- 0 until 24)
+      maxDiff = math.max(maxDiff,
+        math.abs(jpx(y * 24 + x) - ref.getRaster.getSample(x, y, 0)))
+    assert(maxDiff <= 2, s"ImageIO divergence $maxDiff")
+    // hostile inputs degrade to None, never hang: truncated scan,
+    // progressive frame, desynced marker stream
+    val good = encode(16, 16, vf)
+    assert(Headers.jpegGray(good.dropRight(6)).isEmpty)
+    val sof2 = good.clone()
+    val sofAt = { var i = 2; while (!((sof2(i) & 0xff) == 0xff && (sof2(i + 1) & 0xff) == 0xc0)) i += 1; i }
+    sof2(sofAt + 1) = 0xc2.toByte
+    assert(Headers.jpegGray(sof2).isEmpty)
+    assert(Headers.jpegGray("not a jpeg".getBytes).isEmpty)
+  }
 }

@@ -412,6 +412,36 @@ class PlanShapeSpec extends SparkSpec {
       s"expected exactly one exchange (final recount), got $exchanges:\n$plan")
   }
 
+  test("iterated-graph round over a src-bucketed edge table: no edge-side exchange or sort") {
+    // the pageRank/PPR round shape past the rank-broadcast cap: the
+    // staged edge table is bucketed by src, so the per-round SMJ takes
+    // the scan's hash partitioning AND per-bucket sort order as-is —
+    // only the node-sized rank frame shuffles (VERDICT r8 item 2; at
+    // sf10 the old plan paid TWO 120M-row exchanges per round)
+    val edges = Seq(("a", "b", 2L), ("a", "c", 2L), ("b", "a", 1L),
+      ("c", "a", 1L), ("b", "c", 1L)).toDF("src", "dst", "outdeg")
+    graft.io.Bucketing.writeBucketed(edges.repartition(4, col("src")),
+      "test_pr_edges_bucketed", "src", 4, rebuild = true)
+    val e = spark.table("test_pr_edges_bucketed")
+    val ranks = Seq(("a", 0.3), ("b", 0.3), ("c", 0.4)).toDF("node", "pr")
+      .localCheckpoint()
+    graft.queries.QScale.withConf(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val round = e.join(ranks, e("src") === ranks("node"))
+        .select(col("dst").as("node"), (col("pr") / col("outdeg")).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("inc"))
+      val plan = round.queryExecution.executedPlan.toString
+      val nExchange = "Exchange hashpartitioning".r.findAllIn(plan).length
+      val nSort = "\\bSort \\[".r.findAllIn(plan).length
+      // rank-side shuffle + the aggregation exchange — nothing else
+      assert(nExchange == 2, s"expected 2 exchanges (rank side + agg), got $nExchange:\n$plan")
+      // SMJ sorts only the rank side; the bucketed scan is pre-sorted
+      assert(nSort == 1, s"expected 1 sort (rank side only), got $nSort:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"), s"edge side not a bucketed scan:\n$plan")
+    }
+  }
+
   test("duplicatePassages tokenizes the corpus once (single documents scan)") {
     val qe = graft.ops.Text
       .duplicatePassages(Tables(spark, sfDir).documents, "text", "doc_id", 15)
