@@ -95,6 +95,36 @@ object TextSketch {
     seen.toArray(new Array[String](seen.size))
   }
 
+  /** Per-document TERM FREQUENCIES in one map-side pass:
+    * array<struct<t,tf>> with exactly the multiset
+    * `explode(split(text, ' ')) → groupBy(term) → count` produces
+    * (Java split semantics, limit -1: empty tokens from space runs and
+    * a trailing empty token all count). The tf·idf family's tokenize →
+    * per-(doc,term) aggregation was its largest shuffle — every TOKEN
+    * of the corpus became a row before the count; this kernel emits
+    * one row per DISTINCT term per doc straight off the scan, so the
+    * only corpus-wide aggregate left is the term-level df count.
+    */
+  def termCounts(text: UTF8String): GenericArrayData = {
+    val w = words(text)
+    val counts = new java.util.LinkedHashMap[String, Long](w.length * 2)
+    var i = 0
+    while (i < w.length) {
+      counts.put(w(i), counts.getOrDefault(w(i), 0L) + 1L)
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(e.getKey), e.getValue)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct 60-bit shingle hashes for one document. */
   def shingleHash64(text: UTF8String, n: Int): GenericArrayData = {
     val sh = distinctShingles(text, n)
@@ -283,6 +313,23 @@ case class DeletionHash64(child: Expression, maxLen: Int) extends TextSketchExpr
     copy(child = newChild)
 }
 
+/** `graft_term_counts(text)` → array<struct<t:string,tf:bigint>> of
+  * per-document term frequencies (see [[TextSketch.termCounts]]).
+  */
+case class TermCounts(child: Expression) extends TextSketchExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("t", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = TextSketchExpressions.termCountsName
+  override def nullSafeEval(t: Any): Any =
+    TextSketch.termCounts(t.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"graft.expressions.TextSketch.termCounts($c)"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_simhash(text, bits)` → bigint SimHash fingerprint. */
 case class SimHash(child: Expression, bits: Int) extends TextSketchExpression {
   override def dataType: DataType = LongType
@@ -300,6 +347,7 @@ object TextSketchExpressions {
   val minhashName = "graft_minhash"
   val simhashName = "graft_simhash"
   val delHashName = "graft_del_hash64"
+  val termCountsName = "graft_term_counts"
 
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
@@ -323,6 +371,10 @@ object TextSketchExpressions {
     require(exprs.length == 2, s"$delHashName expects (text, maxLen)")
     DeletionHash64(exprs.head, intLit(exprs(1), "maxLen"))
   }
+  val termCountsBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, s"$termCountsName expects (text)")
+    TermCounts(exprs.head)
+  }
 
   /** Column-API access; requires the extensions (or [[register]]). */
   def shingleHash64(text: Column, n: Int): Column =
@@ -334,6 +386,8 @@ object TextSketchExpressions {
     call_function(simhashName, text, org.apache.spark.sql.functions.lit(bits))
   def deletionHash64(text: Column, maxLen: Int): Column =
     call_function(delHashName, text, org.apache.spark.sql.functions.lit(maxLen))
+  def termCounts(text: Column): Column =
+    call_function(termCountsName, text)
 
   /** Imperative per-session registration (idempotent); the extensions
     * hook in [[GraftExtensions]] is the standard path.
@@ -344,5 +398,6 @@ object TextSketchExpressions {
     r.createOrReplaceTempFunction(minhashName, minhashBuilder, "built-in")
     r.createOrReplaceTempFunction(simhashName, simhashBuilder, "built-in")
     r.createOrReplaceTempFunction(delHashName, delHashBuilder, "built-in")
+    r.createOrReplaceTempFunction(termCountsName, termCountsBuilder, "built-in")
   }
 }

@@ -200,6 +200,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier(TextSketchExpressions.delHashName),
       new ExpressionInfo(classOf[DeletionHash64].getName, TextSketchExpressions.delHashName),
       TextSketchExpressions.delHashBuilder))
+    e.injectFunction((FunctionIdentifier(TextSketchExpressions.termCountsName),
+      new ExpressionInfo(classOf[TermCounts].getName, TextSketchExpressions.termCountsName),
+      TextSketchExpressions.termCountsBuilder))
     e.injectFunction((FunctionIdentifier(NormalizeExpressions.canonName),
       new ExpressionInfo(classOf[CanonicalizeText].getName, NormalizeExpressions.canonName),
       { exprs: Seq[Expression] => CanonicalizeText(exprs.head) }))

@@ -180,15 +180,18 @@ object Dedup {
     * only, a tiny fraction of the text it stands for.
     */
   def writeSignatureIndex(sig: DataFrame, idCol: String, bands: Int,
-      rowsPerBand: Int, path: String, append: Boolean = false): Unit =
-    // repartition by band before the partitioned write: each append
-    // lands ONE file per band instead of one per (task × band) — a
-    // streaming ingest appends every micro-batch, and the read-back
-    // cost of the index grows with its FILE count, not just its rows
-    bandFrame(sig, idCol, bands, rowsPerBand)
-      .repartition(col("band"))
-      .write.mode(if (append) "append" else "overwrite")
+      rowsPerBand: Int, path: String, append: Boolean = false): Unit = {
+    // File-count discipline (the index's read-back cost grows with its
+    // FILE count, not just its rows): a bulk build pays one band
+    // shuffle so each band directory is one file; a micro-batch APPEND
+    // is tiny, so it narrows to one task instead — coalesce adds no
+    // stage, where a per-batch repartition shuffle measurably taxed
+    // the streaming ingest's fixed cost per batch.
+    val bf = bandFrame(sig, idCol, bands, rowsPerBand)
+    val shaped = if (append) bf.coalesce(1) else bf.repartition(col("band"))
+    shaped.write.mode(if (append) "append" else "overwrite")
       .partitionBy("band").parquet(path)
+  }
 
   /** Connected components over an undirected candidate-pair edge list
     * — the step that turns pairwise near-dup hits into duplicate
@@ -678,9 +681,11 @@ object Dedup {
   def tfidfCosinePairs(df: DataFrame, textCol: String, idCol: String,
       maxDf: Long, minCosine: Double, postingCap: Int = 500,
       nDocsOpt: Option[Long] = None): DataFrame = {
+    // map-side term frequencies — see [[tfidfCosineTopK]]'s tf note
     val tf = Par.widen(df)
-      .select(col(idCol), explode(split(col(textCol), " ")).as("t"))
-      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("tf"))
+      .select(col(idCol), explode(
+        graft.expressions.TextSketchExpressions.termCounts(col(textCol))).as("tc"))
+      .select(col(idCol), col("tc.t").as("t"), col("tc.tf").as("tf"))
     // bounded: one scalar (callers with a memoized corpus count pass it
     // via nDocsOpt so the timed query body skips the count job)
     val n = df.sparkSession.range(1)
@@ -789,42 +794,74 @@ object Dedup {
   def tfidfCosineTopK(df: DataFrame, textCol: String, idCol: String,
       maxDf: Long, minCosine: Double, k: Int,
       seeds: Int = 8, shingleN: Int = 3,
-      nDocsOpt: Option[Long] = None): DataFrame = {
-    val sig = minhashSignature(df, textCol, idCol, seeds, shingleN)
-    // one bucket per seed (rowsPerBand = 1) — the q_minhash_dedup gate
-    val cand = minhashCandidates(sig, idCol, seeds, 1)
+      nDocsOpt: Option[Long] = None,
+      candidatesOpt: Option[DataFrame] = None): DataFrame = {
+    // one bucket per seed (rowsPerBand = 1) — the q_minhash_dedup gate.
+    // Pipelines that already hold the corpus signatures (runV2 shares
+    // one sketch pass between this gate and the later LSH stage) pass
+    // their candidate frame in; values are identical either way.
+    // Checkpointed: the pair frame feeds three consumers (the doc
+    // restriction and both sides of the scoring join).
+    val cand = candidatesOpt.getOrElse(minhashCandidates(
+      minhashSignature(df, textCol, idCol, seeds, shingleN), idCol, seeds, 1))
+      .localCheckpoint()
+    val candDocs = cand.select(col("id_a").as(idCol))
+      .unionAll(cand.select(col("id_b").as(idCol))).distinct()
+    // term frequencies MAP-SIDE via the native kernel: one row per
+    // DISTINCT term per doc straight off the scan — the token-explode
+    // → (doc, term) aggregation this replaces shuffled every token of
+    // the corpus (its largest exchange at 100×)
     val tf = Par.widen(df)
-      .select(col(idCol), explode(split(col(textCol), " ")).as("t"))
-      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("tf"))
+      .select(col(idCol), explode(
+        graft.expressions.TextSketchExpressions.termCounts(col(textCol))).as("tc"))
+      .select(col(idCol), col("tc.t").as("t"), col("tc.tf").as("tf"))
     // one scalar; memoized callers pass it (see tfidfCosinePairs)
     val n = df.sparkSession.range(1)
       .select(lit(nDocsOpt.getOrElse(df.count())).as("n"))
     val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-    // Checkpoint, don't cache: the matrix feeds three consumers (norms
-    // + both dot sides) whose exchanges differ, so Catalyst cannot
-    // reuse one — and checkpoint blocks are ContextCleaner-reclaimed
-    // when the frame goes out of scope, where cache() entries would
-    // pin one matrix per call for the session lifetime.
     val wt = tf.join(dfreq, Seq("t")).join(broadcast(n))
       .select(col(idCol), col("t"),
         (col("tf") * (col("n").cast("double") / col("df").cast("double")))
           .as("wgt"))
-      .localCheckpoint()
-    val norms = wt.groupBy(col(idCol))
-      .agg(sqrt(sum((col("wgt") * col("wgt")).cast("decimal(38,18)"))
-        .cast("double")).as("nrm"))
-    val dots = cand
-      .join(wt.select(col(idCol).as("id_a"), col("t"), col("wgt").as("w_a")),
-        Seq("id_a"))
-      .join(wt.select(col(idCol).as("id_b"), col("t"), col("wgt").as("w_b")),
-        Seq("id_b", "t"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(sum((col("w_a") * col("w_b")).cast("decimal(38,18)"))
-        .cast("double").as("dotp"))
-    val pairs = dots
-      .join(norms.select(col(idCol).as("id_a"), col("nrm").as("n_a")), Seq("id_a"))
-      .join(norms.select(col(idCol).as("id_b"), col("nrm").as("n_b")), Seq("id_b"))
+    // Scoring touches CANDIDATE DOCS ONLY: restrict the weight matrix
+    // to docs appearing in some pair (semi-join — AQE broadcasts the
+    // candidate-id set when small), then fold each surviving doc's
+    // full pruned vector into ONE row carrying its norm and a term →
+    // weight map. This is the single doc-keyed shuffle of the whole
+    // scoring stage; the earlier form shuffled the FULL matrix twice
+    // (once per posting side) to score a candidate set thousands of
+    // times smaller. Norms still cover the doc's whole pruned vector,
+    // so the cosine stays the true cosine of what was compared.
+    val vecs = wt
+      .join(candDocs, Seq(idCol), "left_semi")
+      .groupBy(col(idCol))
+      .agg(
+        sqrt(sum((col("wgt") * col("wgt")).cast("decimal(38,18)"))
+          .cast("double")).as("nrm"),
+        map_from_arrays(collect_list(col("t")), collect_list(col("wgt")))
+          .as("vec"))
+    // Map-side dot product per pair: iterate the a-side vector once,
+    // look b-side terms up in the map; every product is the identical
+    // IEEE double the posting join produced, accumulated as exact
+    // DECIMAL(38,18) (order-independent, and the non-shared terms'
+    // exact-zero addends cannot change the sum) — the DuckDB oracle's
+    // shared-term join reproduces it bit for bit.
+    // the merge re-cast keeps the accumulator at exactly (38,18) —
+    // Spark types decimal addition as (38,17) to reserve a carry
+    // digit; the sums here sit ~18 orders below the overflow line, so
+    // the cast is lossless and the exactness argument above holds
+    val dotExpr = expr(
+      """CAST(aggregate(map_keys(v_a), CAST(0 AS DECIMAL(38,18)),
+        |  (acc, k) -> CAST(acc + CAST(element_at(v_a, k) *
+        |     coalesce(element_at(v_b, k), CAST(0.0 AS DOUBLE))
+        |     AS DECIMAL(38,18)) AS DECIMAL(38,18))) AS DOUBLE)""".stripMargin)
+    val pairs = cand
+      .join(vecs.select(col(idCol).as("id_a"), col("nrm").as("n_a"),
+        col("vec").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col(idCol).as("id_b"), col("nrm").as("n_b"),
+        col("vec").as("v_b")), Seq("id_b"))
+      .withColumn("dotp", dotExpr)
       .withColumn("cos", col("dotp") / (col("n_a") * col("n_b")))
       .filter(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))

@@ -72,11 +72,18 @@ object Graph {
     // was the sf10 pressure source. An AD-HOC frame is cached so the
     // degree window doesn't re-execute per round.
     val staged = edges.columns.contains("outdeg")
-    val e = if (staged) withOutdeg(edges) else withOutdeg(edges).cache()
+    val e0 = if (staged) withOutdeg(edges) else withOutdeg(edges).cache()
     val nodes = nodesOpt.getOrElse(
-      e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct()).cache()
+      e0.select(col("src").as("node"))
+        .union(e0.select(col("dst").as("node"))).distinct()).cache()
     val n = nodes.count() // also materializes the caches' inputs
+    // SMALL staged graphs (under the rank-broadcast cap — the same
+    // regime test the join uses) cache their edges too: at that size
+    // re-scanning the table per round costs more than the blocks.
+    // LARGE staged graphs stay storage-backed — the bucketed scan is
+    // memory-neutral and already hands the join its partitioning+sort
+    // (caching 120M rows was the sf10 heap-pressure source).
+    val e = if (staged && n * 100L < bcastCapBytes) e0.cache() else e0
     // A checkpointed rank frame carries no stats, so Catalyst will
     // NOT broadcast it on its own and every round pays a sort-merge
     // join over the edge list (measured 3-6x slower per round at
@@ -145,13 +152,14 @@ object Graph {
       iterations: Int, damping: Double = 0.85,
       teleport: Double = 0.15, nodesOpt: Option[DataFrame] = None,
       cpEvery: Int = 2, bcastCapBytes: Long = 64L * 1024 * 1024): DataFrame = {
-    // staged-vs-ad-hoc cache policy — see [[pageRank]]
+    // staged-vs-ad-hoc (and small-vs-large) cache policy — see [[pageRank]]
     val staged = edges.columns.contains("outdeg")
-    val e = if (staged) withOutdeg(edges) else withOutdeg(edges).cache()
+    val e0 = if (staged) withOutdeg(edges) else withOutdeg(edges).cache()
     val nodes = nodesOpt.getOrElse(
-      e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct()).cache()
+      e0.select(col("src").as("node"))
+        .union(e0.select(col("dst").as("node"))).distinct()).cache()
     val n = nodes.count()
+    val e = if (staged && n * 100L < bcastCapBytes) e0.cache() else e0
     val src = sources.select(col("node")).distinct()
     val nS = src.count()
     require(nS > 0, "personalizedPageRank needs at least one source")

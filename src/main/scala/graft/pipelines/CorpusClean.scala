@@ -26,22 +26,34 @@ object CorpusClean {
     * (see [[runAudited]]) or lineage hooks without a second pass over
     * the data. The default is the identity — zero plan change.
     */
+  /** `sigOpt`: a precomputed (doc_id, sig) MinHash signature frame
+    * covering at least the input documents — pipelines that already
+    * sketched the corpus upstream (TrainingPrep.runV2's gate stage)
+    * pass it so the LSH stage restricts it by semi-join instead of
+    * re-running the kernel over the text. Signatures are pure
+    * functions of the text, so results are identical either way.
+    */
   def run(documents: DataFrame,
       minhashSeeds: Int = 8,
       minWords: Int = 20, maxWords: Int = 1000,
       minStopwordRatio: Double = 0.02,
-      tap: (String, DataFrame) => DataFrame = (_, df) => df): DataFrame = {
-    // 1 — exact dedup; cached: the survivor set feeds shingling, the
-    // anti-join, and the final projection (3 consumers)
+      tap: (String, DataFrame) => DataFrame = (_, df) => df,
+      sigOpt: Option[DataFrame] = None): DataFrame = {
+    // 1 — exact dedup; materialized once: the survivor set feeds
+    // shingling, the anti-join, and the final projection (3 consumers).
+    // localCheckpoint, not cache(): checkpoint blocks die with the RDD
+    // reference, cache() entries stay CacheManager-pinned per call.
     val survivors = tap("survivors", Dedup.exactByHash(documents, "text", "doc_id")
       .select(col("keep_id").as("doc_id"))
       .join(documents, Seq("doc_id")))
-      .cache()
+      .localCheckpoint()
 
     // 2 — near-dup candidates among survivors; drop the higher id.
     // Signatures are computed map-side by the native MinHash kernel —
     // the only shuffle in this stage is the band-bucket equi-join.
-    val sig = Dedup.minhashSignature(survivors, "text", "doc_id", minhashSeeds)
+    val sig = sigOpt
+      .map(_.join(survivors.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+      .getOrElse(Dedup.minhashSignature(survivors, "text", "doc_id", minhashSeeds))
     val dropIds = Dedup.minhashCandidates(sig, "doc_id", bands = minhashSeeds, rowsPerBand = 1)
       .select(col("id_b").as("doc_id")).distinct()
     val nearDeduped = tap("near_deduped",

@@ -120,14 +120,23 @@ object TrainingPrep {
     // candidates are cosine-scored — work ∝ documents, not ∝
     // vocabulary × cap² (the round-8 45×-at-100× scaler) — see
     // tfidfCosineTopK's Scaladoc for the gate contract.
+    // ONE sketch pass serves both similarity stages: the gate's band
+    // candidates here AND CorpusClean's LSH below (signatures are pure
+    // functions of the text, and stage 3's survivors are a subset of
+    // decontam — the semi-join restriction inside CorpusClean yields
+    // the identical frames a re-sketch would).
+    val sigDecontam = Dedup
+      .minhashSignature(decontam, "text", "doc_id", 8).localCheckpoint()
+    val cand = Dedup.minhashCandidates(sigDecontam, "doc_id", 8, 1)
     val maxDf = documents.count() / 10
     val nearDrop = Dedup.tfidfCosineTopK(decontam, "text", "doc_id",
-        maxDf, minCosine, k = 1)
+        maxDf, minCosine, k = 1, candidatesOpt = Some(cand))
       .select(col("id_b").as("doc_id"))
     val afterCosine = stageBoundary(
       decontam.join(nearDrop, Seq("doc_id"), "left_anti"), stageDir, 2)
     // 3 — the v1 chain over the excised, decontaminated survivors
-    val cleanedIds = CorpusClean.run(afterCosine).select("doc_id")
+    val cleanedIds = CorpusClean.run(afterCosine, sigOpt = Some(sigDecontam))
+      .select("doc_id")
     val kept = afterCosine.join(cleanedIds, Seq("doc_id"))
     val mixed = Text.stratifiedSample(kept, "doc_id", "lang",
       Map("en" -> 50, "de" -> 80), 100).cache()
