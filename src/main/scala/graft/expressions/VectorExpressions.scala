@@ -149,9 +149,82 @@ case class FloatVectorL2Sq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static kernel behind [[MapDotDecimal]] — kept in an object so the
+  * generated code can call it without capturing the expression tree.
+  */
+object MapDotKernel {
+  /** Sparse dot of two term → weight maps with Spark-CAST-exact
+    * DECIMAL(38,18) accumulation: per shared key, the IEEE product
+    * `a(k) * b(k)` converts to decimal the way Spark's
+    * `CAST(double AS DECIMAL(38,18))` does — `BigDecimal.valueOf`
+    * (shortest decimal rep, the scala `BigDecimal.decimal` path) then
+    * `setScale(18, HALF_UP)` — and the scale-18 sum is exact, so the
+    * result is bit-identical to the declarative
+    * `aggregate(map_keys(a), 0D, ...)` fold this replaces (parity
+    * pinned in ExpressionsSpec over random weights) while running as
+    * one tight JVM loop instead of an interpreted lambda per element.
+    */
+  def mapDotDec(a: org.apache.spark.sql.catalyst.util.MapData,
+      b: org.apache.spark.sql.catalyst.util.MapData): Double = {
+    val nB = b.numElements()
+    val bKeys = b.keyArray(); val bVals = b.valueArray()
+    val lookup = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+      java.lang.Double](nB * 2)
+    var i = 0
+    while (i < nB) {
+      lookup.put(bKeys.getUTF8String(i), bVals.getDouble(i))
+      i += 1
+    }
+    val nA = a.numElements()
+    val aKeys = a.keyArray(); val aVals = a.valueArray()
+    var acc = java.math.BigDecimal.ZERO
+    var j = 0
+    while (j < nA) {
+      val w = lookup.get(aKeys.getUTF8String(j))
+      val prod = if (w == null) 0.0 else aVals.getDouble(j) * w.doubleValue()
+      acc = acc.add(java.math.BigDecimal.valueOf(prod)
+        .setScale(18, java.math.RoundingMode.HALF_UP))
+      j += 1
+    }
+    acc.doubleValue()
+  }
+}
+
+/** `graft_map_dot_dec(map<string,double>, map<string,double>)` →
+  * double: the weighted near-dup scoring kernel (see [[MapDotKernel]]).
+  */
+case class MapDotDecimal(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = VectorExpressions.mapDotName
+
+  private def okType(dt: DataType): Boolean = dt match {
+    case MapType(StringType, DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && okType(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires map<string,double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    MapDotKernel.mapDotDec(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.MapDotKernel.mapDotDec($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   val dotName = "graft_dot"
   val l2Name = "graft_l2sq"
+  val mapDotName = "graft_map_dot_dec"
 
   private val dotBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2, s"$dotName expects 2 arguments")
@@ -163,17 +236,25 @@ object VectorExpressions {
     FloatVectorL2Sq(exprs.head, exprs(1))
   }
 
+  private[expressions] val mapDotBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"$mapDotName expects 2 arguments")
+    MapDotDecimal(exprs.head, exprs(1))
+  }
+
   /** Imperative per-session registration (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(dotName, dotBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(l2Name, l2Builder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(mapDotName, mapDotBuilder, "built-in")
   }
 
   /** Column-API access; requires [[register]] (or the extensions) first. */
   def dot(a: Column, b: Column): Column = call_function(dotName, a, b)
   def l2sq(a: Column, b: Column): Column = call_function(l2Name, a, b)
+  def mapDotDec(a: Column, b: Column): Column = call_function(mapDotName, a, b)
 }
 
 /** `SparkSessionExtensions` hook: injects the native functions at
@@ -188,6 +269,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier(VectorExpressions.l2Name),
       new ExpressionInfo(classOf[FloatVectorL2Sq].getName, VectorExpressions.l2Name),
       VectorExpressions.l2Builder))
+    e.injectFunction((FunctionIdentifier(VectorExpressions.mapDotName),
+      new ExpressionInfo(classOf[MapDotDecimal].getName, VectorExpressions.mapDotName),
+      VectorExpressions.mapDotBuilder))
     e.injectFunction((FunctionIdentifier(TextSketchExpressions.shingleName),
       new ExpressionInfo(classOf[ShingleHash64].getName, TextSketchExpressions.shingleName),
       TextSketchExpressions.shingleBuilder))

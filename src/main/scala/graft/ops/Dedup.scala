@@ -182,14 +182,15 @@ object Dedup {
   def writeSignatureIndex(sig: DataFrame, idCol: String, bands: Int,
       rowsPerBand: Int, path: String, append: Boolean = false): Unit = {
     // File-count discipline (the index's read-back cost grows with its
-    // FILE count, not just its rows): a bulk build pays one band
-    // shuffle so each band directory is one file; a micro-batch APPEND
-    // is tiny, so it narrows to one task instead — coalesce adds no
-    // stage, where a per-batch repartition shuffle measurably taxed
-    // the streaming ingest's fixed cost per batch.
-    val bf = bandFrame(sig, idCol, bands, rowsPerBand)
-    val shaped = if (append) bf.coalesce(1) else bf.repartition(col("band"))
-    shaped.write.mode(if (append) "append" else "overwrite")
+    // FILE count, not just its rows): the band repartition makes every
+    // write — bulk build or append — land one file per band, written
+    // by `bands` parallel tasks. (A coalesce(1) append was measured
+    // serializing a large batch's 2M-row band frame through one task
+    // at sf10; the small band shuffle is the cheaper shape at every
+    // batch size.)
+    bandFrame(sig, idCol, bands, rowsPerBand)
+      .repartition(col("band"))
+      .write.mode(if (append) "append" else "overwrite")
       .partitionBy("band").parquet(path)
   }
 
@@ -791,48 +792,112 @@ object Dedup {
     * so for any k ≥ 1 the distinct `id_b` set (the first-seen-wins
     * near-dup DROP set) equals the unbounded gated form's.
     */
+  /** EXACT-CLASS CONTRACTION (the sf10 finding): cosine is a pure
+    * function of the TEXT, and attestation is a pure function of the
+    * signature (also text-derived) — so documents with byte-identical
+    * text are interchangeable everywhere in this operator. On a
+    * dup-heavy corpus the candidate graph is dominated by intra- and
+    * cross-pairs of exact-duplicate classes (measured at sf10: 8.2M
+    * candidate pairs over 500k docs, scoring them with vector payloads
+    * was ~60 s of a ~75 s wall), so the operator:
+    *
+    *   a. groups docs into exact-text classes (sha256), one
+    *      representative (min id) per class;
+    *   b. gates + scores at CLASS level — signatures, candidates,
+    *      vectors, dots all over representatives only. Document
+    *      frequencies stay CORPUS-level (each term's df sums the
+    *      class sizes of the classes containing it) and the idf N is
+    *      the corpus count, so every weight — and therefore every
+    *      cosine — is bit-identical to the uncontracted computation;
+    *   c. expands surviving class pairs (cos ≥ threshold ONLY — the
+    *      below-threshold mass never expands) back to member pairs as
+    *      24-byte rows, intra-class pairs from the class self-pair,
+    *      and bounds with the native top-k heaps.
+    *
+    * The result set is EXACTLY the uncontracted gated form's (the
+    * DuckDB oracle replays the uncontracted definition), but the
+    * heavy per-pair scoring runs once per distinct-text pair.
+    */
   def tfidfCosineTopK(df: DataFrame, textCol: String, idCol: String,
       maxDf: Long, minCosine: Double, k: Int,
       seeds: Int = 8, shingleN: Int = 3,
       nDocsOpt: Option[Long] = None,
-      candidatesOpt: Option[DataFrame] = None): DataFrame = {
-    // one bucket per seed (rowsPerBand = 1) — the q_minhash_dedup gate.
-    // Pipelines that already hold the corpus signatures (runV2 shares
-    // one sketch pass between this gate and the later LSH stage) pass
-    // their candidate frame in; values are identical either way.
-    // Checkpointed: the pair frame feeds three consumers (the doc
-    // restriction and both sides of the scoring join).
-    val cand = candidatesOpt.getOrElse(minhashCandidates(
-      minhashSignature(df, textCol, idCol, seeds, shingleN), idCol, seeds, 1))
+      sigOpt: Option[DataFrame] = None): DataFrame = {
+    // a — exact-text classes. members is consumed by both expansion
+    // joins; clsAgg by the rep restriction, class-size df, and
+    // self-pairs: checkpoint both (blocks die with the RDD reference).
+    val clsAgg = df
+      .select(col(idCol), sha2(col(textCol), 256).as("__h"))
+      .groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__cn"))
       .localCheckpoint()
+    // ADAPTIVE: contraction pays off exactly when duplication is real,
+    // and the signal is the INTRA-CLASS PAIR MASS Σ cn·(cn−1)/2 — the
+    // candidate pairs exact duplication alone would force the direct
+    // path to score (a class is a full LSH clique: equal text, equal
+    // signature, every band collides). The distinct FRACTION is the
+    // wrong test: a 94%-distinct corpus with one 30k-member class (the
+    // post-excision empty-text class at sf10) hides ~4·10⁸ intra-class
+    // pairs — measured 400+ s direct vs ~100 s contracted — while a
+    // raw mostly-distinct corpus has negligible mass and the class
+    // machinery would only add its ~25% expansion overhead. Two driver
+    // scalars decide (the AQE spirit — plan by measured data); both
+    // paths emit IDENTICAL rows (cosine and attestation are pure
+    // functions of the text), so the choice is invisible to the
+    // oracle.
+    val nTotal = nDocsOpt.getOrElse(df.count())
+    val pairMass = Option(clsAgg
+      .agg(sum(col("__cn") * (col("__cn") - 1)).as("pm")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L) / 2
+    val contract = pairMass > nTotal / 10
+    val members = if (!contract) null else
+      df.select(col(idCol), sha2(col(textCol), 256).as("__h"))
+        .join(clsAgg.select(col("__h"), col("__rep")), Seq("__h"))
+        .select(col(idCol).as("__m"), col("__rep"))
+        .localCheckpoint()
+    val repIds = clsAgg.select(col("__rep").as(idCol))
+    val repDf = if (contract) df.join(repIds, Seq(idCol), "left_semi") else df
+    // b1 — the MinHash gate over representatives (one bucket per seed,
+    // the q_minhash_dedup gate). Pipelines that already sketched the
+    // corpus (runV2 shares one pass with the later LSH stage) pass
+    // sigOpt; signatures are per-doc pure functions of the text, so
+    // the rep restriction yields identical frames either way. Class
+    // SELF-pairs (≥ 2 members) are gated in by construction — equal
+    // text means equal signature means every band collides.
+    val sig = sigOpt
+      .map(s => if (contract) s.join(repIds, Seq(idCol), "left_semi") else s)
+      .getOrElse(minhashSignature(repDf, textCol, idCol, seeds, shingleN))
+    val selfPairs = clsAgg.filter(col("__cn") >= 2)
+      .select(col("__rep").as("id_a"), col("__rep").as("id_b"))
+    val candBase = minhashCandidates(sig, idCol, seeds, 1)
+    val cand = (if (contract) candBase.unionAll(selfPairs) else candBase)
+      .localCheckpoint() // three consumers: doc restriction + join sides
     val candDocs = cand.select(col("id_a").as(idCol))
       .unionAll(cand.select(col("id_b").as(idCol))).distinct()
-    // term frequencies MAP-SIDE via the native kernel: one row per
-    // DISTINCT term per doc straight off the scan — the token-explode
-    // → (doc, term) aggregation this replaces shuffled every token of
-    // the corpus (its largest exchange at 100×)
-    val tf = Par.widen(df)
+    // b2 — term frequencies MAP-SIDE via the native kernel (one row
+    // per DISTINCT term per rep straight off the scan; the
+    // token-explode → (doc, term) aggregation this replaces shuffled
+    // every token of the corpus). df counts stay CORPUS-level: each
+    // rep's presence contributes its whole class size.
+    val tf = Par.widen(repDf)
       .select(col(idCol), explode(
         graft.expressions.TextSketchExpressions.termCounts(col(textCol))).as("tc"))
       .select(col(idCol), col("tc.t").as("t"), col("tc.tf").as("tf"))
     // one scalar; memoized callers pass it (see tfidfCosinePairs)
-    val n = df.sparkSession.range(1)
-      .select(lit(nDocsOpt.getOrElse(df.count())).as("n"))
-    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val n = df.sparkSession.range(1).select(lit(nTotal).as("n"))
+    val dfreq = (if (contract)
+      tf.join(clsAgg.select(col("__rep").as(idCol), col("__cn")), Seq(idCol))
+        .groupBy(col("t")).agg(sum(col("__cn")).as("df"))
+    else tf.groupBy(col("t")).agg(count(lit(1)).as("df")))
       .filter(col("df") <= maxDf)
     val wt = tf.join(dfreq, Seq("t")).join(broadcast(n))
       .select(col(idCol), col("t"),
         (col("tf") * (col("n").cast("double") / col("df").cast("double")))
           .as("wgt"))
-    // Scoring touches CANDIDATE DOCS ONLY: restrict the weight matrix
-    // to docs appearing in some pair (semi-join — AQE broadcasts the
-    // candidate-id set when small), then fold each surviving doc's
-    // full pruned vector into ONE row carrying its norm and a term →
-    // weight map. This is the single doc-keyed shuffle of the whole
-    // scoring stage; the earlier form shuffled the FULL matrix twice
-    // (once per posting side) to score a candidate set thousands of
-    // times smaller. Norms still cover the doc's whole pruned vector,
-    // so the cosine stays the true cosine of what was compared.
+    // Candidate reps' full pruned vectors fold into ONE row each (norm
+    // + term → weight map) — the single doc-keyed shuffle of the
+    // scoring stage. Norms cover the whole pruned vector, so the
+    // cosine stays the true cosine of what was compared.
     val vecs = wt
       .join(candDocs, Seq(idCol), "left_semi")
       .groupBy(col(idCol))
@@ -841,31 +906,57 @@ object Dedup {
           .cast("double")).as("nrm"),
         map_from_arrays(collect_list(col("t")), collect_list(col("wgt")))
           .as("vec"))
-    // Map-side dot product per pair: iterate the a-side vector once,
-    // look b-side terms up in the map; every product is the identical
-    // IEEE double the posting join produced, accumulated as exact
-    // DECIMAL(38,18) (order-independent, and the non-shared terms'
-    // exact-zero addends cannot change the sum) — the DuckDB oracle's
-    // shared-term join reproduces it bit for bit.
-    // the merge re-cast keeps the accumulator at exactly (38,18) —
-    // Spark types decimal addition as (38,17) to reserve a carry
-    // digit; the sums here sit ~18 orders below the overflow line, so
-    // the cast is lossless and the exactness argument above holds
-    val dotExpr = expr(
-      """CAST(aggregate(map_keys(v_a), CAST(0 AS DECIMAL(38,18)),
-        |  (acc, k) -> CAST(acc + CAST(element_at(v_a, k) *
-        |     coalesce(element_at(v_b, k), CAST(0.0 AS DOUBLE))
-        |     AS DECIMAL(38,18)) AS DECIMAL(38,18))) AS DOUBLE)""".stripMargin)
-    val pairs = cand
+    // Map-side dot product per class pair through the NATIVE
+    // [[graft.expressions.MapDotKernel]] kernel: iterate the a-side
+    // vector, look b-side terms up in a hash map; every product is the
+    // identical IEEE double the per-doc join would produce,
+    // accumulated with Spark-CAST-exact DECIMAL(38,18) semantics
+    // (order-independent — map-key order is immaterial — and
+    // non-shared terms' exact-zero addends cannot change the sum), so
+    // the DuckDB oracle's shared-term join reproduces it bit for bit.
+    // The kernel replaced an interpreted `aggregate(map_keys(...))`
+    // HOF fold measured as the dominant per-pair cost at sf10
+    // (ExpressionsSpec pins kernel == HOF bitwise).
+    val dotExpr = graft.expressions.VectorExpressions
+      .mapDotDec(col("v_a"), col("v_b"))
+    // SHUFFLE-HASH hints: a sort-merge join would SORT the pair stream
+    // WITH its map payloads; hashing builds on the rep-sized vecs side
+    // and streams the pairs untouched.
+    val clsPairs = cand
       .join(vecs.select(col(idCol).as("id_a"), col("nrm").as("n_a"),
-        col("vec").as("v_a")), Seq("id_a"))
+        col("vec").as("v_a")).hint("shuffle_hash"), Seq("id_a"))
       .join(vecs.select(col(idCol).as("id_b"), col("nrm").as("n_b"),
-        col("vec").as("v_b")), Seq("id_b"))
+        col("vec").as("v_b")).hint("shuffle_hash"), Seq("id_b"))
       .withColumn("dotp", dotExpr)
       .withColumn("cos", col("dotp") / (col("n_a") * col("n_b")))
       .filter(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-    graft.plans.NativeOps.topKPerGroup(pairs, Seq("id_b"),
+    // c — expansion to member pairs (24-byte rows; only ≥-threshold
+    // class pairs ever expand). A cross class pair {A, B} contributes
+    // every (x ∈ A, y ∈ B) ordered as (min, max) — exactly once, since
+    // class pairs are rep-ordered; the self-pair contributes the
+    // intra-class (x < y) pairs. Both carry the class cosine, which IS
+    // each member pair's cosine. In the direct path the scored pairs
+    // already ARE the member pairs.
+    val docPairs =
+      if (!contract) clsPairs
+      else {
+        val scored = clsPairs.localCheckpoint() // cross + intra consumers
+        val mA = members.select(col("__m").as("__xa"), col("__rep").as("id_a"))
+        val mB = members.select(col("__m").as("__xb"), col("__rep").as("id_b"))
+        val cross = scored.filter(col("id_a") =!= col("id_b"))
+          .join(mA.hint("shuffle_hash"), Seq("id_a"))
+          .join(mB.hint("shuffle_hash"), Seq("id_b"))
+          .select(least(col("__xa"), col("__xb")).as("id_a"),
+            greatest(col("__xa"), col("__xb")).as("id_b"), col("cos"))
+        val intra = scored.filter(col("id_a") === col("id_b"))
+          .join(mA.hint("shuffle_hash"), Seq("id_a"))
+          .join(mB.hint("shuffle_hash"), Seq("id_b"))
+          .filter(col("__xa") < col("__xb"))
+          .select(col("__xa").as("id_a"), col("__xb").as("id_b"), col("cos"))
+        cross.unionAll(intra)
+      }
+    graft.plans.NativeOps.topKPerGroup(docPairs, Seq("id_b"),
       Seq(("cos", false), ("id_a", true)), k)
   }
 }

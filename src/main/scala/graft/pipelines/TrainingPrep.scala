@@ -81,6 +81,18 @@ object TrainingPrep {
     case None => df.localCheckpoint()
   }
 
+  /** Free a SUPERSEDED localCheckpoint boundary's blocks (no-op in
+    * durable mode — parquet boundaries pin nothing). The corpus-text
+    * stages are the biggest block sets of the whole cascade; leaving
+    * each pinned after its successor materializes squeezed execution
+    * memory into UNABLE_TO_ACQUIRE_MEMORY at sf10 on an 8 GB heap
+    * (the [[graft.ops.Graph]] lineage discipline, applied here).
+    */
+  private def freeBoundary(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   def runV2(documents: DataFrame, benchMaxId: Long = 50, seed: String = "prep",
       chunkSize: Int = 128, minCosine: Double = 0.3,
       stageDir: Option[String] = None): DataFrame = {
@@ -110,6 +122,8 @@ object TrainingPrep {
       .select(col("doc_id")).distinct()
     val decontam = stageBoundary(
       train.join(contaminated, Seq("doc_id"), "left_anti"), stageDir, 1)
+    // excised's blocks are read only while building decontam — free them
+    if (stageDir.isEmpty) freeBoundary(excised)
     // 2 — weighted near-dup: first-seen wins (the CorpusClean policy).
     // The LSH-GATED bounded top-k form (k=1): the drop set only needs
     // "does this doc have ANY earlier match ≥ minCosine", i.e. each
@@ -127,13 +141,15 @@ object TrainingPrep {
     // the identical frames a re-sketch would).
     val sigDecontam = Dedup
       .minhashSignature(decontam, "text", "doc_id", 8).localCheckpoint()
-    val cand = Dedup.minhashCandidates(sigDecontam, "doc_id", 8, 1)
     val maxDf = documents.count() / 10
     val nearDrop = Dedup.tfidfCosineTopK(decontam, "text", "doc_id",
-        maxDf, minCosine, k = 1, candidatesOpt = Some(cand))
+        maxDf, minCosine, k = 1, sigOpt = Some(sigDecontam))
       .select(col("id_b").as("doc_id"))
     val afterCosine = stageBoundary(
       decontam.join(nearDrop, Seq("doc_id"), "left_anti"), stageDir, 2)
+    // decontam's last reader is afterCosine's anti-join (sigDecontam
+    // was materialized above and stage 3 reads afterCosine) — free it
+    if (stageDir.isEmpty) freeBoundary(decontam)
     // 3 — the v1 chain over the excised, decontaminated survivors
     val cleanedIds = CorpusClean.run(afterCosine, sigOpt = Some(sigDecontam))
       .select("doc_id")

@@ -45,10 +45,9 @@ object ProfPrep {
       val sigDecontam = Dedup
         .minhashSignature(decontam, "text", "doc_id", 8).localCheckpoint()
       lap("stage2a_sig")
-      val cand = Dedup.minhashCandidates(sigDecontam, "doc_id", 8, 1)
       val maxDf = documents.count() / 10
       val nearDrop = Dedup.tfidfCosineTopK(decontam, "text", "doc_id",
-          maxDf, 0.3, k = 1, candidatesOpt = Some(cand))
+          maxDf, 0.3, k = 1, sigOpt = Some(sigDecontam))
         .select(col("id_b").as("doc_id")).localCheckpoint()
       lap("stage2b_gated_cosine")
       val afterCosine = decontam.join(nearDrop, Seq("doc_id"), "left_anti")

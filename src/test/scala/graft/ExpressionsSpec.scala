@@ -84,4 +84,46 @@ class ExpressionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // throws if the builder is malformed
   }
+
+  test("graft_map_dot_dec: bitwise == the exact DECIMAL(38,18) sum (the oracle's SUM semantics)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the ORACLE (DuckDB) computes SUM(CAST(prod AS DECIMAL(38,18)))
+    // — each IEEE product converted to decimal at scale 18 (shortest
+    // decimal rep, HALF_UP), summed EXACTLY. The kernel must reproduce
+    // that bitwise; assert against an independent scala-BigDecimal
+    // reference folding in a DIFFERENT (sorted-key) order, which also
+    // pins order-independence. (The interpreted HOF fold this kernel
+    // replaced was subtly WEAKER than the oracle: Spark types each
+    // `acc + x` step as DECIMAL(38,17), rounding every partial sum to
+    // 17 fractional digits — a ~1e-17 drift the 6-dp output rounding
+    // always absorbed. The kernel restores the oracle's exact sum.)
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { i =>
+      val ka = (0 until rnd.nextInt(30)).map(j => s"t$j")
+      val kb = (0 until rnd.nextInt(30)).map(j => s"t${j + rnd.nextInt(8)}")
+      def w() = rnd.nextInt(4) match {
+        case 0 => rnd.nextDouble() * 1e8
+        case 1 => rnd.nextDouble() * 1e-8
+        case 2 => (rnd.nextInt(1000) + 1).toDouble / 3.0
+        case _ => rnd.nextDouble()
+      }
+      (i.toLong, ka.map(k => k -> w()).toMap, kb.map(k => k -> w()).toMap)
+    } :+ ((0L, Map.empty[String, Double], Map("x" -> 1.0)))
+    val df = rows.toDF("id", "v_a", "v_b")
+    val got = df.select($"id",
+        graft.expressions.VectorExpressions.mapDotDec($"v_a", $"v_b").as("k"))
+      .as[(Long, Double)].collect().toMap
+    rows.foreach { case (id, va, vb) =>
+      val ref = va.toSeq.sortBy(_._1).reverse // deliberately different order
+        .foldLeft(java.math.BigDecimal.ZERO) { case (acc, (t, w)) =>
+          val prod = w * vb.getOrElse(t, 0.0)
+          acc.add(java.math.BigDecimal.valueOf(prod)
+            .setScale(18, java.math.RoundingMode.HALF_UP))
+        }.doubleValue()
+      assert(java.lang.Double.doubleToRawLongBits(got(id)) ==
+        java.lang.Double.doubleToRawLongBits(ref),
+        s"row $id: kernel ${got(id)} != exact-sum reference $ref")
+    }
+  }
 }
