@@ -49,7 +49,25 @@ object Bench {
     // genuinely slow plan stays slow on the retries, a co-tenant spike
     // does not, and unlike min-of-two the estimator is not
     // one-directionally biased. All raw samples land in the artifact.
-    val retried = first.collect { case (n, t) if t > 8.0 => n }
+    // MID-RANGE drift (VERDICT r9 item 5: q_kmv_intersect 1.4 ↔ 6.9 s
+    // between back-to-back sweeps, same binaries): the 8 s bar corrects
+    // only the tail, so any query > 3× its committed quiet-window
+    // record (bench/bench_full_r07.json, when present) ALSO retries —
+    // with a 0.5 s floor so sub-second jitter doesn't triple the sweep.
+    val refTimes: Map[String, Double] = {
+      val p = java.nio.file.Paths.get("bench/bench_full_r07.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(java.nio.file.Files.readAllBytes(p))
+        val it = root.get("queries").fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+        b.result()
+      } catch { case _: Throwable => Map.empty }
+    }
+    val retried = first.collect { case (n, t) if t > 8.0 ||
+      (t > 0.5 && refTimes.get(n).exists(r => t > 3 * r)) => n }
     val redo = retried.map(n => n -> Seq(timeOne(n), timeOne(n))).toMap
     val samples = first.map { case (n, t) => n -> (t +: redo.getOrElse(n, Seq.empty)) }
     val results = samples.map { case (n, ss) => n -> ss.sorted.apply(ss.length / 2) }

@@ -182,6 +182,13 @@ object MapDotKernel {
     while (j < nA) {
       val w = lookup.get(aKeys.getUTF8String(j))
       val prod = if (w == null) 0.0 else aVals.getDouble(j) * w.doubleValue()
+      // Spark's CAST(double AS DECIMAL) nulls out NaN/±Inf, and the HOF
+      // fold this kernel replaced would null-propagate the whole sum;
+      // BigDecimal.valueOf would THROW instead (ADVICE r9). NaN is the
+      // codegen-friendly equivalent sentinel: every downstream
+      // comparison (cosine threshold, top-k ordering) rejects it
+      // exactly as a null sum would be rejected.
+      if (!java.lang.Double.isFinite(prod)) return Double.NaN
       acc = acc.add(java.math.BigDecimal.valueOf(prod)
         .setScale(18, java.math.RoundingMode.HALF_UP))
       j += 1

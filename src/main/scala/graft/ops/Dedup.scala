@@ -931,32 +931,68 @@ object Dedup {
       .withColumn("cos", col("dotp") / (col("n_a") * col("n_b")))
       .filter(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-    // c — expansion to member pairs (24-byte rows; only ≥-threshold
-    // class pairs ever expand). A cross class pair {A, B} contributes
-    // every (x ∈ A, y ∈ B) ordered as (min, max) — exactly once, since
-    // class pairs are rep-ordered; the self-pair contributes the
-    // intra-class (x < y) pairs. Both carry the class cosine, which IS
-    // each member pair's cosine. In the direct path the scored pairs
-    // already ARE the member pairs.
+    // c — LINEAR expansion to member pairs (only ≥-threshold class
+    // pairs ever expand; see [[expandClassPairs]] for the domination
+    // argument that makes it work ∝ members·k, not |A|·|B|). In the
+    // direct path the scored pairs already ARE the member pairs.
     val docPairs =
       if (!contract) clsPairs
-      else {
-        val scored = clsPairs.localCheckpoint() // cross + intra consumers
-        val mA = members.select(col("__m").as("__xa"), col("__rep").as("id_a"))
-        val mB = members.select(col("__m").as("__xb"), col("__rep").as("id_b"))
-        val cross = scored.filter(col("id_a") =!= col("id_b"))
-          .join(mA.hint("shuffle_hash"), Seq("id_a"))
-          .join(mB.hint("shuffle_hash"), Seq("id_b"))
-          .select(least(col("__xa"), col("__xb")).as("id_a"),
-            greatest(col("__xa"), col("__xb")).as("id_b"), col("cos"))
-        val intra = scored.filter(col("id_a") === col("id_b"))
-          .join(mA.hint("shuffle_hash"), Seq("id_a"))
-          .join(mB.hint("shuffle_hash"), Seq("id_b"))
-          .filter(col("__xa") < col("__xb"))
-          .select(col("__xa").as("id_a"), col("__xb").as("id_b"), col("cos"))
-        cross.unionAll(intra)
-      }
+      else expandClassPairs(clsPairs.localCheckpoint(), members, k)
     graft.plans.NativeOps.topKPerGroup(docPairs, Seq("id_b"),
       Seq(("cos", false), ("id_a", true)), k)
+  }
+
+  /** Expands scored exact-class pairs back to member pairs in work
+    * ∝ members·pairs·k — NEVER the |A|·|B| cross product.
+    *
+    * Why truncation is lossless: the only consumer is a top-k heap per
+    * `id_b` ordered (cos DESC, id_a ASC), every member pair from one
+    * class pair carries the SAME cosine, and pairs are emitted ordered
+    * (min, max) so `id_b` is always the larger id. For a target member
+    * y, a class pair's candidates are the other class's members x < y;
+    * any x beyond that class's k SMALLEST such members is dominated in
+    * y's heap by k same-cosine smaller-id candidates from the same
+    * class pair and can never place. Since members < y of an
+    * id-sorted class form a prefix, the k smallest of them are the
+    * class's global k smallest ids ("heads") filtered to < y — a
+    * bounded per-class array, computed once.
+    *
+    * So: heads = k smallest member ids per class (native bounded
+    * heaps, one pass over members); each scored pair {A, B} emits, per
+    * member y of A, heads(B) ∩ (< y) and, per member y of B,
+    * heads(A) ∩ (< y); the self pair {A, A} emits heads(A) ∩ (< y)
+    * per member y. Member sets of distinct classes are disjoint and
+    * every member has exactly one class, so each (x, y) surfaces at
+    * most once — exactly as in the full expansion.
+    *
+    * @param scored class pairs (id_a = rep A ≤ id_b = rep B, cos),
+    *               self pairs id_a == id_b for intra-class mass;
+    *               MUST be materialized (two consumers).
+    * @param members (__m member id, __rep class rep) — one row per doc.
+    */
+  private[graft] def expandClassPairs(scored: DataFrame, members: DataFrame,
+      k: Int): DataFrame = {
+    val heads = graft.plans.NativeOps
+      .topKPerGroup(members, Seq("__rep"), Seq(("__m", true)), k)
+      .groupBy(col("__rep"))
+      .agg(sort_array(collect_list(col("__m"))).as("__hs"))
+    // y-side class / other-side class per direction; the self pair
+    // appears once (no reversed row — id_a === id_b would double it).
+    val perSide = scored
+      .select(col("id_a").as("__yc"), col("id_b").as("__oc"), col("cos"))
+      .unionAll(scored.filter(col("id_a") =!= col("id_b"))
+        .select(col("id_b").as("__yc"), col("id_a").as("__oc"), col("cos")))
+    // pairs ⋈ heads first (2·pairs rows, ≤ k-element array payload),
+    // then one hash join against the member frame — members stream,
+    // the bounded pair+heads side builds.
+    val withHeads = perSide
+      .join(heads.select(col("__rep").as("__oc"), col("__hs"))
+        .hint("shuffle_hash"), Seq("__oc"))
+      .select(col("__yc"), col("__hs"), col("cos"))
+    members.select(col("__m").as("__y"), col("__rep").as("__yc"))
+      .join(withHeads.hint("shuffle_hash"), Seq("__yc"))
+      .select(explode(filter(col("__hs"),
+        h => h < col("__y"))).as("id_a"),
+        col("__y").as("id_b"), col("cos"))
   }
 }

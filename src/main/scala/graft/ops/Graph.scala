@@ -73,9 +73,14 @@ object Graph {
     // degree window doesn't re-execute per round.
     val staged = edges.columns.contains("outdeg")
     val e0 = if (staged) withOutdeg(edges) else withOutdeg(edges).cache()
+    // A CALLER-SUPPLIED node universe is never cached or unpersisted
+    // here: it is typically storage-backed (the staged-graph parquet),
+    // and cache-then-unpersist on a caller frame would silently evict
+    // blocks the caller pinned for reuse across queries (ADVICE r9).
+    val ownNodes = nodesOpt.isEmpty
     val nodes = nodesOpt.getOrElse(
       e0.select(col("src").as("node"))
-        .union(e0.select(col("dst").as("node"))).distinct()).cache()
+        .union(e0.select(col("dst").as("node"))).distinct().cache())
     val n = nodes.count() // also materializes the caches' inputs
     // SMALL staged graphs (under the rank-broadcast cap — the same
     // regime test the join uses) cache their edges too: at that size
@@ -132,7 +137,7 @@ object Graph {
     val out = pr.localCheckpoint()
     if (owned != null) cpBlocks(owned).foreach(_.unpersist(blocking = false))
     e.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    if (ownNodes) nodes.unpersist(blocking = false)
     out
   }
 
@@ -152,12 +157,14 @@ object Graph {
       iterations: Int, damping: Double = 0.85,
       teleport: Double = 0.15, nodesOpt: Option[DataFrame] = None,
       cpEvery: Int = 2, bcastCapBytes: Long = 64L * 1024 * 1024): DataFrame = {
-    // staged-vs-ad-hoc (and small-vs-large) cache policy — see [[pageRank]]
+    // staged-vs-ad-hoc (and small-vs-large) cache policy — see [[pageRank]],
+    // including the caller-owned nodesOpt no-cache/no-unpersist contract
     val staged = edges.columns.contains("outdeg")
     val e0 = if (staged) withOutdeg(edges) else withOutdeg(edges).cache()
+    val ownNodes = nodesOpt.isEmpty
     val nodes = nodesOpt.getOrElse(
       e0.select(col("src").as("node"))
-        .union(e0.select(col("dst").as("node"))).distinct()).cache()
+        .union(e0.select(col("dst").as("node"))).distinct().cache())
     val n = nodes.count()
     val e = if (staged && n * 100L < bcastCapBytes) e0.cache() else e0
     val src = sources.select(col("node")).distinct()
@@ -203,7 +210,7 @@ object Graph {
     val out = state.select(col("node"), col("pr")).localCheckpoint()
     if (owned != null) cpBlocks(owned).foreach(_.unpersist(blocking = false))
     e.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    if (ownNodes) nodes.unpersist(blocking = false)
     out
   }
 
@@ -408,14 +415,28 @@ object Graph {
     * logic as [[pageRank]]; beyond it the equi-joins shuffle on the
     * node key.
     */
-  def hits(edges: DataFrame, iterations: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .filter(col("src") =!= col("dst")).cache()
+  def hits(edges: DataFrame, iterations: Int,
+      edgesByDst: Option[DataFrame] = None): DataFrame = {
+    // STAGED contract (the pageRank src-bucketed discipline): when the
+    // caller passes `edgesByDst`, BOTH frames are pre-distinct'd,
+    // self-loop-free, storage-backed bucketed tables — `edges` by src,
+    // `edgesByDst` by dst — so each half-step's equi-join takes the
+    // scan's hash partitioning + per-bucket sort as-is and only the
+    // node-sized score frame shuffles. Staged frames are NOT cached:
+    // the bucketed scan is memory-neutral (caching 12M+ rows was the
+    // sf10 heap-pressure shape) and caching would DISCARD the bucket
+    // layout the join needs.
+    val staged = edgesByDst.isDefined
+    val eBase = if (staged) edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst")).distinct()
+        .filter(col("src") =!= col("dst")).cache()
+    val e = eBase
+    val eD = edgesByDst.getOrElse(e)
     // node count ≤ 2·edges: the broadcast cap decision only needs an
     // upper bound, so no separate node-universe frame is built — the
     // output's hub ∪ auth full-outer merge already spans every node
     // (each node has an out-edge → hub side, or an in-edge → auth side)
-    val nE = e.count() // materializes the cache once, before the loop
+    val nE = e.count() // ad-hoc: materializes the cache once, before the loop
     val bcast = 2L * nE * 100L < 64L * 1024 * 1024
     def maybeBcast(df: DataFrame) = if (bcast) broadcast(df) else df
     def cpBlocks(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
@@ -451,8 +472,8 @@ object Graph {
         .groupBy(e("dst").as("node")).agg(sum(col("hub")).as("auth"))
       authLast = authRaw
       val authN = l2normalize(authRaw, "auth")
-      val hubRaw = e.join(maybeBcast(authN), e("dst") === authN("node"))
-        .groupBy(e("src").as("node")).agg(sum(col("auth")).as("hub"))
+      val hubRaw = eD.join(maybeBcast(authN), eD("dst") === authN("node"))
+        .groupBy(eD("src").as("node")).agg(sum(col("auth")).as("hub"))
         .localCheckpoint()
       if (hubPrev != null) cpBlocks(hubPrev).foreach(_.unpersist(blocking = false))
       hubPrev = hub // still referenced by authLast — freed next round
@@ -464,7 +485,7 @@ object Graph {
       .select(coalesce(col("node"), col("__an")).as("node"),
         coalesce(col("hub"), lit(0.0)).as("hub"),
         coalesce(col("auth"), lit(0.0)).as("auth"))
-    e.unpersist(blocking = false)
+    if (!staged) e.unpersist(blocking = false) // ad-hoc cache only — never a caller's frame
     out
   }
 
@@ -485,12 +506,23 @@ object Graph {
     * schedule-dependent, which the driver contract (and any rerun-
     * stable pipeline) cannot tolerate.
     */
-  def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, iterations: Int,
+      undOpt: Option[DataFrame] = None,
+      nodesOpt: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val und = edges.select(col("src"), col("dst"))
+    // STAGED contract (the [[hits]]/[[pageRank]] discipline): `undOpt`
+    // is the pre-symmetrized, distinct, self-loop-free edge frame as a
+    // dst-bucketed table (the per-round join key), `nodesOpt` the
+    // storage-backed node universe. Staged frames are neither cached
+    // (bucketed scans are memory-neutral and caching drops the bucket
+    // layout) nor unpersisted (caller-owned).
+    val staged = undOpt.isDefined
+    val und = undOpt.getOrElse(edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst")).distinct().cache()
-    val nodes = und.select(col("src").as("node")).distinct().cache()
+      .filter(col("src") =!= col("dst")).distinct().cache())
+    val ownNodes = nodesOpt.isEmpty
+    val nodes = nodesOpt.getOrElse(
+      und.select(col("src").as("node")).distinct().cache())
     val n = nodes.count()
     // label frames are node-sized (~100 B/row): broadcast them into the
     // edge join under the same 64 MB cap as [[pageRank]]'s rank frames
@@ -514,8 +546,8 @@ object Graph {
       cpBlocks(labels).foreach(_.unpersist(blocking = false))
       labels = next
     }
-    und.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    if (!staged) und.unpersist(blocking = false)
+    if (ownNodes) nodes.unpersist(blocking = false)
     labels
   }
 

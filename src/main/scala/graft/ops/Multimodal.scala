@@ -368,6 +368,10 @@ object Multimodal {
         if ((b(off) & 0xff) != 0xff) return None
         var m = b(off + 1) & 0xff
         while (m == 0xff && off + 2 < b.length) { off += 1; m = b(off + 1) & 0xff }
+        // the fill-byte walk may have consumed the outer guard's
+        // headroom: a buffer ending in a run of 0xFF must map to None,
+        // not an out-of-bounds read (ADVICE r9 — hostile-input contract)
+        if (off + 4 > b.length) return None
         if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) off += 2
         else if (m == 0xd9) return None // EOI before any scan
         else {
@@ -419,6 +423,9 @@ object Multimodal {
               restart = be16(p)
             case 0xda => // SOS — decode the scan and return
               if (nComp == 0 || w == 0) return None
+              // len == 2 would put p one past the segment (and possibly
+              // the buffer) before the 6 + 2·ns check runs (ADVICE r9)
+              if (len < 3) return None
               val ns = b(p) & 0xff
               if (ns != nComp || len < 6 + 2 * ns) return None
               var i = 0
@@ -490,8 +497,10 @@ object Multimodal {
             if (rs < 0) return None
             val run = rs >> 4; val size = rs & 0xf
             if (size == 0) {
-              if (run == 15) k += 16 // ZRL
-              else eob = true
+              if (run == 15) { // ZRL: 16 zeros, something must follow
+                k += 16
+                if (k > 63) return None // would exit mid-block, desynced
+              } else eob = true
             } else {
               k += run
               if (k > 63) return None

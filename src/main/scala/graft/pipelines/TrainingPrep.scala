@@ -87,11 +87,37 @@ object TrainingPrep {
     * each pinned after its successor materializes squeezed execution
     * memory into UNABLE_TO_ACQUIRE_MEMORY at sf10 on an 8 GB heap
     * (the [[graft.ops.Graph]] lineage discipline, applied here).
+    *
+    * INVARIANT (ADVICE r9): a localCheckpointed frame's lineage is
+    * truncated — its blocks are UNRECOVERABLE once unpersisted — so
+    * `pred` may only be freed after every consumer of it has been
+    * EAGERLY materialized. [[freeBoundarySuperseded]] enforces the
+    * only pattern this file uses: the sole remaining consumer is the
+    * successor stage boundary, which [[stageBoundary]] materialized
+    * eagerly (localCheckpoint is eager) before this call. Never call
+    * [[freeBoundary]] on a frame a LAZY downstream plan still
+    * references — the missing-block failure surfaces far from here.
     */
   private def freeBoundary(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.foreach(_.unpersist(blocking = false))
+
+  /** Materialize-then-free: frees `pred`'s boundary blocks only after
+    * forcing `successor` (the stage that replaces it) to be a
+    * checkpointed scan — the safe idiom for adding future stages.
+    * `successor` MUST be the eager [[stageBoundary]] output (asserted:
+    * a lazy plan would silently re-pin the freed lineage).
+    */
+  private def freeBoundarySuperseded(pred: DataFrame, successor: DataFrame): Unit = {
+    val eager = successor.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true // localCheckpoint scan
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true // parquet boundary
+      case _ => false
+    }
+    require(eager, "freeBoundarySuperseded: successor is not a materialized stage boundary")
+    freeBoundary(pred)
+  }
 
   def runV2(documents: DataFrame, benchMaxId: Long = 50, seed: String = "prep",
       chunkSize: Int = 128, minCosine: Double = 0.3,
@@ -122,8 +148,9 @@ object TrainingPrep {
       .select(col("doc_id")).distinct()
     val decontam = stageBoundary(
       train.join(contaminated, Seq("doc_id"), "left_anti"), stageDir, 1)
-    // excised's blocks are read only while building decontam — free them
-    if (stageDir.isEmpty) freeBoundary(excised)
+    // excised's blocks are read only while building decontam, which the
+    // stageBoundary above already materialized — safe to free
+    if (stageDir.isEmpty) freeBoundarySuperseded(excised, decontam)
     // 2 — weighted near-dup: first-seen wins (the CorpusClean policy).
     // The LSH-GATED bounded top-k form (k=1): the drop set only needs
     // "does this doc have ANY earlier match ≥ minCosine", i.e. each
@@ -149,7 +176,7 @@ object TrainingPrep {
       decontam.join(nearDrop, Seq("doc_id"), "left_anti"), stageDir, 2)
     // decontam's last reader is afterCosine's anti-join (sigDecontam
     // was materialized above and stage 3 reads afterCosine) — free it
-    if (stageDir.isEmpty) freeBoundary(decontam)
+    if (stageDir.isEmpty) freeBoundarySuperseded(decontam, afterCosine)
     // 3 — the v1 chain over the excised, decontaminated survivors
     val cleanedIds = CorpusClean.run(afterCosine, sigOpt = Some(sigDecontam))
       .select("doc_id")

