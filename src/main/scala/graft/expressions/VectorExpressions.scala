@@ -195,6 +195,76 @@ object MapDotKernel {
     }
     acc.doubleValue()
   }
+
+  /** Sparse dot of two LONG-keyed weight maps whose key arrays are
+    * SORTED ASCENDING (the [[graft.ops.Dedup]] tf·idf vector layout:
+    * term ids assigned once per run, vectors folded through
+    * `sort_array`). Long keys + sortedness buy two things over
+    * [[mapDotDec]] at 100×-scale pair volumes:
+    *   - the UnsafeMapData payload is primitive-packed (16 B/term vs
+    *     ~2× that for string keys with offsets) — the pair-stream
+    *     shuffle that dominates the scoring stage halves;
+    *   - the intersection is a branch-predictable two-pointer merge —
+    *     no per-term hashing, no UTF8String churn.
+    * Decimal accumulation is IDENTICAL to [[mapDotDec]]: per shared
+    * key the IEEE product converts via the Spark-CAST path
+    * (`BigDecimal.valueOf` + `setScale(18, HALF_UP)`) and the scale-18
+    * sum is exact — non-shared keys' exact-zero addends can't change
+    * the sum, so dropping them is value-preserving. Non-finite
+    * products map to NaN (the [[mapDotDec]] sentinel contract).
+    */
+  def mapDotDecLong(a: org.apache.spark.sql.catalyst.util.MapData,
+      b: org.apache.spark.sql.catalyst.util.MapData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    val aK = a.keyArray(); val aV = a.valueArray()
+    val bK = b.keyArray(); val bV = b.valueArray()
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0; var j = 0
+    while (i < na && j < nb) {
+      val ka = aK.getLong(i); val kb = bK.getLong(j)
+      if (ka < kb) i += 1
+      else if (ka > kb) j += 1
+      else {
+        val prod = aV.getDouble(i) * bV.getDouble(j)
+        if (!java.lang.Double.isFinite(prod)) return Double.NaN
+        acc = acc.add(java.math.BigDecimal.valueOf(prod)
+          .setScale(18, java.math.RoundingMode.HALF_UP))
+        i += 1; j += 1
+      }
+    }
+    acc.doubleValue()
+  }
+}
+
+/** `graft_larr_dot_dec(map<bigint,double>, map<bigint,double>)` →
+  * double: sorted-key merge dot (see [[MapDotKernel.mapDotDecLong]]).
+  */
+case class MapDotDecimalLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = VectorExpressions.mapDotLongName
+
+  private def okType(dt: DataType): Boolean = dt match {
+    case MapType(LongType, DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && okType(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires map<bigint,double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    MapDotKernel.mapDotDecLong(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.MapDotKernel.mapDotDecLong($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_map_dot_dec(map<string,double>, map<string,double>)` →
@@ -232,6 +302,7 @@ object VectorExpressions {
   val dotName = "graft_dot"
   val l2Name = "graft_l2sq"
   val mapDotName = "graft_map_dot_dec"
+  val mapDotLongName = "graft_larr_dot_dec"
 
   private val dotBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2, s"$dotName expects 2 arguments")
@@ -248,6 +319,11 @@ object VectorExpressions {
     MapDotDecimal(exprs.head, exprs(1))
   }
 
+  private[expressions] val mapDotLongBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"$mapDotLongName expects 2 arguments")
+    MapDotDecimalLong(exprs.head, exprs(1))
+  }
+
   /** Imperative per-session registration (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
@@ -256,12 +332,15 @@ object VectorExpressions {
       .createOrReplaceTempFunction(l2Name, l2Builder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(mapDotName, mapDotBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(mapDotLongName, mapDotLongBuilder, "built-in")
   }
 
   /** Column-API access; requires [[register]] (or the extensions) first. */
   def dot(a: Column, b: Column): Column = call_function(dotName, a, b)
   def l2sq(a: Column, b: Column): Column = call_function(l2Name, a, b)
   def mapDotDec(a: Column, b: Column): Column = call_function(mapDotName, a, b)
+  def mapDotDecLong(a: Column, b: Column): Column = call_function(mapDotLongName, a, b)
 }
 
 /** `SparkSessionExtensions` hook: injects the native functions at
@@ -279,6 +358,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier(VectorExpressions.mapDotName),
       new ExpressionInfo(classOf[MapDotDecimal].getName, VectorExpressions.mapDotName),
       VectorExpressions.mapDotBuilder))
+    e.injectFunction((FunctionIdentifier(VectorExpressions.mapDotLongName),
+      new ExpressionInfo(classOf[MapDotDecimalLong].getName, VectorExpressions.mapDotLongName),
+      VectorExpressions.mapDotLongBuilder))
     e.injectFunction((FunctionIdentifier(TextSketchExpressions.shingleName),
       new ExpressionInfo(classOf[ShingleHash64].getName, TextSketchExpressions.shingleName),
       TextSketchExpressions.shingleBuilder))

@@ -890,8 +890,19 @@ object Dedup {
         .groupBy(col("t")).agg(sum(col("__cn")).as("df"))
     else tf.groupBy(col("t")).agg(count(lit(1)).as("df")))
       .filter(col("df") <= maxDf)
-    val wt = tf.join(dfreq, Seq("t")).join(broadcast(n))
-      .select(col(idCol), col("t"),
+    // TERM IDS: vectors ship as LONG-keyed sorted maps (primitive-
+    // packed payloads + two-pointer merge dots — see
+    // [[graft.expressions.MapDotKernel.mapDotDecLong]]; the string-
+    // keyed form's pair-stream shuffle was the measured sf10 scoring
+    // dominator). Any run-consistent term→long bijection preserves
+    // every product, so the assignment is monotonically_increasing_id
+    // FROZEN by an eager checkpoint (vocabulary-sized — the df cut
+    // keeps it far below the corpus) — without the checkpoint the two
+    // vecs join sides could re-derive DIFFERENT ids.
+    val dfreqT = dfreq.withColumn("tid", monotonically_increasing_id())
+      .localCheckpoint()
+    val wt = tf.join(dfreqT, Seq("t")).join(broadcast(n))
+      .select(col(idCol), col("tid"),
         (col("tf") * (col("n").cast("double") / col("df").cast("double")))
           .as("wgt"))
     // Candidate reps' full pruned vectors fold into ONE row each (norm
@@ -904,21 +915,28 @@ object Dedup {
       .agg(
         sqrt(sum((col("wgt") * col("wgt")).cast("decimal(38,18)"))
           .cast("double")).as("nrm"),
-        map_from_arrays(collect_list(col("t")), collect_list(col("wgt")))
-          .as("vec"))
+        sort_array(collect_list(struct(col("tid"), col("wgt")))).as("__s"))
+      // co-sorted (tid, wgt) arrays → the kernel's sorted-merge layout;
+      // map_from_arrays PRESERVES the given order, so keyArray stays
+      // ascending through the shuffle
+      .select(col(idCol), col("nrm"),
+        map_from_arrays(expr("transform(__s, x -> x.tid)"),
+          expr("transform(__s, x -> x.wgt)")).as("vec"))
     // Map-side dot product per class pair through the NATIVE
-    // [[graft.expressions.MapDotKernel]] kernel: iterate the a-side
-    // vector, look b-side terms up in a hash map; every product is the
-    // identical IEEE double the per-doc join would produce,
+    // [[graft.expressions.MapDotKernel.mapDotDecLong]] kernel: a
+    // two-pointer merge over the sorted long key arrays; every product
+    // is the identical IEEE double the per-doc join would produce,
     // accumulated with Spark-CAST-exact DECIMAL(38,18) semantics
-    // (order-independent — map-key order is immaterial — and
-    // non-shared terms' exact-zero addends cannot change the sum), so
-    // the DuckDB oracle's shared-term join reproduces it bit for bit.
-    // The kernel replaced an interpreted `aggregate(map_keys(...))`
-    // HOF fold measured as the dominant per-pair cost at sf10
-    // (ExpressionsSpec pins kernel == HOF bitwise).
+    // (order-independent, and non-shared terms' exact-zero addends
+    // cannot change the sum), so the DuckDB oracle's shared-term join
+    // reproduces it bit for bit. Lineage: an interpreted
+    // `aggregate(map_keys(...))` HOF fold (the r8 per-pair dominator)
+    // → the string-keyed hash kernel (r9) → this sorted-long form,
+    // which also HALVES the pair-stream shuffle payload (the r10
+    // measured scoring dominator at sf10). ExpressionsSpec pins all
+    // three bitwise-equal.
     val dotExpr = graft.expressions.VectorExpressions
-      .mapDotDec(col("v_a"), col("v_b"))
+      .mapDotDecLong(col("v_a"), col("v_b"))
     // SHUFFLE-HASH hints: a sort-merge join would SORT the pair stream
     // WITH its map payloads; hashing builds on the rep-sized vecs side
     // and streams the pairs untouched.

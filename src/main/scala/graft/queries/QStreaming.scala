@@ -72,7 +72,17 @@ object QStreaming {
   private def appendFeedSlice(base: java.io.File, df: DataFrame, i: Int,
       t0: Long): Unit = {
     val tmp = new java.io.File(base, s"_stage_$i")
-    df.coalesce(1).write.parquet(tmp.getAbsolutePath)
+    // SMALL ROW GROUPS (2 MB): each slice must stay ONE file (a slice
+    // = a micro-batch under maxFilesPerTrigger=1), but a single-row-
+    // group file caps the batch SCAN at one task — at sf10 the 28 MB
+    // slice serialized the whole per-batch signature kernel onto one
+    // core (the measured q_stream_ingest dominator: ~20 s/batch of a
+    // ~65 s wall). Row-group-sized splits restore map-side
+    // parallelism with no extra shuffle; readers pair this with a
+    // small spark.sql.files.maxPartitionBytes.
+    df.coalesce(1).write
+      .option("parquet.block.size", (2L * 1024 * 1024).toString)
+      .parquet(tmp.getAbsolutePath)
     val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
     val dst = new java.io.File(base, f"slice-$i%05d.parquet")
     java.nio.file.Files.move(part.toPath, dst.toPath)
@@ -618,7 +628,12 @@ object QStreaming {
       // batch boundary still must be caught by the persisted index
       // road, not the intra-batch one.
       val (fdir, fschema) = feed(s, "ingest", dir)(ingestSlices(s, dir))
-      withConf(s, "spark.sql.shuffle.partitions" -> "8") {
+      // maxPartitionBytes matches the feed's 2 MB row groups (see
+      // appendFeedSlice): the batch scan splits per row group, so the
+      // per-batch hash/signature kernels run wide instead of on one
+      // core. At contract SFs the slice is a single group — no change.
+      withConf(s, "spark.sql.shuffle.partitions" -> "8",
+          "spark.sql.files.maxPartitionBytes" -> (2L * 1024 * 1024).toString) {
         val q = Streams.corpusIngest(
             fileStream(s, fdir, fschema),
             s"$base/index", s"$base/out", s"$base/ckpt")

@@ -126,4 +126,47 @@ class ExpressionsSpec extends SparkSpec {
         s"row $id: kernel ${got(id)} != exact-sum reference $ref")
     }
   }
+
+  test("graft_larr_dot_dec: sorted-long merge bitwise == the string-keyed kernel") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the tf·idf scoring layout: vectors as long-keyed maps with
+    // ASCENDING key arrays. Any term→long bijection preserves every
+    // product, so under the mapping t<i> → i the merge kernel must be
+    // bitwise-identical to graft_map_dot_dec on the string form.
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      val ka = (0 until rnd.nextInt(30)).map(_.toLong).distinct
+      val kb = (0 until rnd.nextInt(30)).map(j => (j + rnd.nextInt(8)).toLong).distinct
+      def w() = if (rnd.nextBoolean()) rnd.nextDouble() * 1e8 else rnd.nextDouble() * 1e-8
+      (i.toLong,
+        ka.sorted.map(k => k -> w()).toSeq,
+        kb.sorted.map(k => k -> w()).toSeq)
+    } :+ ((0L, Seq.empty[(Long, Double)], Seq(5L -> 1.0)))
+    val df = rows.map { case (id, a, b) =>
+      (id, a.map(_._1).toArray, a.map(_._2).toArray,
+        b.map(_._1).toArray, b.map(_._2).toArray)
+    }.toDF("id", "ka", "wa", "kb", "wb")
+      .select($"id",
+        map_from_arrays($"ka", $"wa").as("v_a"),
+        map_from_arrays($"kb", $"wb").as("v_b"),
+        map_from_arrays(transform($"ka", k => concat(lit("t"), k)), $"wa").as("s_a"),
+        map_from_arrays(transform($"kb", k => concat(lit("t"), k)), $"wb").as("s_b"))
+    val got = df.select($"id",
+        graft.expressions.VectorExpressions.mapDotDecLong($"v_a", $"v_b").as("k"),
+        graft.expressions.VectorExpressions.mapDotDec($"s_a", $"s_b").as("s"))
+      .as[(Long, Double, Double)].collect()
+    got.foreach { case (id, k, s) =>
+      assert(java.lang.Double.doubleToRawLongBits(k) ==
+        java.lang.Double.doubleToRawLongBits(s),
+        s"row $id: long-merge $k != string-hash $s")
+    }
+    // non-finite product → NaN sentinel (the mapDotDec contract)
+    val nan = Seq((Array(1L), Array(Double.MaxValue), Array(1L), Array(Double.MaxValue)))
+      .toDF("ka", "wa", "kb", "wb")
+      .select(graft.expressions.VectorExpressions.mapDotDecLong(
+        map_from_arrays($"ka", $"wa"), map_from_arrays($"kb", $"wb")).as("d"))
+      .as[Double].head()
+    assert(nan.isNaN)
+  }
 }
