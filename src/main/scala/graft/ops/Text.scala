@@ -447,7 +447,13 @@ object Text {
         lit(s"span position exceeds posLimit=$posLimit")).isNull)
       .withColumn("occ_key", col(idCol).cast("long") * posLimit + col("i"))
     // per-hash stats via ONE window pass on the hash key: total
-    // occurrences (dup iff > 1) and the canonical keeper occurrence
+    // occurrences (dup iff > 1) and the canonical keeper occurrence.
+    // (A groupBy + join-back of the duplicated hashes was MEASURED
+    // SLOWER at sf10 — 25 s vs 15 s: the un-materialized occurrence
+    // frame re-runs the 15-gram tokenize+md5 pass for the join stream,
+    // and that second corpus pass costs more than the window's sort.
+    // The window keeps the operator strictly single-pass over the
+    // corpus, which is also the 100 TB shape.)
     val wh = Window.partitionBy(col("h"))
     val marked = occ
       .withColumn("n_occ", count(lit(1)).over(wh))

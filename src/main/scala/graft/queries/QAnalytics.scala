@@ -190,6 +190,27 @@ object QAnalytics {
     s.read.parquet(s"${psGraphPath(dir)}/$part")
   }
 
+  /** Marker-gated ps-graph staging: stages ONCE per data dir and is a
+    * no-op when every artifact's commit marker is present — five
+    * query entries register it, and the staging (now seven parts:
+    * three parquet dirs + four bucketed tables) is too heavy to
+    * rebuild five times per sweep.
+    */
+  private def ensurePsGraph(s: SparkSession, dir: String): Unit = {
+    val warehouse = s.conf.get("spark.sql.warehouse.dir")
+    val hconf = s.sessionState.newHadoopConf()
+    def tblOk(tbl: String): Boolean = {
+      val loc = new org.apache.hadoop.fs.Path(warehouse, tbl)
+      loc.getFileSystem(hconf)
+        .exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))
+    }
+    val parts = Seq("edges_raw", "nodes", "edges2001", "nodes2001")
+      .forall(p => new java.io.File(s"${psGraphPath(dir)}/$p/_SUCCESS").exists())
+    if (!(parts && Seq(psEdgesTable(dir), e01SrcTable(dir), e01DstTable(dir),
+        und01DstTable(dir)).forall(tblOk)))
+      stagePsGraph(s, dir)
+  }
+
   val stages: Map[String, (SparkSession, String) => Unit] = Map(
     "q_triangle_count" -> ((s, dir) => stageBrandEdges(s, dir)),
     "q_kcore" -> ((s, dir) => stageBrandEdges(s, dir)),
@@ -198,11 +219,11 @@ object QAnalytics {
     // of them stages untimed exactly like the full sweep does (ADVICE r7:
     // q_ppr/q_hits/q_label_prop previously paid the 3-part staging write
     // inside their timed window when run alone)
-    "q_degree_summary" -> ((s, dir) => stagePsGraph(s, dir)),
-    "q_pagerank" -> ((s, dir) => stagePsGraph(s, dir)),
-    "q_ppr" -> ((s, dir) => stagePsGraph(s, dir)),
-    "q_hits" -> ((s, dir) => stagePsGraph(s, dir)),
-    "q_label_prop" -> ((s, dir) => stagePsGraph(s, dir)))
+    "q_degree_summary" -> ((s, dir) => ensurePsGraph(s, dir)),
+    "q_pagerank" -> ((s, dir) => ensurePsGraph(s, dir)),
+    "q_ppr" -> ((s, dir) => ensurePsGraph(s, dir)),
+    "q_hits" -> ((s, dir) => ensurePsGraph(s, dir)),
+    "q_label_prop" -> ((s, dir) => ensurePsGraph(s, dir)))
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
