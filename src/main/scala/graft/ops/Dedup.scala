@@ -895,12 +895,13 @@ object Dedup {
     // [[graft.expressions.MapDotKernel.mapDotDecLong]]; the string-
     // keyed form's pair-stream shuffle was the measured sf10 scoring
     // dominator). Any run-consistent term→long bijection preserves
-    // every product, so the assignment is monotonically_increasing_id
-    // FROZEN by an eager checkpoint (vocabulary-sized — the df cut
-    // keeps it far below the corpus) — without the checkpoint the two
-    // vecs join sides could re-derive DIFFERENT ids.
+    // every product; monotonically_increasing_id is consistent WITHIN
+    // one materialization, and the vecs checkpoint below materializes
+    // the whole weight chain exactly once — so the ids are frozen
+    // there, and both scoring join sides (plus the norm) read the
+    // same frozen frame instead of re-deriving the tf→df→weight→fold
+    // chain per consumer.
     val dfreqT = dfreq.withColumn("tid", monotonically_increasing_id())
-      .localCheckpoint()
     val wt = tf.join(dfreqT, Seq("t")).join(broadcast(n))
       .select(col(idCol), col("tid"),
         (col("tf") * (col("n").cast("double") / col("df").cast("double")))
@@ -922,6 +923,7 @@ object Dedup {
       .select(col(idCol), col("nrm"),
         map_from_arrays(expr("transform(__s, x -> x.tid)"),
           expr("transform(__s, x -> x.wgt)")).as("vec"))
+      .localCheckpoint() // one materialization: freezes tids, feeds both join sides
     // Map-side dot product per class pair through the NATIVE
     // [[graft.expressions.MapDotKernel.mapDotDecLong]] kernel: a
     // two-pointer merge over the sorted long key arrays; every product
@@ -990,8 +992,15 @@ object Dedup {
     */
   private[graft] def expandClassPairs(scored: DataFrame, members: DataFrame,
       k: Int): DataFrame = {
+    // heads are only consulted for classes that SURVIVED scoring — the
+    // semi-join restriction keeps the bounded-heap pass ∝ paired-class
+    // members, not corpus members (scored is materialized and tiny, so
+    // AQE broadcasts it: a map-side filter, no members shuffle)
+    val prs = scored.select(col("id_a").as("__rep"))
+      .unionAll(scored.select(col("id_b").as("__rep"))).distinct()
     val heads = graft.plans.NativeOps
-      .topKPerGroup(members, Seq("__rep"), Seq(("__m", true)), k)
+      .topKPerGroup(members.join(prs, Seq("__rep"), "left_semi"),
+        Seq("__rep"), Seq(("__m", true)), k)
       .groupBy(col("__rep"))
       .agg(sort_array(collect_list(col("__m"))).as("__hs"))
     // y-side class / other-side class per direction; the self pair
