@@ -51,23 +51,34 @@ object Bench {
     // one-directionally biased. All raw samples land in the artifact.
     // MID-RANGE drift (VERDICT r9 item 5: q_kmv_intersect 1.4 ↔ 6.9 s
     // between back-to-back sweeps, same binaries): the 8 s bar corrects
-    // only the tail, so any query > 3× its committed quiet-window
-    // record (bench/bench_full_r07.json, when present) ALSO retries —
-    // with a 0.5 s floor so sub-second jitter doesn't triple the sweep.
-    val refTimes: Map[String, Double] = {
-      val p = java.nio.file.Paths.get("bench/bench_full_r07.json")
-      if (!java.nio.file.Files.exists(p)) Map.empty
-      else try {
+    // only the tail, so any query OUTSIDE a SYMMETRIC 3× band around
+    // its committed quiet-window record (bench/bench_full_r07.json)
+    // ALSO retries — upward spikes AND downward outliers (ADVICE r10:
+    // retrying only the slow side corrects noise one-directionally and
+    // biases the reported median down). 0.5 s floors on both sides so
+    // sub-second jitter doesn't triple the sweep. The baseline resolves
+    // against the repo root (walking up from CWD), and its absence is
+    // LOGGED in the artifact so an inert rule is visible.
+    val refPath: Option[java.nio.file.Path] = Iterator
+      .iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+      .takeWhile(_ != null).take(4)
+      .map(_.resolve("bench/bench_full_r07.json"))
+      .find(java.nio.file.Files.exists(_))
+    val refTimes: Map[String, Double] = refPath.map { p =>
+      try {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val root = om.readTree(java.nio.file.Files.readAllBytes(p))
         val it = root.get("queries").fields()
         val b = Map.newBuilder[String, Double]
         while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
         b.result()
-      } catch { case _: Throwable => Map.empty }
-    }
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    }.getOrElse(Map.empty)
+    if (refTimes.isEmpty)
+      System.err.println("[bench] retry baseline bench/bench_full_r07.json missing/unreadable — mid-range retry rule inert")
     val retried = first.collect { case (n, t) if t > 8.0 ||
-      (t > 0.5 && refTimes.get(n).exists(r => t > 3 * r)) => n }
+      refTimes.get(n).exists(r =>
+        (t > 0.5 && t > 3 * r) || (r > 0.5 && t < r / 3)) => n }
     val redo = retried.map(n => n -> Seq(timeOne(n), timeOne(n))).toMap
     val samples = first.map { case (n, t) => n -> (t +: redo.getOrElse(n, Seq.empty)) }
     val results = samples.map { case (n, ss) => n -> ss.sorted.apply(ss.length / 2) }
@@ -80,8 +91,10 @@ object Bench {
     // one sample reused by both records of this run — the disk artifact
     // and the stdout line must agree (ADVICE r7)
     val loadEnd = loadAvg()
+    val retryRef = refPath.filter(_ => refTimes.nonEmpty)
+      .map(p => "\"" + p + "\"").getOrElse("\"MISSING\"")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"retried_samples":$retriedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"retried_samples":$retriedJson,"retry_ref":$retryRef}"""
     // The full per-query map is ~12 KB — the driver's log tail keeps
     // only the last ~530 bytes of stdout, so even last round's ~1.2 KB
     // top-30 line was cut mid-JSON (BENCH_r07 "parsed": null, seven

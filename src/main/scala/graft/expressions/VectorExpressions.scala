@@ -184,11 +184,12 @@ object MapDotKernel {
       val prod = if (w == null) 0.0 else aVals.getDouble(j) * w.doubleValue()
       // Spark's CAST(double AS DECIMAL) nulls out NaN/±Inf, and the HOF
       // fold this kernel replaced would null-propagate the whole sum;
-      // BigDecimal.valueOf would THROW instead (ADVICE r9). NaN is the
-      // codegen-friendly equivalent sentinel: every downstream
-      // comparison (cosine threshold, top-k ordering) rejects it
-      // exactly as a null sum would be rejected.
-      if (!java.lang.Double.isFinite(prod)) return Double.NaN
+      // BigDecimal.valueOf would THROW instead (ADVICE r9). The sentinel
+      // must REJECT like null would: Spark orders NaN ABOVE every
+      // numeric (and NaN >= x is true), so a NaN sentinel would pass
+      // cosine thresholds and sort FIRST in (cos DESC) top-k. -Inf is
+      // the rejecting equivalent: below any threshold, sorts last.
+      if (!java.lang.Double.isFinite(prod)) return Double.NegativeInfinity
       acc = acc.add(java.math.BigDecimal.valueOf(prod)
         .setScale(18, java.math.RoundingMode.HALF_UP))
       j += 1
@@ -211,7 +212,8 @@ object MapDotKernel {
     * (`BigDecimal.valueOf` + `setScale(18, HALF_UP)`) and the scale-18
     * sum is exact — non-shared keys' exact-zero addends can't change
     * the sum, so dropping them is value-preserving. Non-finite
-    * products map to NaN (the [[mapDotDec]] sentinel contract).
+    * products map to -Inf (the [[mapDotDec]] rejecting-sentinel
+    * contract: fails any threshold, sorts last in cos-DESC top-k).
     */
   def mapDotDecLong(a: org.apache.spark.sql.catalyst.util.MapData,
       b: org.apache.spark.sql.catalyst.util.MapData): Double = {
@@ -226,7 +228,7 @@ object MapDotKernel {
       else if (ka > kb) j += 1
       else {
         val prod = aV.getDouble(i) * bV.getDouble(j)
-        if (!java.lang.Double.isFinite(prod)) return Double.NaN
+        if (!java.lang.Double.isFinite(prod)) return Double.NegativeInfinity
         acc = acc.add(java.math.BigDecimal.valueOf(prod)
           .setScale(18, java.math.RoundingMode.HALF_UP))
         i += 1; j += 1

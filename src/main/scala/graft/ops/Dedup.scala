@@ -214,13 +214,26 @@ object Dedup {
     * Convergence is read off the monotonically decreasing label sum
     * (min-propagation can only lower labels): one cheap aggregate per
     * round instead of a change-detection join.
+    *
+    * `undOpt` supplies a PRE-SYMMETRIZED caller-owned edge frame
+    * (long `src`/`dst`, both directions already present) — the
+    * amortized-index contract the graph iterators use: a dst-bucketed
+    * staged table hands every round's labels join its hash
+    * partitioning and sort order, so the edge side plans with NO
+    * exchange per round (the pageRank r9 treatment; an ad-hoc cached
+    * frame re-exchanges its edge blocks every round instead). A
+    * caller-supplied frame is never cached or unpersisted here.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 20): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    // Both directions. Reversal cannot collide with the forward form
-    // (pairs are ordered), so no dedup shuffle here.
-    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).cache()
+      maxIter: Int = 20, undOpt: Option[DataFrame] = None): DataFrame = {
+    val ownUnd = undOpt.isEmpty
+    val und = undOpt.getOrElse {
+      val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      // Both directions. Reversal cannot collide with the forward form
+      // (pairs are ordered), so no dedup shuffle here.
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    }
     // Fused round 1: every node appears as src in the undirected list.
     var labels = und.groupBy("src").agg(min(col("dst")).as("mn"))
       .select(col("src").as("node"), least(col("src"), col("mn")).as("label"))
@@ -273,7 +286,7 @@ object Dedup {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] round $iter done at ${System.nanoTime()} checksum $cur")
     }
-    und.unpersist()
+    if (ownUnd) und.unpersist()
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 
@@ -894,14 +907,23 @@ object Dedup {
     // packed payloads + two-pointer merge dots — see
     // [[graft.expressions.MapDotKernel.mapDotDecLong]]; the string-
     // keyed form's pair-stream shuffle was the measured sf10 scoring
-    // dominator). Any run-consistent term→long bijection preserves
-    // every product; monotonically_increasing_id is consistent WITHIN
-    // one materialization, and the vecs checkpoint below materializes
-    // the whole weight chain exactly once — so the ids are frozen
-    // there, and both scoring join sides (plus the norm) read the
-    // same frozen frame instead of re-deriving the tf→df→weight→fold
-    // chain per consumer.
-    val dfreqT = dfreq.withColumn("tid", monotonically_increasing_id())
+    // dominator). Any run-consistent term→long INJECTION preserves
+    // every product. xxhash64(t) is deterministic and RETRY-STABLE —
+    // monotonically_increasing_id was not (ADVICE r10: a lost map
+    // output recomputed mid-materialization can re-number terms,
+    // silently zeroing shared-term products) — and injectivity is
+    // ASSERTED below on the materialized vocabulary (64-bit hash over
+    // a ≤10⁷-term vocab: collision odds ~10⁻⁶; the check turns the
+    // residual risk into a loud failure, never a wrong answer).
+    // Checkpointing the (t, df, tid) vocab costs no extra corpus scan
+    // (wt's join materialized this chain anyway) and makes the
+    // assertion an agg over a vocab-sized in-memory frame.
+    val dfreqT = dfreq.withColumn("tid", xxhash64(col("t"))).localCheckpoint()
+    val idCheck = dfreqT.agg(count(lit(1)).as("nt"),
+      countDistinct(col("tid")).as("ntid")).head()
+    require(idCheck.getLong(0) == idCheck.getLong(1),
+      s"xxhash64 term-id collision: ${idCheck.getLong(0)} terms -> " +
+        s"${idCheck.getLong(1)} ids; rerun with a salted hash")
     val wt = tf.join(dfreqT, Seq("t")).join(broadcast(n))
       .select(col(idCol), col("tid"),
         (col("tf") * (col("n").cast("double") / col("df").cast("double")))
@@ -955,11 +977,25 @@ object Dedup {
     // pairs ever expand; see [[expandClassPairs]] for the domination
     // argument that makes it work ∝ members·k, not |A|·|B|). In the
     // direct path the scored pairs already ARE the member pairs.
-    val docPairs =
-      if (!contract) clsPairs
-      else expandClassPairs(clsPairs.localCheckpoint(), members, k)
-    graft.plans.NativeOps.topKPerGroup(docPairs, Seq("id_b"),
-      Seq(("cos", false), ("id_a", true)), k)
+    val scored = if (contract) clsPairs.localCheckpoint() else null
+    val docPairs = if (!contract) clsPairs
+      else expandClassPairs(scored, members, k)
+    // Materialize the bounded (≤ docs·k) result, then FREE every
+    // intermediate checkpoint's blocks (ADVICE r10): localCheckpoint
+    // blocks die only with their RDD reference, so the rep-sized
+    // vector/candidate frames would otherwise stay pinned for the
+    // session — the same superseded-boundary discipline the Graph and
+    // TrainingPrep iterators follow.
+    val out = graft.plans.NativeOps.topKPerGroup(docPairs, Seq("id_b"),
+      Seq(("cos", false), ("id_a", true)), k).localCheckpoint()
+    def cpBlocks(df: DataFrame) = Option(df).toSeq
+      .flatMap(_.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      })
+    (cpBlocks(clsAgg) ++ cpBlocks(members) ++ cpBlocks(cand) ++
+      cpBlocks(dfreqT) ++ cpBlocks(vecs) ++ cpBlocks(scored))
+      .foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Expands scored exact-class pairs back to member pairs in work

@@ -144,14 +144,24 @@ object Graph {
   /** Personalized PageRank: the teleport mass lands ONLY on the
     * `sources` set (uniformly) instead of every node — the
     * neighborhood-relevance ranking recommenders and related-entity
-    * queries run ("important FROM this seed's point of view"). Same
-    * two-shuffles-per-iteration shape, broadcast cap, and
-    * localCheckpoint lineage discipline as [[pageRank]]; the per-node
-    * base term rides in the checkpointed (node, base) frame, so each
-    * round is still one join + one aggregation. pr₀ = 1/|S| on the
-    * sources, 0 elsewhere; nodes never reached within `iterations`
-    * hops report 0 (they are present in the output — callers see the
-    * full node set, as in [[pageRank]]).
+    * queries run ("important FROM this seed's point of view").
+    *
+    * SPARSE state (the r10→r11 gap fix — PPR at sf10 ran 40% behind
+    * [[pageRank]] on the same staged graph): because base = 0 for
+    * every non-seed node, the iterated frame only needs the REACHED
+    * set — seeds plus nodes with inbound contribution. Unreached
+    * nodes hold pr = 0, and a pr = 0 state row feeds the next round
+    * only exact-zero addends (0.0/outdeg into `inc` sums, 0.0 base
+    * into the merge), and adding +0.0 to an IEEE partial sum of
+    * non-negative doubles never changes it — so dropping those rows
+    * is BIT-IDENTICAL to the dense iteration the oracle unrolls. One
+    * round is one edges ⋈ state join + one union-aggregate whose
+    * per-node sum has at most the oracle's two addends (base,
+    * damping·inc); the state rows are (node, pr) — narrower AND fewer
+    * than [[pageRank]]'s, so a PPR round can never cost more. The
+    * full node set returns at the END via one left join (unreached →
+    * 0.0), so callers still see every node. Same broadcast cap and
+    * localCheckpoint lineage discipline as [[pageRank]].
     */
   def personalizedPageRank(edges: DataFrame, sources: DataFrame,
       iterations: Int, damping: Double = 0.85,
@@ -171,33 +181,21 @@ object Graph {
     val nS = src.count()
     require(nS > 0, "personalizedPageRank needs at least one source")
     val bcastRanks = n * 100L < bcastCapBytes
-    // The per-node teleport base RIDES IN the iterated state frame
-    // (node, base, pr): each round re-derives it from the same
-    // checkpointed frame the ranks come from, so one round is ONE
-    // edges ⋈ state join + ONE union-aggregate — the separate base
-    // checkpoint (and its per-round re-join) is gone. first(base) in
-    // the merge aggregate is deterministic: exactly one of the two
-    // merged rows per node (the state row) carries a non-null base.
-    var state = nodes
-      .join(broadcast(src.withColumn("__is", lit(1))), Seq("node"), "left")
-      .select(col("node"),
-        when(col("__is").isNotNull, lit(teleport / nS)).otherwise(lit(0.0))
-          .as("base"),
-        when(col("__is").isNotNull, lit(1.0 / nS)).otherwise(lit(0.0))
-          .as("pr"))
+    // the seed-base frame is nS rows — it rides each round's merge as
+    // a broadcast-sized union arm instead of a column on every node
+    val seedBase = src.select(col("node"), lit(teleport / nS).as("v"))
+      .localCheckpoint()
+    var state = src.select(col("node"), lit(1.0 / nS).as("pr"))
     var owned: DataFrame = null
     for (it <- 1 to iterations) {
       val ranks = if (bcastRanks) broadcast(state) else state
       val contrib = e.join(ranks, e("src") === ranks("node"))
         .select(col("dst").as("node"), (col("pr") / col("outdeg")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("inc"))
-      var next = state.select(col("node"), col("base"), col("base").as("v"))
+      var next = seedBase
         .unionAll(contrib.select(col("node"),
-          lit(null).cast("double").as("base"),
           (lit(damping) * col("inc")).as("v")))
-        .groupBy("node")
-        .agg(first(col("base"), ignoreNulls = true).as("base"),
-          sum(col("v")).as("pr"))
+        .groupBy("node").agg(sum(col("v")).as("pr"))
       // final round lazy — see [[pageRank]]'s checkpoint-cadence note
       if (it % cpEvery == 0 && it < iterations) {
         next = next.localCheckpoint()
@@ -206,9 +204,14 @@ object Graph {
       }
       state = next
     }
-    // materialize-and-release — see [[pageRank]]'s return note
-    val out = state.select(col("node"), col("pr")).localCheckpoint()
+    // re-densify: the full node universe with 0.0 for never-reached
+    // nodes, exactly the dense iteration's (and the oracle's) output
+    val out = nodes
+      .join(state.withColumnRenamed("pr", "__pr"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__pr"), lit(0.0)).as("pr"))
+      .localCheckpoint()
     if (owned != null) cpBlocks(owned).foreach(_.unpersist(blocking = false))
+    cpBlocks(seedBase).foreach(_.unpersist(blocking = false))
     e.unpersist(blocking = false)
     if (ownNodes) nodes.unpersist(blocking = false)
     out

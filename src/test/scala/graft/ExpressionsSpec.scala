@@ -161,12 +161,16 @@ class ExpressionsSpec extends SparkSpec {
         java.lang.Double.doubleToRawLongBits(s),
         s"row $id: long-merge $k != string-hash $s")
     }
-    // non-finite product → NaN sentinel (the mapDotDec contract)
-    val nan = Seq((Array(1L), Array(Double.MaxValue), Array(1L), Array(Double.MaxValue)))
+    // non-finite product → -Inf sentinel (the mapDotDec contract):
+    // REJECTS under Spark's NaN-sorts-first semantics — fails any
+    // `cos >= t` threshold and sorts LAST in (cos DESC) top-k, the
+    // behavior the old null-propagating fold had (ADVICE r10).
+    val sentinel = Seq((Array(1L), Array(Double.MaxValue), Array(1L), Array(Double.MaxValue)))
       .toDF("ka", "wa", "kb", "wb")
       .select(graft.expressions.VectorExpressions.mapDotDecLong(
         map_from_arrays($"ka", $"wa"), map_from_arrays($"kb", $"wb")).as("d"))
       .as[Double].head()
-    assert(nan.isNaN)
+    assert(sentinel == Double.NegativeInfinity)
+    assert(!(sentinel >= 0.5) && sentinel < 0.0)
   }
 }

@@ -442,6 +442,34 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("CC propagation round over a dst-bucketed staged edge table: no edge-side exchange") {
+    // q_dedup_clusters / q_cc_size_histogram iterate min-label
+    // propagation; with the symmetrized star edges staged dst-bucketed
+    // (VERDICT r10 item 6), each round's labels join must read the
+    // edge side straight off the bucketed scan — only the node-sized
+    // labels frame and the aggregation exchange remain.
+    val e = Seq((2L, 1L), (1L, 2L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    graft.io.Bucketing.writeBucketed(e.repartition(4, col("dst")),
+      "test_cc_und_dst", "dst", 4, rebuild = true)
+    val und = spark.table("test_cc_und_dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("node", "label")
+      .localCheckpoint()
+    graft.queries.QScale.withConf(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val round = und.join(labels, und("dst") === labels("node"))
+        .select(und("src").as("node"), col("label"))
+        .unionAll(labels)
+        .groupBy("node").agg(min("label").as("label"))
+      val plan = round.queryExecution.executedPlan.toString
+      val nExchange = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(nExchange == 2,
+        s"CC round: expected 2 exchanges (labels side + agg), got $nExchange:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"),
+        s"CC round: edge side not a bucketed scan:\n$plan")
+    }
+  }
+
   test("HITS half-steps over src/dst-bucketed edge tables: no edge-side exchange") {
     // q_hits alternates join keys per half-step (auth joins on src,
     // hub joins on dst), so the staged form feeds it TWO bucketings of

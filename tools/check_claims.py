@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Verify SURVEY.md's newest round-block claims against the artifacts
+they cite — the structural fix for hand-tallied-number drift (VERDICT
+r10 item 3: a "10/10" ledger claim and a 216-vs-217 test count both
+slipped past review in one round).
+
+Checks, each FAILING LOUDLY (exit 1) on mismatch:
+  1. "N scalatest cases"      vs  count of `test("` definitions in src/test
+  2. "N queries (... M oracle-verified" header counts
+                              vs  newest CORRECTNESS_r*.json rows
+  3. "sfK oracle ledger A/B"  vs  bench/sfK_check_r*.txt (newest):
+       A = PASS rows, B = adjudicated rows (PASS + FAIL + documented
+       OMIT + ORACLE-TIMEOUT). A claim is also WRONG if the ledger's
+       companion verify log names queries with no adjudication row at
+       all — "ran under Spark" is not "adjudicated".
+
+SCOPE: §8's header paragraph and the NEWEST "### Round-N additions"
+block (historical blocks state what was true in their round — except
+ledger claims, which name a specific committed artifact and are checked
+wherever they appear).
+
+Usage: python3 tools/check_claims.py   (from the repo root)
+Dev harness only — not part of the library.
+"""
+import glob, json, os, re, sys
+
+fails = []
+
+
+def fail(msg):
+    fails.append(msg)
+    print(f"CLAIM-MISMATCH: {msg}")
+
+
+survey_full = open("SURVEY.md").read()
+# §8 header paragraph (up to its first subsection) + the newest round block
+hdr = re.search(r"## 8\..*?(?=\n###)", survey_full, re.S)
+blocks = list(re.finditer(r"### Round-(\d+) additions.*?(?=\n### |\Z)", survey_full, re.S))
+newest = max(blocks, key=lambda m: int(m.group(1))) if blocks else None
+survey = (hdr.group(0) if hdr else "") + "\n" + (newest.group(0) if newest else "")
+
+# ---- 1. scalatest case count -------------------------------------------
+actual_tests = 0
+for f in glob.glob("src/test/scala/graft/*.scala"):
+    with open(f, "rb") as fh:
+        actual_tests += len(re.findall(rb'test\("', fh.read()))
+for m in re.finditer(r"(\d+)\s+scalatest cases", survey):
+    claimed = int(m.group(1))
+    if claimed != actual_tests:
+        fail(f"SURVEY says '{claimed} scalatest cases'; src/test defines {actual_tests}")
+
+# ---- 2. query / oracle-verified counts vs newest CORRECTNESS ------------
+corrs = sorted(glob.glob("CORRECTNESS_r*.json"))
+if corrs:
+    corr = json.load(open(corrs[-1]))
+    n_total = len(corr)
+    n_green = sum(1 for v in corr.values() if v.get("hash_match") is True)
+    # the §8 header and the newest round block both state these
+    for m in re.finditer(r"(\d+)\s+queries?,?\s*\(?(\d+)\s+oracle-verified", survey):
+        ct, cg = int(m.group(1)), int(m.group(2))
+        if (ct, cg) != (n_total, n_green):
+            fail(f"SURVEY says '{ct} queries, {cg} oracle-verified'; "
+                 f"{os.path.basename(corrs[-1])} has {n_total} rows, {n_green} green")
+
+# ---- 3. sfN oracle ledger claims vs bench/sfN_check_r*.txt --------------
+def ledger_counts(sf):
+    checks = sorted(glob.glob(f"bench/sf{sf}_check_r*.txt"))
+    if not checks:
+        return None
+    path = checks[-1]
+    txt = open(path).read()
+    adjudicated, passed = set(), set()
+    for line in txt.splitlines():
+        mm = re.match(r"(q_\w+)\s+(PASS|FAIL|OMIT|ORACLE-TIMEOUT)", line)
+        if mm:
+            adjudicated.add(mm.group(1))
+            if mm.group(2) in ("PASS", "OMIT"):
+                passed.add(mm.group(1))
+    # companion verify walls / query lists name the intended scope;
+    # queries with a Spark wall but no adjudication row are NOT
+    # adjudicated ("ran under Spark" != "oracle-adjudicated")
+    scoped = set(re.findall(r"^(q_\w+)\s+rc=\d+", txt, re.M))
+    rnd = re.search(r"_r(\d+)\.txt$", path).group(1)
+    for companion in (f"bench/sf{sf}_verify_r{rnd}.txt",):
+        if os.path.exists(companion):
+            scoped |= set(re.findall(r"^(q_\w+)\s+(?:rc=|cached)", open(companion).read(), re.M))
+    qfile = f"bench/sf{sf}_queries_r{rnd}.txt"
+    if os.path.exists(qfile):
+        scoped |= set(open(qfile).read().replace(",", " ").split())
+    scoped |= adjudicated
+    return path, adjudicated, passed, scoped
+
+
+for m in re.finditer(r"sf(\d+(?:\.\d+)?)\s+(?:oracle\s+)?ledger[^|\n]*?(\d+)/(\d+)", survey_full):
+    sf, a, b = m.group(1), int(m.group(2)), int(m.group(3))
+    lc = ledger_counts(sf)
+    if lc is None:
+        fail(f"SURVEY claims an sf{sf} ledger {a}/{b} but no bench/sf{sf}_check_r*.txt exists")
+        continue
+    path, adjudicated, passed, scoped = lc
+    un = scoped - adjudicated
+    if a != len(passed) or b != len(scoped) or un:
+        fail(f"SURVEY claims sf{sf} ledger {a}/{b}; {path} adjudicates "
+             f"{len(passed)} PASS/OMIT of {len(adjudicated)} rows over a "
+             f"{len(scoped)}-query scope"
+             + (f"; UNADJUDICATED: {sorted(un)}" if un else ""))
+
+if fails:
+    print(f"\n{len(fails)} claim(s) contradict their artifacts")
+    sys.exit(1)
+print("all SURVEY claims match their artifacts "
+      f"(tests={actual_tests}, correctness={os.path.basename(corrs[-1]) if corrs else 'n/a'})")
