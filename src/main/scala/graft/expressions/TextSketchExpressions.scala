@@ -137,6 +137,38 @@ object TextSketch {
     new GenericArrayData(out)
   }
 
+  /** Per-POSITION 60-bit span hashes: one (i, h) struct per word
+    * n-gram OCCURRENCE (1-based position, non-distinct; empty when the
+    * doc has fewer than n words) — the duplicated-span excision layout
+    * ([[graft.ops.Text.removeDuplicateSpans]]). One tight kernel pass
+    * replaces a per-position slice + concat_ws + md5 expression chain
+    * (each position allocated an n-element array copy — the measured
+    * stage-0 CPU at sf10). The hash is the md5 60-bit prefix, so the
+    * DuckDB oracle reproduces it exactly as
+    * `CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT)`.
+    */
+  def spanHash60(text: UTF8String, n: Int): GenericArrayData = {
+    val w = words(text)
+    val count = w.length - (n - 1)
+    if (count <= 0) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](count)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = i
+      while (j < i + n) {
+        if (j > i) sb.append(' ')
+        sb.append(w(j))
+        j += 1
+      }
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        i + 1, first60(md5(sb.toString.getBytes("UTF-8"))))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct 60-bit hashes of `text` and its single-CHARACTER-deletion
     * variants — the FastSS (Bocek et al. 2007) candidate keys for
     * edit-distance-1 linkage ([[graft.ops.Relational.fuzzyLinkageD1]]).
@@ -285,6 +317,23 @@ case class ShingleHash64(child: Expression, n: Int) extends TextSketchExpression
     copy(child = newChild)
 }
 
+/** `graft_span_hash60(text, n)` → array<struct<i:int,h:bigint>> of
+  * per-position word n-gram span hashes (see [[TextSketch.spanHash60]]).
+  */
+case class SpanHash60(child: Expression, n: Int) extends TextSketchExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("i", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = TextSketchExpressions.spanHashName
+  override def nullSafeEval(t: Any): Any =
+    TextSketch.spanHash60(t.asInstanceOf[UTF8String], n)
+  override protected def staticCall(c: String): String =
+    s"graft.expressions.TextSketch.spanHash60($c, $n)"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_minhash(text, n, seeds)` → array<string> MinHash signature
   * (per-seed minimum md5 hex over word n-gram shingles).
   */
@@ -344,6 +393,7 @@ case class SimHash(child: Expression, bits: Int) extends TextSketchExpression {
 
 object TextSketchExpressions {
   val shingleName = "graft_shingle_hash64"
+  val spanHashName = "graft_span_hash60"
   val minhashName = "graft_minhash"
   val simhashName = "graft_simhash"
   val delHashName = "graft_del_hash64"
@@ -358,6 +408,10 @@ object TextSketchExpressions {
   val shingleBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2, s"$shingleName expects (text, n)")
     ShingleHash64(exprs.head, intLit(exprs(1), "n"))
+  }
+  val spanHashBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"$spanHashName expects (text, n)")
+    SpanHash60(exprs.head, intLit(exprs(1), "n"))
   }
   val minhashBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 3, s"$minhashName expects (text, n, seeds)")
@@ -379,6 +433,8 @@ object TextSketchExpressions {
   /** Column-API access; requires the extensions (or [[register]]). */
   def shingleHash64(text: Column, n: Int): Column =
     call_function(shingleName, text, org.apache.spark.sql.functions.lit(n))
+  def spanHash60(text: Column, n: Int): Column =
+    call_function(spanHashName, text, org.apache.spark.sql.functions.lit(n))
   def minhash(text: Column, n: Int, seeds: Int): Column =
     call_function(minhashName, text,
       org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(seeds))
@@ -395,6 +451,7 @@ object TextSketchExpressions {
   def register(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
     r.createOrReplaceTempFunction(shingleName, shingleBuilder, "built-in")
+    r.createOrReplaceTempFunction(spanHashName, spanHashBuilder, "built-in")
     r.createOrReplaceTempFunction(minhashName, minhashBuilder, "built-in")
     r.createOrReplaceTempFunction(simhashName, simhashBuilder, "built-in")
     r.createOrReplaceTempFunction(delHashName, delHashBuilder, "built-in")

@@ -366,6 +366,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier(TextSketchExpressions.shingleName),
       new ExpressionInfo(classOf[ShingleHash64].getName, TextSketchExpressions.shingleName),
       TextSketchExpressions.shingleBuilder))
+    e.injectFunction((FunctionIdentifier(TextSketchExpressions.spanHashName),
+      new ExpressionInfo(classOf[SpanHash60].getName, TextSketchExpressions.spanHashName),
+      TextSketchExpressions.spanHashBuilder))
     e.injectFunction((FunctionIdentifier(TextSketchExpressions.minhashName),
       new ExpressionInfo(classOf[MinHashSig].getName, TextSketchExpressions.minhashName),
       TextSketchExpressions.minhashBuilder))

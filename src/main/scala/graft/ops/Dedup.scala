@@ -836,6 +836,16 @@ object Dedup {
       seeds: Int = 8, shingleN: Int = 3,
       nDocsOpt: Option[Long] = None,
       sigOpt: Option[DataFrame] = None): DataFrame = {
+    // dev profiling (GRAFT_TFIDF_PROF=1): wall per materialization
+    // point — every lap boundary below is an eager action, so the
+    // laps partition the operator's real cost
+    val profOn = sys.env.contains("GRAFT_TFIDF_PROF")
+    var profLast = System.nanoTime()
+    def lap(name: String): Unit = if (profOn) {
+      val now = System.nanoTime()
+      System.err.println(f"[tfidfK] $name%-16s ${(now - profLast) / 1e9}%7.2f")
+      profLast = now
+    }
     // a — exact-text classes. members is consumed by both expansion
     // joins; clsAgg by the rep restriction, class-size df, and
     // self-pairs: checkpoint both (blocks die with the RDD reference).
@@ -844,6 +854,7 @@ object Dedup {
       .groupBy(col("__h"))
       .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__cn"))
       .localCheckpoint()
+    lap("clsAgg")
     // ADAPTIVE: contraction pays off exactly when duplication is real,
     // and the signal is the INTRA-CLASS PAIR MASS Σ cn·(cn−1)/2 — the
     // candidate pairs exact duplication alone would force the direct
@@ -862,12 +873,14 @@ object Dedup {
     val pairMass = Option(clsAgg
       .agg(sum(col("__cn") * (col("__cn") - 1)).as("pm")).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L) / 2
+    lap("pairMass")
     val contract = pairMass > nTotal / 10
     val members = if (!contract) null else
       df.select(col(idCol), sha2(col(textCol), 256).as("__h"))
         .join(clsAgg.select(col("__h"), col("__rep")), Seq("__h"))
         .select(col(idCol).as("__m"), col("__rep"))
         .localCheckpoint()
+    if (contract) lap("members")
     val repIds = clsAgg.select(col("__rep").as(idCol))
     val repDf = if (contract) df.join(repIds, Seq(idCol), "left_semi") else df
     // b1 — the MinHash gate over representatives (one bucket per seed,
@@ -885,6 +898,7 @@ object Dedup {
     val candBase = minhashCandidates(sig, idCol, seeds, 1)
     val cand = (if (contract) candBase.unionAll(selfPairs) else candBase)
       .localCheckpoint() // three consumers: doc restriction + join sides
+    lap("candidates")
     val candDocs = cand.select(col("id_a").as(idCol))
       .unionAll(cand.select(col("id_b").as(idCol))).distinct()
     // b2 — term frequencies MAP-SIDE via the native kernel (one row
@@ -924,6 +938,7 @@ object Dedup {
     require(idCheck.getLong(0) == idCheck.getLong(1),
       s"xxhash64 term-id collision: ${idCheck.getLong(0)} terms -> " +
         s"${idCheck.getLong(1)} ids; rerun with a salted hash")
+    lap("dfreqT+idCheck")
     val wt = tf.join(dfreqT, Seq("t")).join(broadcast(n))
       .select(col(idCol), col("tid"),
         (col("tf") * (col("n").cast("double") / col("df").cast("double")))
@@ -946,6 +961,7 @@ object Dedup {
         map_from_arrays(expr("transform(__s, x -> x.tid)"),
           expr("transform(__s, x -> x.wgt)")).as("vec"))
       .localCheckpoint() // one materialization: freezes tids, feeds both join sides
+    lap("vecs")
     // Map-side dot product per class pair through the NATIVE
     // [[graft.expressions.MapDotKernel.mapDotDecLong]] kernel: a
     // two-pointer merge over the sorted long key arrays; every product
@@ -978,6 +994,7 @@ object Dedup {
     // argument that makes it work ∝ members·k, not |A|·|B|). In the
     // direct path the scored pairs already ARE the member pairs.
     val scored = if (contract) clsPairs.localCheckpoint() else null
+    if (contract) lap("score")
     val docPairs = if (!contract) clsPairs
       else expandClassPairs(scored, members, k)
     // Materialize the bounded (≤ docs·k) result, then FREE every
@@ -988,6 +1005,7 @@ object Dedup {
     // TrainingPrep iterators follow.
     val out = graft.plans.NativeOps.topKPerGroup(docPairs, Seq("id_b"),
       Seq(("cos", false), ("id_a", true)), k).localCheckpoint()
+    lap(if (contract) "expand+topk" else "score+topk")
     def cpBlocks(df: DataFrame) = Option(df).toSeq
       .flatMap(_.queryExecution.analyzed.collect {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd

@@ -435,11 +435,13 @@ object Text {
       idCol: String, n: Int, posLimit: Long = 1000000L): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val words = tokens(col(textCol))
-    val spans = when(size(words) >= n,
-      transform(sequence(lit(1), size(words) - (n - 1)),
-        i => struct(i.as("i"), md5(concat_ws(" ", slice(words, i, lit(n)))).as("h"))))
-      .otherwise(array())
-    val occ = df.select(col(idCol), explode(spans).as("s"))
+    // per-position span hashes via ONE native kernel pass (the old
+    // per-position slice + concat_ws + md5 expression chain allocated
+    // an n-word array copy per position — the measured stage-0 CPU at
+    // sf10); 60-bit md5 prefixes shuffle as longs and the oracle
+    // replays the same truncation (the q_contamination idiom)
+    val occ = df.select(col(idCol), explode(graft.expressions
+        .TextSketchExpressions.spanHash60(col(textCol), n)).as("s"))
       .select(col(idCol), col("s.i").as("i"), col("s.h").as("h"))
       // in-plan fail-fast if a doc is too long for the keeper encoding
       // (the [[Guard.maxGroupWidth]] assert-rides-the-plan idiom)

@@ -1229,7 +1229,7 @@ object QText {
           occ AS MATERIALIZED (SELECT doc_id,
                          unnest(range(1, greatest(len(w) - 14, 0) + 1)) AS i,
                          unnest(list_transform(range(1, greatest(len(w) - 14, 0) + 1),
-                                i -> md5(array_to_string(w[i:i+14], ' ')))) AS h
+                                i -> CAST('0x' || substring(md5(array_to_string(w[i:i+14], ' ')), 1, 15) AS BIGINT))) AS h
                   FROM w0),
           kk AS (SELECT h, count(*) AS n_occ, min(doc_id * 1000000 + i) AS keeper
                  FROM occ GROUP BY h),
@@ -1785,7 +1785,7 @@ object QText {
           occ AS (SELECT doc_id,
                          unnest(range(1, greatest(len(w) - 14, 0) + 1)) AS i,
                          unnest(list_transform(range(1, greatest(len(w) - 14, 0) + 1),
-                                i -> md5(array_to_string(w[i:i+14], ' ')))) AS h
+                                i -> CAST('0x' || substring(md5(array_to_string(w[i:i+14], ' ')), 1, 15) AS BIGINT))) AS h
                   FROM w),
           k AS (SELECT h, count(*) AS n_occ,
                        min(doc_id * 1000000 + i) AS keeper
