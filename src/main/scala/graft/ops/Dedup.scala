@@ -995,25 +995,36 @@ object Dedup {
     // direct path the scored pairs already ARE the member pairs.
     val scored = if (contract) clsPairs.localCheckpoint() else null
     if (contract) lap("score")
-    val docPairs = if (!contract) clsPairs
-      else expandClassPairs(scored, members, k)
-    // Materialize the bounded (≤ docs·k) result, then FREE every
-    // intermediate checkpoint's blocks (ADVICE r10): localCheckpoint
-    // blocks die only with their RDD reference, so the rep-sized
-    // vector/candidate frames would otherwise stay pinned for the
-    // session — the same superseded-boundary discipline the Graph and
-    // TrainingPrep iterators follow.
-    val out = graft.plans.NativeOps.topKPerGroup(docPairs, Seq("id_b"),
-      Seq(("cos", false), ("id_a", true)), k).localCheckpoint()
-    lap(if (contract) "expand+topk" else "score+topk")
     def cpBlocks(df: DataFrame) = Option(df).toSeq
       .flatMap(_.queryExecution.analyzed.collect {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
       })
-    (cpBlocks(clsAgg) ++ cpBlocks(members) ++ cpBlocks(cand) ++
-      cpBlocks(dfreqT) ++ cpBlocks(vecs) ++ cpBlocks(scored))
-      .foreach(_.unpersist(blocking = false))
-    out
+    // FREE the heavy intermediate checkpoints' blocks (ADVICE r10):
+    // localCheckpoint blocks die only with their RDD reference, so the
+    // rep-sized vector/candidate frames would otherwise stay pinned
+    // for the session — the same superseded-boundary discipline the
+    // Graph and TrainingPrep iterators follow.
+    if (contract) {
+      // the returned plan reads ONLY the scored + members checkpoints
+      // (bounded / doc-sized) — everything upstream of `scored` is
+      // already superseded, so it frees NOW and the expansion + top-k
+      // stay LAZY (the caller's action materializes them; no extra
+      // result write+read pass)
+      (cpBlocks(clsAgg) ++ cpBlocks(cand) ++ cpBlocks(dfreqT) ++
+        cpBlocks(vecs)).foreach(_.unpersist(blocking = false))
+      graft.plans.NativeOps.topKPerGroup(
+        expandClassPairs(scored, members, k), Seq("id_b"),
+        Seq(("cos", false), ("id_a", true)), k)
+    } else {
+      // the direct path's lazy plan reads the cand + vecs checkpoints:
+      // materialize the bounded (≤ docs·k) result first, then free all
+      val out = graft.plans.NativeOps.topKPerGroup(clsPairs, Seq("id_b"),
+        Seq(("cos", false), ("id_a", true)), k).localCheckpoint()
+      lap("score+topk")
+      (cpBlocks(clsAgg) ++ cpBlocks(cand) ++ cpBlocks(dfreqT) ++
+        cpBlocks(vecs)).foreach(_.unpersist(blocking = false))
+      out
+    }
   }
 
   /** Expands scored exact-class pairs back to member pairs in work

@@ -34,6 +34,8 @@ def main():
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    if os.environ.get("GRAFT_DUCK_THREADS"):
+        con.execute(f"SET threads={int(os.environ['GRAFT_DUCK_THREADS'])}")
     for t in TABLES:
         p = f"{sf}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table dir (e.g. ScaleUp's sf1)
