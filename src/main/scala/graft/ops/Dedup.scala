@@ -461,12 +461,17 @@ object Dedup {
     val shAll = hashed.select(col(idCol), explode(col("shs")).as("sh_h"))
     // DF cut (doc above): capped shingles leave the index while set
     // sizes keep counting them — containment becomes a LOWER BOUND.
+    // The rare-shingle set is VOCABULARY-sized (at sf10: millions of
+    // longs) — hint the semi-join to shuffle-hash so AQE never builds
+    // it as a driver-side broadcast map (measured: broadcast OOM on the
+    // 8 GB driver; the hash builds per-partition instead).
     val sh =
       if (maxDocFreq <= 0) shAll
       else shAll.join(
         shAll.groupBy(col("sh_h")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxDocFreq).select(col("sh_h")),
-        Seq("sh_h"))
+          .filter(col("__df") <= maxDocFreq).select(col("sh_h"))
+          .hint("shuffle_hash"),
+        Seq("sh_h"), "left_semi")
     val sizes = hashed.select(col(idCol), size(col("shs")).cast("bigint").as("n_sh"))
     val inter = sh.select(col(idCol).as("id_a"), col("sh_h"))
       .join(sh.select(col(idCol).as("id_b"), col("sh_h")), Seq("sh_h"))

@@ -580,10 +580,19 @@ object Graph {
     */
   def bipartiteJaccardTopK(rel: DataFrame, nodeCol: String, attrCol: String,
       k: Int, maxAttrFanout: Long): DataFrame = {
+    // DISK_ONLY, not localCheckpoint: the frame is attr-relation-sized
+    // (60M rows at sf10) with three consumers (degree agg + both join
+    // sides). Memory-backed blocks pinned ~2 GB of the 8 GB heap for
+    // the whole query and starved the pair aggregation (measured OOM);
+    // un-persisted, the distinct subtree re-executed per consumer
+    // (122 s at sf10). Disk blocks cost one compute + three scans and
+    // zero heap — the stagePsGraph storage-backed-boundary shape,
+    // scoped to the call (freed below once the bounded top-k
+    // materializes).
     val sp = Guard.maxGroupWidth(
         rel.select(col(nodeCol).as("node"), col(attrCol).as("attr")).distinct(),
         Seq("attr"), maxAttrFanout)
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val deg = sp.groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val cand = sp.select(col("attr"), col("node").as("a"))
       .join(sp.select(col("attr"), col("node").as("b")), Seq("attr"))
@@ -594,13 +603,27 @@ object Graph {
       .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), Seq("b"))
       .withColumn("jaccard", col("common").cast("double") /
         (col("deg_a") + col("deg_b") - col("common")).cast("double"))
-    val sym = j.select(col("a").as("node"), col("b").as("other"),
-        col("common"), col("jaccard"))
-      .unionAll(j.select(col("b").as("node"), col("a").as("other"),
-        col("common"), col("jaccard")))
-    Aggregates.topKPerGroup(sym, Seq("node"),
+    // Both orientations via ONE generator over the scored pairs — a
+    // unionAll of two selects INLINES the whole candidate join+agg
+    // subtree twice into one stage graph (2× the compute and 2× the
+    // concurrent memory: measured OOM at sf10, where the subtree is a
+    // 240M-pair aggregation). The explode streams the same rows out of
+    // a single pass and the top-k heaps bound everything downstream.
+    val sym = j.select(explode(array(
+        struct(col("a").as("node"), col("b").as("other"),
+          col("common"), col("jaccard")),
+        struct(col("b").as("node"), col("a").as("other"),
+          col("common"), col("jaccard")))).as("r"))
+      .select(col("r.node").as("node"), col("r.other").as("other"),
+        col("r.common").as("common"), col("r.jaccard").as("jaccard"))
+    // bounded output (≤ nodes·k): materialize eagerly, then free the
+    // disk blocks — the containmentPairs cache-lifetime discipline
+    val out = Aggregates.topKPerGroup(sym, Seq("node"),
         Seq(col("jaccard").desc, col("other").asc), k)
       .select(col("node"), col("other"), col("common"), col("jaccard"),
         col("rn").cast("bigint").as("rn"))
+      .localCheckpoint()
+    sp.unpersist(blocking = false)
+    out
   }
 }

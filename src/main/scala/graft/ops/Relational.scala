@@ -140,22 +140,89 @@ object Relational {
   def fuzzyLinkageD1(df: DataFrame, textCol: String, idCol: String,
       maxLen: Int = 512): DataFrame = {
     val s = col(textCol)
-    // Native kernel emits the neighborhood as 60-bit HASHES: the join
-    // shuffles (id, long) rows, never variant strings, and an md5
-    // collision can only ADD a candidate the exact filter removes.
-    // Cached: the frame is both join sides (minhashCandidates shape).
-    val keyed = df.select(col(idCol), s,
-      explode(graft.expressions.TextSketchExpressions.deletionHash64(s, maxLen))
-        .as("__key")).cache()
-    val a = keyed.select(col("__key"), col(idCol).as("id_a"), s.as("s_a"))
-    val b = keyed.select(col("__key"), col(idCol).as("id_b"), s.as("s_b"))
-    a.join(b, Seq("__key"))
-      .filter(col("id_a") < col("id_b"))
-      // exact check BEFORE the dedup, via the O(n) bounded predicate
-      // (not the O(n²) allocating DP — this runs per candidate): the
-      // distinct then dedups only the ~4x smaller surviving set
-      .filter(graft.expressions.NormalizeExpressions.withinEdit1(col("s_a"), col("s_b")))
-      .withColumn("dist", when(col("s_a") === col("s_b"), 0).otherwise(1))
-      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"), col("dist")).distinct()
+    // EXACT-CLASS CONTRACTION (the Dedup.tfidfCosineTopK pattern, same
+    // adaptive switch): deletion keys are pure functions of the STRING,
+    // so records with identical text are interchangeable in blocking
+    // and in the exact edit-1 check. On a duplication-heavy corpus the
+    // record-level key join is quadratic in class size — a string
+    // replicated 100× puts 100 identical rows in every one of its
+    // |s|+1 key buckets, 10,000× the pairs (measured: OOM at sf10 on
+    // the 8 GB heap) — while the class-level join is quadratic only in
+    // DISTINCT strings per bucket. The pair OUTPUT is still ∝ the
+    // naive result (intra-class pairs are part of the contract), but
+    // it streams through generators and joins — never a hash build.
+    // Both paths emit IDENTICAL rows; the oracle replays the naive
+    // quadratic definition.
+    val clsAgg = df.groupBy(s.as("__s"))
+      .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__cn"))
+      .localCheckpoint()
+    val massRow = clsAgg.agg(sum(col("__cn")).as("n"),
+      sum(col("__cn") * (col("__cn") - 1)).as("pm")).head()
+    val nTotal = Option(massRow.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val pairMass = Option(massRow.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L) / 2
+    if (pairMass <= nTotal / 10) {
+      // Native kernel emits the neighborhood as 60-bit HASHES: the join
+      // shuffles (id, long) rows, never variant strings, and an md5
+      // collision can only ADD a candidate the exact filter removes.
+      // Cached: the frame is both join sides (minhashCandidates shape).
+      val keyed = df.select(col(idCol), s,
+        explode(graft.expressions.TextSketchExpressions.deletionHash64(s, maxLen))
+          .as("__key")).cache()
+      val a = keyed.select(col("__key"), col(idCol).as("id_a"), s.as("s_a"))
+      val b = keyed.select(col("__key"), col(idCol).as("id_b"), s.as("s_b"))
+      a.join(b, Seq("__key"))
+        .filter(col("id_a") < col("id_b"))
+        // exact check BEFORE the dedup, via the O(n) bounded predicate
+        // (not the O(n²) allocating DP — this runs per candidate): the
+        // distinct then dedups only the ~4x smaller surviving set
+        .filter(graft.expressions.NormalizeExpressions.withinEdit1(col("s_a"), col("s_b")))
+        .withColumn("dist", when(col("s_a") === col("s_b"), 0).otherwise(1))
+        .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"), col("dist")).distinct()
+    } else {
+      // Contracted path. Every string emits at least its self-hash, so
+      // identical records ALWAYS pair in the naive form — intra-class
+      // expansion needs no key-existence guard, only the null guard
+      // (null text explodes to nothing and never pairs).
+      val members = df.select(col(idCol).as("__m"), s.as("__s"))
+        .join(clsAgg.select(col("__s"), col("__rep")), Seq("__s"))
+        .select(col("__m"), col("__rep"), col("__s"))
+        .localCheckpoint()
+      val reps = clsAgg.filter(col("__s").isNotNull)
+        .select(col("__rep"), col("__s"))
+      val keyed = reps.select(col("__rep"), col("__s"),
+        explode(graft.expressions.TextSketchExpressions
+          .deletionHash64(col("__s"), maxLen)).as("__key")).cache()
+      // class pairs: distinct strings within one edit (rep order is
+      // arbitrary but stable — dedup key)
+      val clsPairs = keyed.select(col("__key"), col("__rep").as("ra"), col("__s").as("ta"))
+        .join(keyed.select(col("__key"), col("__rep").as("rb"), col("__s").as("tb")),
+          Seq("__key"))
+        .filter(col("ra") < col("rb"))
+        .filter(graft.expressions.NormalizeExpressions.withinEdit1(col("ta"), col("tb")))
+        .select(col("ra"), col("rb"), col("ta"), col("tb")).distinct()
+        .localCheckpoint()
+      // cross-class member pairs: (min, max) id order decides which
+      // side's string is s_a, exactly as the record-level join would
+      val cross = clsPairs
+        .join(members.select(col("__rep").as("ra"), col("__m").as("ma")), Seq("ra"))
+        .join(members.select(col("__rep").as("rb"), col("__m").as("mb")), Seq("rb"))
+        .select(
+          least(col("ma"), col("mb")).as("id_a"),
+          greatest(col("ma"), col("mb")).as("id_b"),
+          when(col("ma") < col("mb"), col("ta")).otherwise(col("tb")).as("s_a"),
+          when(col("ma") < col("mb"), col("tb")).otherwise(col("ta")).as("s_b"),
+          lit(1).as("dist"))
+      // intra-class pairs: all ordered member pairs of ≥2-member
+      // classes, dist 0 (identical strings)
+      val mm = members.join(
+        clsAgg.filter(col("__cn") >= 2 && col("__s").isNotNull)
+          .select(col("__rep")), Seq("__rep"))
+      val intra = mm.select(col("__rep"), col("__m").as("ma"), col("__s"))
+        .join(mm.select(col("__rep"), col("__m").as("mb")), Seq("__rep"))
+        .filter(col("ma") < col("mb"))
+        .select(col("ma").as("id_a"), col("mb").as("id_b"),
+          col("__s").as("s_a"), col("__s").as("s_b"), lit(0).as("dist"))
+      cross.unionByName(intra)
+    }
   }
 }

@@ -484,9 +484,17 @@ object QText {
     // Asymmetric containment (quote/subset detection): directed pairs
     // where >= 9/10 of the contained doc's 3-gram shingles occur in
     // the container — the signal symmetric Jaccard misses when a short
-    // doc is quoted whole inside a long one.
+    // doc is quoted whole inside a long one. With the UBIQUITY CUT
+    // (shingles in > 20% of documents leave the inverted index; set
+    // sizes keep counting them, so containment is a LOWER BOUND — the
+    // operator's documented contract): without it the index join is
+    // ∝ Σ df² and the boilerplate/stopword buckets alone are ~10¹¹
+    // pairs at sf10 (measured OOM) — no real corpus runs exact
+    // containment over ubiquitous shingles. The oracle replays the cut
+    // exactly.
     "q_doc_containment" -> ((s, dir) => {
-      Dedup.containmentPairs(Tables(s, dir).documents, "text", "doc_id", 3, 9, 10)
+      Dedup.containmentPairs(Tables(s, dir).documents, "text", "doc_id", 3, 9, 10,
+        maxDocFreq = docCount(s, dir) / 5)
     }),
 
     // Candidate-generation RECALL for the LSH dedup family — the dedup
@@ -1692,8 +1700,11 @@ object QText {
                          CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS sh_h
                   FROM sh),
           sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+          rare AS (SELECT sh_h FROM shh GROUP BY sh_h
+                   HAVING count(*) <= (SELECT count(*) FROM documents) // 5),
+          shc AS (SELECT shh.doc_id, shh.sh_h FROM shh JOIN rare USING (sh_h)),
           inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-                    FROM shh a JOIN shh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+                    FROM shc a JOIN shc b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
                     GROUP BY 1, 2),
           ws AS (SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b
                  FROM inter

@@ -480,6 +480,39 @@ class OpsSpec extends SparkSpec {
       want.contains((1L, 3L, 1)) && want.contains((1L, 4L, 1)))
   }
 
+  test("FastSS contracted path (dup-heavy corpus) matches the naive quadratic form") {
+    import spark.implicits._
+    // 3 hot strings x 8 copies + 2 singletons: pair mass 3*28=84 >>
+    // n/10 = 2.6, so the exact-class contraction engages (the direct
+    // path covers the spec above; sf-data corpora never trip the
+    // switch, so this fixture is the contracted path's only gate).
+    val rows = (for {
+      (name, base) <- Seq(("kitten", 100L), ("mitten", 200L), ("kittes", 300L))
+      i <- 0 until 8
+    } yield (base + i, name)) ++ Seq((400L, "sitting"), (401L, "kitte"))
+    val df = rows.toDF("id", "name")
+    val got = graft.ops.Relational.fuzzyLinkageD1(df, "name", "id")
+      .select($"id_a", $"id_b", $"s_a", $"s_b", $"dist")
+      .as[(Long, Long, String, String, Int)].collect().toSet
+    val names = rows.toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- names.keys; b <- names.keys if a < b
+      dist = lev(names(a), names(b)) if dist <= 1
+    } yield (a, b, names(a), names(b), dist)).toSet
+    assert(got == want,
+      s"contracted path diverged: missing=${want -- got} extra=${got -- want}")
+    // both intra-class (dist 0) and cross-class (dist 1) mass present
+    assert(got.count(_._5 == 0) == 3 * 28 && got.exists(_._5 == 1))
+  }
+
   test("mergeIntervals: a long interval bridges rows lag alone would split") {
     // key 1: [0,100] swallows [10,20] and [30,40]; [90,110] touches the
     // running max (start <= 100) so it extends the SAME island even
