@@ -917,12 +917,13 @@ object Dedup {
     // re-hash + join materializes on a spare thread while the main
     // thread builds the candidate gate — independent job DAGs, same
     // deterministic frames, awaited where first used.
-    val membersF: Future[DataFrame] = if (!contract) null else Future {
-      df.select(col(idCol), sha2(col(textCol), 256).as("__h"))
-        .join(clsAgg.select(col("__h"), col("__rep")), Seq("__h"))
-        .select(col(idCol).as("__m"), col("__rep"))
-        .localCheckpoint()
-    }(scala.concurrent.ExecutionContext.global)
+    val membersF: Option[Future[DataFrame]] =
+      if (!contract) None else Some(Future {
+        df.select(col(idCol), sha2(col(textCol), 256).as("__h"))
+          .join(clsAgg.select(col("__h"), col("__rep")), Seq("__h"))
+          .select(col(idCol).as("__m"), col("__rep"))
+          .localCheckpoint()
+      }(scala.concurrent.ExecutionContext.global))
     val selfPairs = clsAgg.filter(col("__cn") >= 2)
       .select(col("__rep").as("id_a"), col("__rep").as("id_b"))
     val candBase = minhashCandidates(sig, idCol, seeds, 1)
@@ -992,6 +993,10 @@ object Dedup {
           expr("transform(__s, x -> x.wgt)")).as("vec"))
       .localCheckpoint() // one materialization: freezes tids, feeds both join sides
     lap("vecs")
+    // fail fast (ADVICE r11): if the background members job already
+    // died (e.g. executor OOM), surface it here instead of after all
+    // scoring work completes at the final Await
+    membersF.flatMap(_.value).foreach(_.get)
     // Map-side dot product per class pair through the NATIVE
     // [[graft.expressions.MapDotKernel.mapDotDecLong]] kernel: a
     // two-pointer merge over the sorted long key arrays; every product
@@ -1035,15 +1040,19 @@ object Dedup {
     // for the session — the same superseded-boundary discipline the
     // Graph and TrainingPrep iterators follow.
     if (contract) {
-      // the returned plan reads ONLY the scored + members checkpoints
-      // (bounded / doc-sized) — everything upstream of `scored` is
-      // already superseded, so it frees NOW and the expansion + top-k
-      // stay LAZY (the caller's action materializes them; no extra
-      // result write+read pass)
+      // AWAIT the background members job BEFORE freeing clsAgg's
+      // checkpoint blocks (ADVICE r11): the future's join reads those
+      // blocks and localCheckpoint truncated their lineage, so an
+      // unpersist racing a still-running members job is an
+      // unrecoverable 'checkpoint block not found'. members is itself
+      // checkpointed, so once it exists the upstream frames are safe
+      // to drop — the returned plan reads ONLY scored + members
+      // (bounded / doc-sized) and the expansion + top-k stay LAZY.
+      val members = Await.result(membersF.get, Duration.Inf)
       (cpBlocks(clsAgg) ++ cpBlocks(cand) ++ cpBlocks(dfreqT) ++
         cpBlocks(vecs)).foreach(_.unpersist(blocking = false))
       graft.plans.NativeOps.topKPerGroup(
-        expandClassPairs(scored, Await.result(membersF, Duration.Inf), k),
+        expandClassPairs(scored, members, k),
         Seq("id_b"),
         Seq(("cos", false), ("id_a", true)), k)
     } else {

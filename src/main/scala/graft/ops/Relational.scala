@@ -156,10 +156,20 @@ object Relational {
     val clsAgg = df.groupBy(s.as("__s"))
       .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__cn"))
       .localCheckpoint()
+    // pair mass EXCLUDES the null-text class (ADVICE r11): null text
+    // explodes to no deletion keys and never pairs, so counting its
+    // class would inflate the decision scalar on a null-heavy corpus
+    // and pay the class machinery for pairs that cannot exist. nTotal
+    // stays the full |df| (the contract threshold's denominator).
     val massRow = clsAgg.agg(sum(col("__cn")).as("n"),
-      sum(col("__cn") * (col("__cn") - 1)).as("pm")).head()
+      sum(when(col("__s").isNotNull,
+        col("__cn") * (col("__cn") - 1)).otherwise(lit(0L))).as("pm")).head()
     val nTotal = Option(massRow.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
     val pairMass = Option(massRow.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L) / 2
+    def cpBlocks(d: DataFrame) = Option(d).toSeq
+      .flatMap(_.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      })
     if (pairMass <= nTotal / 10) {
       // Native kernel emits the neighborhood as 60-bit HASHES: the join
       // shuffles (id, long) rows, never variant strings, and an md5
@@ -170,7 +180,7 @@ object Relational {
           .as("__key")).cache()
       val a = keyed.select(col("__key"), col(idCol).as("id_a"), s.as("s_a"))
       val b = keyed.select(col("__key"), col(idCol).as("id_b"), s.as("s_b"))
-      a.join(b, Seq("__key"))
+      val out = a.join(b, Seq("__key"))
         .filter(col("id_a") < col("id_b"))
         // exact check BEFORE the dedup, via the O(n) bounded predicate
         // (not the O(n²) allocating DP — this runs per candidate): the
@@ -178,6 +188,14 @@ object Relational {
         .filter(graft.expressions.NormalizeExpressions.withinEdit1(col("s_a"), col("s_b")))
         .withColumn("dist", when(col("s_a") === col("s_b"), 0).otherwise(1))
         .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"), col("dist")).distinct()
+        // the direct path runs only when pair mass is low, so the
+        // edit-1 result is candidate-bounded: materialize it once,
+        // then FREE the superseded keyed cache + clsAgg checkpoint
+        // (VERDICT r11 item 3 — no pinned blocks after the consumer)
+        .localCheckpoint()
+      keyed.unpersist(blocking = false)
+      cpBlocks(clsAgg).foreach(_.unpersist(blocking = false))
+      out
     } else {
       // Contracted path. Every string emits at least its self-hash, so
       // identical records ALWAYS pair in the naive form — intra-class
@@ -201,6 +219,16 @@ object Relational {
         .filter(graft.expressions.NormalizeExpressions.withinEdit1(col("ta"), col("tb")))
         .select(col("ra"), col("rb"), col("ta"), col("tb")).distinct()
         .localCheckpoint()
+      // ≥2-member class reps as a BOUNDED eager frame so the returned
+      // lazy plan never reads clsAgg — which lets clsAgg + keyed free
+      // HERE (VERDICT r11 item 3): the output itself (∝ naive pair
+      // count, ~10⁹ rows at sf10) streams lazily and is never pinned;
+      // the plan reads only the members (doc-sized) and clsPairs +
+      // bigReps (class-bounded) checkpoints.
+      val bigReps = clsAgg.filter(col("__cn") >= 2 && col("__s").isNotNull)
+        .select(col("__rep")).localCheckpoint()
+      keyed.unpersist(blocking = false)
+      cpBlocks(clsAgg).foreach(_.unpersist(blocking = false))
       // cross-class member pairs: (min, max) id order decides which
       // side's string is s_a, exactly as the record-level join would
       val cross = clsPairs
@@ -214,9 +242,7 @@ object Relational {
           lit(1).as("dist"))
       // intra-class pairs: all ordered member pairs of ≥2-member
       // classes, dist 0 (identical strings)
-      val mm = members.join(
-        clsAgg.filter(col("__cn") >= 2 && col("__s").isNotNull)
-          .select(col("__rep")), Seq("__rep"))
+      val mm = members.join(bigReps, Seq("__rep"))
       val intra = mm.select(col("__rep"), col("__m").as("ma"), col("__s"))
         .join(mm.select(col("__rep"), col("__m").as("mb")), Seq("__rep"))
         .filter(col("ma") < col("mb"))

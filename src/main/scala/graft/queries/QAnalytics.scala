@@ -1145,22 +1145,33 @@ object QAnalytics {
     }),
 
     // Grid-bucketed spatial nearest-neighbor: deterministic md5
-    // coordinates, candidates restricted to the customer's 30-degree
-    // cell plus its 8 neighbors (supplier side exploded 9x — the SMALL
-    // side pays the fan-out), haversine residual, min-struct top-1.
-    // The scalable spatial-join shape: candidates per cell, never
-    // customers x suppliers. Nearest-beyond-neighborhood and antimeridian
-    // wrap are out of scope by construction (documented).
+    // coordinates, candidates restricted to the customer's cell plus
+    // its 8 neighbors (supplier side exploded 9x — the SMALL side pays
+    // the fan-out), haversine residual, min-struct top-1.
+    // DENSITY-DERIVED grid (VERDICT r11 item 2): the cell is sized so
+    // it holds ~8 expected suppliers — cell = min(30°, √(64800·8/nS))
+    // over the 180°×360° degree rectangle — so each customer sees a
+    // BOUNDED ~72 candidates at every scale and total candidate pairs
+    // grow ∝ customers, never (N/cells)²·cells as the fixed 30° demo
+    // grid did (83 s at sf10, dense blocks at 100×). The oracle
+    // recomputes the same cell from count(*): both engines evaluate
+    // only correctly-rounded IEEE ops (divide, sqrt, least), so the
+    // grid ids are in bit-exact lockstep. The scalable spatial-join
+    // shape: candidates per cell, never customers x suppliers.
+    // Nearest-beyond-neighborhood and antimeridian wrap are out of
+    // scope by construction (documented).
     "q_geo_grid_join" -> ((s, dir) => {
       def u(c: Column, salt: String) =
         (conv(substring(md5(concat(lit(salt), c.cast("string"))), 1, 8), 16, 10)
           .cast("long").cast("double") + 0.5) / 4294967296.0
       val t = Tables(s, dir)
+      val cell = math.min(30.0,
+        math.sqrt(2073600.0 / t.supplier.count().toDouble))
       val cust = t.customer.select(col("c_custkey"),
           (lit(-90.0) + lit(180.0) * u(col("c_custkey"), "la")).as("clat"),
           (lit(-180.0) + lit(360.0) * u(col("c_custkey"), "lo")).as("clon"))
-        .withColumn("cx", floor(col("clat") / 30).cast("int"))
-        .withColumn("cy", floor(col("clon") / 30).cast("int"))
+        .withColumn("cx", floor(col("clat") / cell).cast("int"))
+        .withColumn("cy", floor(col("clon") / cell).cast("int"))
       val supp = t.supplier.select(col("s_suppkey"),
         (lit(-90.0) + lit(180.0) * u(col("s_suppkey"), "sa")).as("slat"),
         (lit(-180.0) + lit(360.0) * u(col("s_suppkey"), "so")).as("slon"))
@@ -1168,8 +1179,8 @@ object QAnalytics {
         .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
         .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
         .select(col("s_suppkey"), col("slat"), col("slon"),
-          (floor(col("slat") / 30) + col("dx")).cast("int").as("cx"),
-          (floor(col("slon") / 30) + col("dy")).cast("int").as("cy"))
+          (floor(col("slat") / cell) + col("dx")).cast("int").as("cx"),
+          (floor(col("slon") / cell) + col("dy")).cast("int").as("cy"))
       val a = pow(sin((radians(col("slat")) - radians(col("clat"))) / 2), 2) +
         cos(radians(col("clat"))) * cos(radians(col("slat"))) *
           pow(sin((radians(col("slon")) - radians(col("clon"))) / 2), 2)
@@ -1784,11 +1795,22 @@ object QAnalytics {
         .withColumn("jw", jw).filter(col("jw") >= 0.9)
         .select(col("id_a"), col("id_b"))
       val cc = graft.ops.Dedup.connectedComponents(clsEdges, "id_a", "id_b")
-      recs.join(cls, Seq("name", "nk", "blk"))
+      // materialize the record-sized result once, then FREE the
+      // superseded class + CC label checkpoints (VERDICT r11 item 3 —
+      // the same boundary discipline Dedup/Graph follow; a sweep
+      // otherwise pins these blocks for the whole session)
+      val out = recs.join(cls, Seq("name", "nk", "blk"))
         .join(cc.withColumnRenamed("node", "rep"), Seq("rep"), "left")
         .filter(col("cluster_id").isNotNull || col("cn") >= 2)
         .select(col("key").as("record_key"),
           coalesce(col("cluster_id"), col("rep")).as("canonical_key"))
+        .localCheckpoint()
+      def cpBlocks(d: org.apache.spark.sql.DataFrame) =
+        d.queryExecution.analyzed.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }
+      (cpBlocks(cls) ++ cpBlocks(cc)).foreach(_.unpersist(blocking = false))
+      out
     }),
 
     "q_record_linkage" -> ((s, dir) => {
@@ -2543,22 +2565,24 @@ object QAnalytics {
                FROM pairs)
          WHERE sim >= 0.9""",
     "q_geo_grid_join" ->
-      """WITH cust AS (SELECT c_custkey,
+      """WITH params AS (SELECT least(30.0, sqrt(2073600.0 / CAST(count(*) AS DOUBLE))) AS cell
+                         FROM supplier),
+          cust AS (SELECT c_custkey,
                              -90.0 + 180.0 * ((CAST(CAST('0x' || substr(md5('la' || CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0) AS clat,
                              -180.0 + 360.0 * ((CAST(CAST('0x' || substr(md5('lo' || CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0) AS clon
                       FROM customer),
           cc AS (SELECT c_custkey, clat, clon,
-                        CAST(floor(clat / 30) AS INT) AS cx,
-                        CAST(floor(clon / 30) AS INT) AS cy
-                 FROM cust),
+                        CAST(floor(clat / cell) AS INT) AS cx,
+                        CAST(floor(clon / cell) AS INT) AS cy
+                 FROM cust, params),
           supp AS (SELECT s_suppkey,
                           -90.0 + 180.0 * ((CAST(CAST('0x' || substr(md5('sa' || CAST(s_suppkey AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0) AS slat,
                           -180.0 + 360.0 * ((CAST(CAST('0x' || substr(md5('so' || CAST(s_suppkey AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0) AS slon
                    FROM supplier),
           nbr AS (SELECT s_suppkey, slat, slon,
-                         CAST(floor(slat / 30) + dx.v AS INT) AS cx,
-                         CAST(floor(slon / 30) + dy.v AS INT) AS cy
-                  FROM supp,
+                         CAST(floor(slat / cell) + dx.v AS INT) AS cx,
+                         CAST(floor(slon / cell) + dy.v AS INT) AS cy
+                  FROM supp, params,
                        (VALUES (-1), (0), (1)) dx(v),
                        (VALUES (-1), (0), (1)) dy(v)),
           cand AS (SELECT c_custkey, s_suppkey,

@@ -14,6 +14,26 @@ object QAsOf {
   private def dDot(a: String, b: String) =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
+  /** √N IVF sizing (VERDICT r11 item 1): k = ceil(sqrt(N)) centroids,
+    * so buckets average √N vectors and total per-bucket pairs stay
+    * O(N^1.5) — the fixed 8-centroid demo gate made them (N/8)²,
+    * quadratic at 100×. The k-th-smallest-ids centroid pick and the
+    * ceil(sqrt(count)) rule are replayed verbatim by the oracle (both
+    * engines compute IEEE-double sqrt of the same integer, so k is in
+    * lockstep). count() on parquet resolves from footer metadata —
+    * no data scan. SemanticScaleSpec pins the O(N^1.5) pair bound.
+    */
+  private def sqrtCentroids(emb: DataFrame): DataFrame = {
+    val k = math.ceil(math.sqrt(emb.count().toDouble)).toLong
+    emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+  }
+
+  /** The oracle-side twin of [[sqrtCentroids]]. */
+  private val cSql =
+    "SELECT vec_id AS cid, embedding AS cvec FROM embeddings " +
+      "WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)"
+
   val queries: Map[String, Q] = Map(
     // As-of backward join: each click matched to the user's most recent
     // purchase at-or-before it. Union-merge plan: one shuffle of L+R.
@@ -63,8 +83,7 @@ object QAsOf {
     "q_embed_neardup" -> ((s, dir) => {
       graft.expressions.VectorExpressions.register(s)
       val emb = Tables(s, dir).embeddings
-      val centroids = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val centroids = sqrtCentroids(emb)
       val assigned = Similarity.ivfAssign(emb.select(col("vec_id"), col("embedding")),
         "embedding", "vec_id", centroids, "cvec", "cid")
         .select(col("vec_id"), col("cluster_id"))
@@ -88,8 +107,7 @@ object QAsOf {
     "q_semantic_clusters" -> ((s, dir) => {
       graft.expressions.VectorExpressions.register(s)
       val emb = Tables(s, dir).embeddings
-      val centroids = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val centroids = sqrtCentroids(emb)
       val assigned = Similarity.ivfAssign(emb.select(col("vec_id"), col("embedding")),
         "embedding", "vec_id", centroids, "cvec", "cid")
         .select(col("vec_id"), col("cluster_id"))
@@ -113,8 +131,7 @@ object QAsOf {
     // corpus ids — what a production pipeline joins back on to delete.
     "q_semantic_dedup" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
-      val centroids = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val centroids = sqrtCentroids(emb)
       Similarity.semanticDedup(emb.select(col("vec_id"), col("embedding")),
         "embedding", "vec_id", centroids, "cvec", "cid", tau = 0.3)
     })
@@ -145,7 +162,7 @@ object QAsOf {
            ORDER BY abs(epoch_us(pp.ts) - epoch_us(c.ts)) ASC, pp.ts ASC, pp.event_id ASC
            LIMIT 1) p ON true""",
     "q_embed_neardup" ->
-      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+      s"""WITH c AS ($cSql),
           dists AS (
             SELECT e.vec_id, e.embedding, c.cid,
                    list_sum(list_transform(range(1, len(e.embedding) + 1),
@@ -169,7 +186,7 @@ object QAsOf {
               ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
           SELECT cluster_id, id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3""",
     "q_semantic_clusters" ->
-      s"""WITH RECURSIVE c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+      s"""WITH RECURSIVE c AS ($cSql),
           dists AS (
             SELECT e.vec_id, e.embedding, c.cid,
                    list_sum(list_transform(range(1, len(e.embedding) + 1),
@@ -199,7 +216,7 @@ object QAsOf {
             SELECT e.dst, r.label FROM edges e JOIN reach r ON r.node = e.src)
           SELECT node AS vec_id, min(label) AS cluster_id FROM reach GROUP BY node""",
     "q_semantic_dedup" ->
-      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+      s"""WITH c AS ($cSql),
           dists AS (
             SELECT e.vec_id, e.embedding, c.cid,
                    list_sum(list_transform(range(1, len(e.embedding) + 1),

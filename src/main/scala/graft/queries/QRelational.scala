@@ -233,6 +233,46 @@ object QRelational {
       Relational.fuzzyLinkageD1(
         Tables(s, dir).customer.select(col("c_custkey"), col("c_name")),
         "c_name", "c_custkey")
+    }),
+
+    // C-ext — BOUNDED fuzzy-join contract (VERDICT r11 item 4): the
+    // full q_fuzzy_join_d1 answer is inherently output-quadratic in
+    // duplication (~10⁹ rows at sf10 — the naive oracle's 675M-pair
+    // Jaro cross is intractable to replay), so the sf10 ledger
+    // adjudicates THIS sibling: exact-class masses computed entirely
+    // at class level — n_classes, intra-class (dist-0) pair mass
+    // Σ cn·(cn−1)/2, and cross-class (dist-1) mass Σ cnₐ·cn_b over
+    // distinct-name pairs within one edit, found via the same FastSS
+    // deletion-hash blocking as the full join. Work ∝ distinct names,
+    // never records² — the DuckDB replay is a class-level join.
+    "q_fuzzy_join_d1_mass" -> ((s, dir) => {
+      val cls = Tables(s, dir).customer
+        .filter(col("c_name").isNotNull)
+        .groupBy(col("c_name").as("__s")).agg(count(lit(1)).as("cn"))
+        .localCheckpoint() // two consumers: scalar agg + keyed self-join
+      val keyed = cls.select(col("__s"), col("cn"),
+        explode(graft.expressions.TextSketchExpressions
+          .deletionHash64(col("__s"), 512)).as("__key"))
+      val d1 = keyed
+        .select(col("__key"), col("__s").as("s_a"), col("cn").as("cn_a"))
+        .join(keyed.select(col("__key"), col("__s").as("s_b"),
+          col("cn").as("cn_b")), Seq("__key"))
+        .filter(col("s_a") < col("s_b")) // distinct strings => dist exactly 1
+        .filter(graft.expressions.NormalizeExpressions
+          .withinEdit1(col("s_a"), col("s_b")))
+        .select(col("s_a"), col("s_b"), col("cn_a"), col("cn_b")).distinct()
+        .agg(coalesce(sum(col("cn_a") * col("cn_b")), lit(0L)).as("d1m"))
+      val d0 = cls.agg(count(lit(1)).as("n_classes"),
+        (sum(col("cn") * (col("cn") - 1)) / 2).cast("long").as("n_pairs_d0"))
+      // one-row result: materialize, then free the class checkpoint
+      val out = d0.crossJoin(d1)
+        .select(col("n_classes"), col("n_pairs_d0"),
+          col("d1m").cast("long").as("n_pairs_d1"))
+        .localCheckpoint()
+      cls.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(blocking = false))
+      out
     })
   )
 
@@ -336,6 +376,15 @@ object QRelational {
                 a.c_name AS s_a, b.c_name AS s_b,
                 levenshtein(a.c_name, b.c_name) AS dist
          FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-         WHERE levenshtein(a.c_name, b.c_name) <= 1"""
+         WHERE levenshtein(a.c_name, b.c_name) <= 1""",
+    "q_fuzzy_join_d1_mass" ->
+      """WITH cls AS (SELECT c_name AS s, count(*) AS cn FROM customer
+                      WHERE c_name IS NOT NULL GROUP BY 1),
+          d1 AS (SELECT CAST(COALESCE(sum(a.cn * b.cn), 0) AS BIGINT) AS m
+                 FROM cls a JOIN cls b
+                   ON a.s < b.s AND levenshtein(a.s, b.s) = 1)
+         SELECT (SELECT count(*) FROM cls) AS n_classes,
+                (SELECT CAST(sum(cn * (cn - 1)) // 2 AS BIGINT) FROM cls) AS n_pairs_d0,
+                (SELECT m FROM d1) AS n_pairs_d1"""
   )
 }

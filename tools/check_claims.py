@@ -22,7 +22,7 @@ wherever they appear).
 Usage: python3 tools/check_claims.py   (from the repo root)
 Dev harness only — not part of the library.
 """
-import glob, json, os, re, sys
+import glob, json, os, re, statistics, sys
 
 fails = []
 
@@ -104,6 +104,63 @@ for m in re.finditer(r"sf(\d+(?:\.\d+)?)\s+(?:oracle\s+)?ledger[^|\n]*?(\d+)/(\d
              f"{len(passed)} PASS/OMIT of {len(adjudicated)} rows over a "
              f"{len(scoped)}-query scope"
              + (f"; UNADJUDICATED: {sorted(un)}" if un else ""))
+
+# ---- 4. BASELINE.md sweep totals / medians vs committed bench artifacts -
+# (VERDICT r11 item 7) Every sweep-shaped claim "NNN.N s / NNN" or
+# "median 0.NNN" inside a section that cites a bench artifact must match
+# SOME committed artifact's recomputed numbers — hand-transcription is
+# allowed to round, not to drift.
+if os.path.exists("BASELINE.md"):
+    btxt = open("BASELINE.md").read()
+    arts = {}
+    for p in glob.glob("bench/bench_full_r*.json") + glob.glob("BENCH_r*.json"):
+        try:
+            d = json.load(open(p))
+        except Exception:
+            continue
+        qs = d.get("queries") or {}
+        if qs:
+            arts[p] = (round(sum(qs.values()), 1), len(qs),
+                       round(statistics.median(qs.values()), 3))
+    for sec in re.split(r"\n(?=#{2,3} )", btxt):
+        if not re.search(r"bench/bench_full_r\d+\.json|BENCH_r\d+\.json", sec):
+            continue
+        for m in re.finditer(r"(\d{2,4}\.\d)\s*s\s*/\s*(\d{3})\b", sec):
+            tot, nq = float(m.group(1)), int(m.group(2))
+            # claims about sweeps whose artifact was never committed
+            # (no artifact has that query count) are historical prose —
+            # out of scope; a count matching a committed artifact makes
+            # the claim checkable and it must then match one
+            if not any(a[1] == nq for a in arts.values()):
+                continue
+            if not any(abs(a[0] - tot) <= 0.15 and a[1] == nq
+                       for a in arts.values()):
+                fail(f"BASELINE sweep claim '{m.group(0)}' matches no committed "
+                     f"bench artifact (have: {sorted(set(arts.values()))})")
+        for m in re.finditer(r"median\s+(0\.\d{3})\b", sec):
+            md = float(m.group(1))
+            if not any(abs(a[2] - md) <= 0.002 for a in arts.values()):
+                fail(f"BASELINE median claim '{m.group(0)}' matches no committed "
+                     f"bench artifact")
+    # ledger claims that NAME an sfN_check artifact: "A/B PASS (`path`)"
+    for m in re.finditer(
+            r"(\d+)/(\d+)\s+(?:PASS|ADJUDICATED)\s*\(`(bench/sf[\d.]+_check_r\d+\.txt)`\)",
+            btxt):
+        a, b, path = int(m.group(1)), int(m.group(2)), m.group(3)
+        if not os.path.exists(path):
+            fail(f"BASELINE names missing ledger artifact {path}")
+            continue
+        txt = open(path).read()
+        adjud, passed = set(), set()
+        for line in txt.splitlines():
+            mm = re.match(r"(q_\w+)\s+(PASS|FAIL|OMIT|ORACLE-TIMEOUT)", line)
+            if mm:
+                adjud.add(mm.group(1))
+                if mm.group(2) in ("PASS", "OMIT"):
+                    passed.add(mm.group(1))
+        if (a, b) != (len(passed), len(adjud)):
+            fail(f"BASELINE claims {a}/{b} for {path}; artifact has "
+                 f"{len(passed)} PASS/OMIT of {len(adjud)} adjudicated")
 
 if fails:
     print(f"\n{len(fails)} claim(s) contradict their artifacts")

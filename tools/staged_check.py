@@ -45,10 +45,20 @@ def split_ctes(sql):
         j = i + m.end()  # position just past the opening paren
         depth, q = 1, None
         while depth > 0:
+            if j >= len(s):  # truncated SQL: loud failure, not IndexError
+                raise ValueError(f"unbalanced parens scanning CTE {name!r}")
             c = s[j]
             if q:
                 if c == q:
                     q = None
+            elif s[j:j + 2] == "--":  # line comment: parens inside don't count
+                nl = s.find("\n", j)
+                j = len(s) if nl < 0 else nl
+            elif s[j:j + 2] == "/*":  # block comment likewise
+                end = s.find("*/", j + 2)
+                if end < 0:
+                    raise ValueError(f"unterminated /* comment in CTE {name!r}")
+                j = end + 1
             elif c in ("'", '"'):
                 q = c
             elif c == "(":
