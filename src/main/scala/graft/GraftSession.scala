@@ -30,6 +30,14 @@ object GraftSession {
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     .config("spark.sql.adaptive.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Janino class cache sized for a many-query session (static conf,
+    // so it must land on the FIRST session of the JVM). The 100-entry
+    // default thrashes across a 333-query sweep: PlanSplit measured
+    // 4,555 whole-stage compiles ≈ 44 s of the sweep; at 5,000 entries
+    // the same-window A/B sweep dropped 314.5 → 297.9 s (median 0.537
+    // → 0.469). Semantics-free — it caches compiled classes keyed by
+    // generated source.
+    .config("spark.sql.codegen.cache.maxEntries", "5000")
     // Propagate bucketed-scan SORT ORDER (off by default since
     // SPARK-32859): our bucketed stages write exactly one sorted file
     // per bucket, so with this on a bucket-key SMJ needs neither an

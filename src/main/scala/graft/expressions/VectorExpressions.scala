@@ -300,11 +300,71 @@ case class MapDotDecimal(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static kernel behind [[SortedIntersectCount]]. */
+object SortedIntersectKernel {
+  /** |A ∩ B| of two ASCENDING-sorted distinct long arrays by a
+    * branch-predictable two-pointer merge — the set-overlap hot loop
+    * of the similarity-join verification stage. `array_intersect` +
+    * `size` builds a hash set and materializes the intersection ARRAY
+    * per pair (measured: 17 s of q_prefix_jaccard's 19.6 s sf10
+    * verification stage at 31M candidate pairs); this counts in place,
+    * zero allocation. Callers sort per document ONCE (`sort_array`),
+    * never per pair.
+    */
+  def count(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { n += 1; i += 1; j += 1 }
+    }
+    n
+  }
+}
+
+/** `graft_sorted_inter(array<bigint>, array<bigint>)` → bigint:
+  * intersection size of two sorted distinct long arrays (see
+  * [[SortedIntersectKernel.count]]). Equal to
+  * `size(array_intersect(a, b))` on distinct inputs when both arrays
+  * are sorted ascending — the caller's contract.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = VectorExpressions.sortedInterName
+
+  private def okType(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && okType(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectKernel.count(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.SortedIntersectKernel.count($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   val dotName = "graft_dot"
   val l2Name = "graft_l2sq"
   val mapDotName = "graft_map_dot_dec"
   val mapDotLongName = "graft_larr_dot_dec"
+  val sortedInterName = "graft_sorted_inter"
 
   private val dotBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2, s"$dotName expects 2 arguments")
@@ -326,6 +386,11 @@ object VectorExpressions {
     MapDotDecimalLong(exprs.head, exprs(1))
   }
 
+  private[expressions] val sortedInterBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"$sortedInterName expects 2 arguments")
+    SortedIntersectCount(exprs.head, exprs(1))
+  }
+
   /** Imperative per-session registration (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
@@ -336,6 +401,8 @@ object VectorExpressions {
       .createOrReplaceTempFunction(mapDotName, mapDotBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(mapDotLongName, mapDotLongBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(sortedInterName, sortedInterBuilder, "built-in")
   }
 
   /** Column-API access; requires [[register]] (or the extensions) first. */
@@ -343,6 +410,8 @@ object VectorExpressions {
   def l2sq(a: Column, b: Column): Column = call_function(l2Name, a, b)
   def mapDotDec(a: Column, b: Column): Column = call_function(mapDotName, a, b)
   def mapDotDecLong(a: Column, b: Column): Column = call_function(mapDotLongName, a, b)
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    call_function(sortedInterName, a, b)
 }
 
 /** `SparkSessionExtensions` hook: injects the native functions at
@@ -363,6 +432,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier(VectorExpressions.mapDotLongName),
       new ExpressionInfo(classOf[MapDotDecimalLong].getName, VectorExpressions.mapDotLongName),
       VectorExpressions.mapDotLongBuilder))
+    e.injectFunction((FunctionIdentifier(VectorExpressions.sortedInterName),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, VectorExpressions.sortedInterName),
+      VectorExpressions.sortedInterBuilder))
     e.injectFunction((FunctionIdentifier(TextSketchExpressions.shingleName),
       new ExpressionInfo(classOf[ShingleHash64].getName, TextSketchExpressions.shingleName),
       TextSketchExpressions.shingleBuilder))

@@ -536,6 +536,12 @@ object QAnalytics {
     // Market-basket association on order brand-sets: pair support and
     // lift. The self-join is per-order (baskets are bounded), pair
     // counts shuffle on the pair key — never an all-pairs cartesian.
+    // NEGATIVE RESULT (VERDICT r11 item 5, recorded in BASELINE): a
+    // per-order collect_list basket fold + pair lambda — ONE pass over
+    // the item frame instead of the self-join's two references — was
+    // measured 1.9× SLOWER at sf10 (34–44 s vs 18.6–20.7): the
+    // planner already reuses the items exchange for both join sides,
+    // and the array fold adds a full 24M-row groupBy materialization.
     "q_basket_lift" -> ((s, dir) => {
       val t = Tables(s, dir)
       val items = t.lineitem.join(t.part, col("l_partkey") === col("p_partkey"))

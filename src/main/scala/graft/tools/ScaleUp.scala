@@ -27,14 +27,17 @@ import org.apache.spark.sql.functions._
   * ties break on id); events/orders/lineitem/customer/supplier/part
   * shift keys only; region/nation stay the shared dims.
   *
-  * Usage: tools/run.sh graft.tools.ScaleUp [srcDir] [outDir] [copies]
+  * Usage: tools/run.sh graft.tools.ScaleUp [srcDir] [outDir] [copies] [stride]
+  * `stride` must exceed the source's key space — the 10M default fits
+  * the driver-generated SFs; re-scaling an already-scaled dir (e.g.
+  * sf10 → sf100) needs one past ITS shifted keys (e.g. 10^10).
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("target/testdata/sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
-    val stride = 10000000L
+    val stride = args.lift(3).map(_.toLong).getOrElse(10000000L)
     val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
     def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
@@ -62,9 +65,13 @@ object ScaleUp {
     shifted("documents", Seq("doc_id"), (d, k) =>
       if (k == 0) d
       else {
+        // "_" separator keeps tags unambiguous under RECURSIVE scaling
+        // (sf10 → sf100): bare digit suffixes collide across levels
+        // ("word"+7 then +3 == "word"+73), silently making two shards
+        // exact duplicates of each other.
         val tagged = array_join(transform(split(col("text"), " "),
           w => when(w.isin(stop: _*), w)
-            .otherwise(concat(w, lit(k.toString)))), " ")
+            .otherwise(concat(w, lit("_" + k)))), " ")
         d.withColumn("text", tagged)
           .withColumn("n_chars",
             length(col("text")).cast(d.schema("n_chars").dataType))

@@ -244,6 +244,31 @@ class DedupSpec extends SparkSpec {
       "internal .cache() frames must be unpersisted after materialization")
   }
 
+  test("simhashPairs generalized pigeonhole == naive all-pairs (blocking complete)") {
+    // 60 deterministic mutations of one base doc plant fingerprints at
+    // every small hamming distance; the 2(r+1)-block combination
+    // blocking must reproduce the naive all-pairs result EXACTLY —
+    // including each pair appearing ONCE (the canonical-witness filter
+    // replaced the distinct).
+    val docs = (1L to 60L).map { i =>
+      val words = base.split(" ")
+      val mutated = words.updated((i % words.length).toInt, s"w$i")
+        .updated(((i * 7) % words.length).toInt, s"x${i % 5}")
+      (i, mutated.mkString(" "))
+    }.toDF("doc_id", "text")
+    val fp = docs.select($"doc_id", Dedup.simhash($"text", 32).as("h"))
+      .as[(Long, Long)].collect()
+    val naive = (for {
+      (ia, ha) <- fp; (ib, hb) <- fp
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib, java.lang.Long.bitCount(ha ^ hb).toLong)).toSeq
+    val got = Dedup.simhashPairs(docs, "text", "doc_id", 32, 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.sorted == naive.sorted,
+      s"blocked=${got.size} rows vs naive=${naive.size}")
+    assert(got.size == got.distinct.size, "pair emitted more than once")
+  }
+
   test("simhash: near-dups within small hamming distance, unrelated far") {
     val fp = corpus.select($"doc_id", Dedup.simhash($"text", 16).as("h"))
       .as[(Long, Long)].collect().toMap

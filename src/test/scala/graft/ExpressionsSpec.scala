@@ -173,4 +173,25 @@ class ExpressionsSpec extends SparkSpec {
     assert(sentinel == Double.NegativeInfinity)
     assert(!(sentinel >= 0.5) && sentinel < 0.0)
   }
+
+  test("graft_sorted_inter == size(array_intersect) on sorted distinct arrays") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map { i =>
+      val a = (0 until rnd.nextInt(40)).map(_ => rnd.nextInt(60).toLong)
+        .distinct.sorted.toArray
+      val b = (0 until rnd.nextInt(40)).map(_ => rnd.nextInt(60).toLong)
+        .distinct.sorted.toArray
+      (i.toLong, a, b)
+    } :+ ((0L, Array.empty[Long], Array(1L, 2L)))
+    val got = rows.toDF("id", "a", "b")
+      .select($"id",
+        graft.expressions.VectorExpressions.sortedIntersectCount($"a", $"b").as("k"),
+        size(array_intersect($"a", $"b")).cast("long").as("ref"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (id, k, ref) =>
+      assert(k == ref, s"row $id: kernel $k != array_intersect $ref")
+    }
+  }
 }
