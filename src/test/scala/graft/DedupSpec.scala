@@ -152,6 +152,30 @@ class DedupSpec extends SparkSpec {
     assert(after.isEmpty)
   }
 
+  test("batch candidates vs persisted index == full self-join filtered to batch") {
+    // old corpus: base + near-dup + unrelated; batch: exact dup of
+    // base (7), near-dup (8), novel (9) — plus an intra-batch pair.
+    val old = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val batch = Seq((7L, base), (8L, nearDup), (9L, base + " novel tail"))
+      .toDF("doc_id", "text")
+    val path = tmpDir("batch-cand-index")
+    Dedup.writeSignatureIndex(
+      Dedup.minhashSignature(old, "text", "doc_id", 8), "doc_id", 8, 1, path)
+    val got = Dedup.batchCandidatesVsBands(
+      Dedup.minhashSignature(batch, "text", "doc_id", 8),
+      spark.read.parquet(path), "doc_id", 8, 1)
+      .as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashCandidates(
+      Dedup.minhashSignature(old.unionAll(batch), "text", "doc_id", 8),
+      "doc_id", 8, 1)
+      .filter(col("id_a") >= 7 || col("id_b") >= 7)
+      .as[(Long, Long)].collect().toSet
+    assert(got == full)
+    assert(got.contains((1L, 7L))) // new–old via the index probe
+    assert(got.contains((7L, 8L)) || got.contains((7L, 9L))) // intra-batch
+  }
+
   test("ngram jaccard: identical=1.0, near-dup high, unrelated filtered out") {
     val got = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 1, 5)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
