@@ -10,6 +10,16 @@ import org.apache.spark.sql.types.DecimalType
 class OpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Tables memo: same analyzed frame per (session, dir, table); dirs distinct") {
+    val dir = "/root/testdata/sf0.001"
+    val a = Tables(spark, dir).lineitem
+    val b = Tables(spark, dir).lineitem
+    assert(a eq b) // one listing + footer read + analysis per session
+    val c = Tables(spark, "/root/testdata/sf0.01").lineitem
+    assert(!(a eq c)) // memo keys on the data dir, not just the table
+    assert(a.count() > 0)
+  }
+
   test("D1: parenthesized description extraction (PROC:156 semantics)") {
     val df = Seq("eth0: uplink (WAN Link) active", "no parens here", "(x)").toDF("name")
     val got = df.select(Scalars.extractParenthesized($"name")).as[String].collect()
