@@ -21,7 +21,7 @@ object QAsOf {
     * ceil(sqrt(count)) rule are replayed verbatim by the oracle (both
     * engines compute IEEE-double sqrt of the same integer, so k is in
     * lockstep). count() on parquet resolves from footer metadata —
-    * no data scan. SemanticScaleSpec pins the O(N^1.5) pair bound.
+    * no data scan. PlanShapeSpec pins the O(N^1.5) pair bound.
     */
   private def sqrtCentroids(emb: DataFrame): DataFrame = {
     val k = math.ceil(math.sqrt(emb.count().toDouble)).toLong
