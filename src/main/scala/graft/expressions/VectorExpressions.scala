@@ -359,12 +359,126 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid argmin over a FIXED centroid set held as a plain
+  * JVM reference object — the IVF-assignment next-decade road (VERDICT
+  * r12 item 4). The previous form inlined the k×d centroid set as a
+  * `typedlit` literal: correct and map-only, but the literal is part of
+  * the expression tree, so the PLAN grows O(k·d) (treeString, codegen
+  * source, per-stage serialization all carry it) and every row churns
+  * k struct allocations through `array_min(transform(...))`. Here the
+  * centroids live in two arrays referenced via
+  * `ctx.addReferenceObj` — shipped ONCE per stage inside the
+  * torrent-broadcast task binary (Spark's own `InSet` treatment, i.e.
+  * broadcast-in-everything-but-name), never in the plan text — and the
+  * argmin is one tight primitive loop with zero allocation.
+  *
+  * Semantics are BYTE-IDENTICAL to
+  * `array_min(transform(typedlit(cents), c -> struct(l2sq(vec, c._2),
+  * c._1)))`: the same sequential `(double)a_i − (double)b_i` squared
+  * fold as [[FloatVectorL2Sq]] (so DuckDB-oracle parity carries over),
+  * and the same (dist2 asc, cid asc) tie-break — centroids are
+  * iterated in ascending-cid order with a strict `<`, so the lowest
+  * cid wins ties exactly like struct min-ordering. Parity is pinned in
+  * ExpressionsSpec against the literal composition.
+  *
+  * Constructor invariant (enforced by the builder): `cids` ascending,
+  * `cids.length == vecs.length > 0`.
+  */
+case class CentroidArgminL2(child: Expression,
+    cids: Array[Long], vecs: Array[Array[Float]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dist2", DoubleType, nullable = false),
+    StructField("cid", LongType, nullable = false)))
+  override def prettyName: String = VectorExpressions.centroidArgminName
+
+  private def okType(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> input, got " +
+        child.dataType.simpleString)
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // keep the k×d payload out of plan strings — k and d tell the reader
+  // everything the treeString needs
+  override def flatArguments: Iterator[Any] =
+    Iterator(child, s"k=${cids.length}", s"d=${vecs.headOption.map(_.length).getOrElse(0)}")
+  override def stringArgs: Iterator[Any] = flatArguments
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val xf = isFloat
+    var best = Double.PositiveInfinity
+    var bestCid = 0L
+    var c = 0
+    while (c < vecs.length) {
+      val cv = vecs(c)
+      val n = math.min(x.numElements(), cv.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+        val d = xv - cv(i).toDouble
+        acc += d * d
+        i += 1
+      }
+      if (acc < best) { best = acc; bestCid = cids(c) }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best, bestCid))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cidsRef = ctx.addReferenceObj("argminCids", cids, "long[]")
+      val vecsRef = ctx.addReferenceObj("argminVecs", vecs, "float[][]")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val cv = ctx.freshName("cv")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val best = ctx.freshName("best")
+      val bestCid = ctx.freshName("bestCid")
+      val get = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |double $best = Double.POSITIVE_INFINITY;
+         |long $bestCid = 0L;
+         |for (int $c = 0; $c < $vecsRef.length; $c++) {
+         |  float[] $cv = $vecsRef[$c];
+         |  int $n = java.lang.Math.min($a.numElements(), $cv.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = ($get) - (double) $cv[$i];
+         |    $acc += $d * $d;
+         |  }
+         |  if ($acc < $best) { $best = $acc; $bestCid = $cidsRef[$c]; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{java.lang.Double.valueOf($best), java.lang.Long.valueOf($bestCid)});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   val dotName = "graft_dot"
   val l2Name = "graft_l2sq"
   val mapDotName = "graft_map_dot_dec"
   val mapDotLongName = "graft_larr_dot_dec"
   val sortedInterName = "graft_sorted_inter"
+  val centroidArgminName = "graft_centroid_argmin"
 
   private val dotBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2, s"$dotName expects 2 arguments")
@@ -391,6 +505,26 @@ object VectorExpressions {
     SortedIntersectCount(exprs.head, exprs(1))
   }
 
+  /** The centroid set arrives as a FOLDABLE array<struct<bigint,
+    * array<float>>> literal (the Column API passes `typedlit(cents)`);
+    * the builder evaluates it ONCE here and hands [[CentroidArgminL2]]
+    * plain JVM arrays — the literal never reaches the resolved plan.
+    */
+  private[expressions] val centroidArgminBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"$centroidArgminName expects 2 arguments")
+    val centsExpr = exprs(1)
+    require(centsExpr.foldable, s"$centroidArgminName centroid argument must be foldable")
+    val ad = centsExpr.eval().asInstanceOf[ArrayData]
+    require(ad != null && ad.numElements() > 0,
+      s"$centroidArgminName requires a non-empty centroid set")
+    val pairs = (0 until ad.numElements()).map { i =>
+      val row = ad.getStruct(i, 2)
+      val arr = row.getArray(1)
+      (row.getLong(0), Array.tabulate(arr.numElements())(j => arr.getFloat(j)))
+    }.sortBy(_._1)
+    CentroidArgminL2(exprs.head, pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+  }
+
   /** Imperative per-session registration (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
@@ -403,6 +537,8 @@ object VectorExpressions {
       .createOrReplaceTempFunction(mapDotLongName, mapDotLongBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(sortedInterName, sortedInterBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(centroidArgminName, centroidArgminBuilder, "built-in")
   }
 
   /** Column-API access; requires [[register]] (or the extensions) first. */
@@ -412,6 +548,9 @@ object VectorExpressions {
   def mapDotDecLong(a: Column, b: Column): Column = call_function(mapDotLongName, a, b)
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function(sortedInterName, a, b)
+  def centroidArgmin(vec: Column, cents: Seq[(Long, Seq[Float])]): Column =
+    call_function(centroidArgminName, vec,
+      org.apache.spark.sql.functions.typedlit(cents))
 }
 
 /** `SparkSessionExtensions` hook: injects the native functions at
@@ -435,6 +574,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier(VectorExpressions.sortedInterName),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, VectorExpressions.sortedInterName),
       VectorExpressions.sortedInterBuilder))
+    e.injectFunction((FunctionIdentifier(VectorExpressions.centroidArgminName),
+      new ExpressionInfo(classOf[CentroidArgminL2].getName, VectorExpressions.centroidArgminName),
+      VectorExpressions.centroidArgminBuilder))
     e.injectFunction((FunctionIdentifier(TextSketchExpressions.shingleName),
       new ExpressionInfo(classOf[ShingleHash64].getName, TextSketchExpressions.shingleName),
       TextSketchExpressions.shingleBuilder))

@@ -217,7 +217,16 @@ object Dedup {
     * only, a tiny fraction of the text it stands for.
     */
   def writeSignatureIndex(sig: DataFrame, idCol: String, bands: Int,
-      rowsPerBand: Int, path: String, append: Boolean = false): Unit = {
+      rowsPerBand: Int, path: String, append: Boolean = false,
+      extraMeta: Map[String, String] = Map.empty): Unit = {
+    val meta = Map("kind" -> "minhash", "bands" -> bands.toString,
+      "rows_per_band" -> rowsPerBand.toString) ++ extraMeta
+    if (append) {
+      val existing = graft.io.IndexMeta.read(sig.sparkSession, path)
+      require(meta.view.filterKeys(_ != "src_fp").toMap ==
+        existing.view.filterKeys(_ != "src_fp").toMap,
+        s"minhash index at $path was written with $existing; appending with $meta")
+    }
     // File-count discipline (the index's read-back cost grows with its
     // FILE count, not just its rows): the band repartition makes every
     // write — bulk build or append — land one file per band, written
@@ -229,6 +238,22 @@ object Dedup {
       .repartition(col("band"))
       .write.mode(if (append) "append" else "overwrite")
       .partitionBy("band").parquet(path)
+    if (!append) graft.io.IndexMeta.write(sig.sparkSession, path, meta)
+  }
+
+  /** Read a [[writeSignatureIndex]] index for probing, validating the
+    * persisted band parameters against the caller's — a bands or
+    * rowsPerBand drift fails loudly here, never as a candidate join
+    * whose buckets silently never collide.
+    */
+  def readSignatureIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val meta = graft.io.IndexMeta.read(spark, path)
+    val want = Map("kind" -> "minhash", "bands" -> bands.toString,
+      "rows_per_band" -> rowsPerBand.toString)
+    require(want.forall { case (k, v) => meta.get(k).contains(v) },
+      s"minhash index at $path was written with $meta; probed with $want")
+    spark.read.parquet(path)
   }
 
   /** Connected components over an undirected candidate-pair edge list
@@ -449,52 +474,178 @@ object Dedup {
     * true near-dup rows, not the full candidate stream.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      bits: Int, radius: Int): DataFrame = {
+      bits: Int, radius: Int, wide: Boolean = true): DataFrame = {
+    val blk = simhashBlocking(bits, radius, wide)
+    val keyed = simhashKeyed(df, textCol, idCol, bits, blk)
+    simhashPairsFromKeyed(keyed, idCol, radius, blk)
+  }
+
+  /** Pigeonhole blocking parameters shared by the simhash family:
+    * block count `qq`, block width `w`, block `mask`, the agreeing
+    * block `combos`, and the canonical-witness `lut` (first combo
+    * contained in each 2^qq block-agreement mask). `wide = false`
+    * forces the classic q = r+1 split — the right trade below ~50 k
+    * docs, where the 2(r+1) scheme's combo explode costs more than the
+    * narrower buckets save (sf0.1 measured 1.45 s classic vs 3.29 s
+    * wide, while sf10 is 48 s vs 11.4 s the other way). Exactness is
+    * blocking-independent (the popcount filter is applied either way).
+    */
+  private case class SimhashBlocking(qq: Int, w: Int, mask: Long,
+      combos: Seq[Seq[Int]], lut: Seq[Int])
+
+  private def simhashBlocking(bits: Int, radius: Int, wide: Boolean): SimhashBlocking = {
     val q0 = radius + 1
     require(bits % q0 == 0, s"bits=$bits must split into ${q0} blocks")
-    val qq = if (radius >= 1 && bits % (2 * q0) == 0) 2 * q0 else q0
+    val qq = if (wide && radius >= 1 && bits % (2 * q0) == 0) 2 * q0 else q0
     val agree = qq - radius
     val w = bits / qq
     val mask = (1L << w) - 1
-    def blockVal(b: Int) =
-      shiftrightunsigned(col("fp"), b * w).bitwiseAND(lit(mask))
     val combos = (0 until qq).combinations(agree).toSeq
-    val fp = Par.widen(df).select(col(idCol), simhash(col(textCol), bits).as("fp"))
-    val keyed = fp.select(col(idCol), col("fp"),
-      explode(array(combos.zipWithIndex.map { case (bs, ci) =>
-        struct(lit(ci).as("c"),
-          bs.zipWithIndex.foldLeft(lit(0L).cast("long")) {
-            case (acc, (b, pos)) =>
-              acc.bitwiseOR(shiftleft(blockVal(b), pos * w))
-          }.as("v"))
-      }: _*)).as("bk"))
-      .select(col(idCol), col("fp"), col("bk.c").as("c"), col("bk.v").as("v"))
-    // CANONICAL-WITNESS dedup, no distinct: a true pair appears once
-    // per agreeing combo, so emit it only from the FIRST combo (by
-    // enumeration order) contained in the pair's block-agreement mask
-    // — a 2^q-entry LUT evaluated per candidate in codegen. Key
-    // equality already implies the combo ⊆ mask, so exactly one
-    // witness survives and the pair-dedup shuffle (the measured
-    // second-biggest stage at sf10) disappears. The MERGE hint pins
-    // sort-merge: the keyed frame is corpus×combos rows — AQE's
-    // broadcast pick built a 28M-entry driver map (40+ s), and
-    // per-partition hash builds OOM an 8 GB heap at 32 slots.
     val lut = (0 until (1 << qq)).map { mm =>
       combos.indexWhere(_.forall(b => ((mm >> b) & 1) == 1))
     }
-    val xor = col("fp_a").bitwiseXOR(col("fp_b"))
-    val agreeMask = (0 until qq).map(b =>
-      when(shiftrightunsigned(xor, b * w).bitwiseAND(lit(mask)) === 0,
+    SimhashBlocking(qq, w, mask, combos, lut)
+  }
+
+  /** (id, fp, comboId `c`, concatenated block value `v`) rows — one per
+    * document per agreeing-block combination; the frame both sides of
+    * every simhash candidate join are keyed on.
+    */
+  private def simhashKeyed(df: DataFrame, textCol: String, idCol: String,
+      bits: Int, blk: SimhashBlocking): DataFrame = {
+    def blockVal(b: Int) =
+      shiftrightunsigned(col("fp"), b * blk.w).bitwiseAND(lit(blk.mask))
+    val fp = Par.widen(df).select(col(idCol), simhash(col(textCol), bits).as("fp"))
+    fp.select(col(idCol), col("fp"),
+      explode(array(blk.combos.zipWithIndex.map { case (bs, ci) =>
+        struct(lit(ci).as("c"),
+          bs.zipWithIndex.foldLeft(lit(0L).cast("long")) {
+            case (acc, (b, pos)) =>
+              acc.bitwiseOR(shiftleft(blockVal(b), pos * blk.w))
+          }.as("v"))
+      }: _*)).as("bk"))
+      .select(col(idCol), col("fp"), col("bk.c").as("c"), col("bk.v").as("v"))
+  }
+
+  /** CANONICAL-WITNESS condition: a true pair appears once per
+    * agreeing combo, so emit it only from the FIRST combo (by
+    * enumeration order) contained in the pair's block-agreement mask
+    * — a 2^q-entry LUT evaluated per candidate in codegen. Key
+    * equality already implies the combo ⊆ mask, so exactly one
+    * witness survives and no pair-dedup distinct is needed.
+    */
+  private def simhashWitness(blk: SimhashBlocking, fpA: Column, fpB: Column,
+      c: Column): Column = {
+    val xor = fpA.bitwiseXOR(fpB)
+    val agreeMask = (0 until blk.qq).map(b =>
+      when(shiftrightunsigned(xor, b * blk.w).bitwiseAND(lit(blk.mask)) === 0,
         lit(1 << b)).otherwise(lit(0))).reduce(_ + _)
+    c === element_at(array(blk.lut.map(lit): _*), agreeMask + lit(1))
+  }
+
+  private def simhashPairsFromKeyed(keyed: DataFrame, idCol: String,
+      radius: Int, blk: SimhashBlocking): DataFrame = {
+    // Witness dedup (see [[simhashWitness]]) kills the pair-dedup
+    // shuffle (the measured second-biggest stage at sf10). The MERGE
+    // hint pins sort-merge: the keyed frame is corpus×combos rows —
+    // AQE's broadcast pick built a 28M-entry driver map (40+ s), and
+    // per-partition hash builds OOM an 8 GB heap at 32 slots.
     keyed.select(col(idCol).as("id_a"), col("fp").as("fp_a"), col("c"), col("v"))
       .join(keyed.select(col(idCol).as("id_b"), col("fp").as("fp_b"), col("c"), col("v"))
         .hint("merge"),
         Seq("c", "v"))
       .filter(col("id_a") < col("id_b"))
-      .filter(col("c") === element_at(array(lut.map(lit): _*), agreeMask + lit(1)))
+      .filter(simhashWitness(blk, col("fp_a"), col("fp_b"), col("c")))
       .withColumn("hamming", hamming(col("fp_a"), col("fp_b")))
       .filter(col("hamming") <= radius)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Persist the simhash combo-key frame for incremental near-dup
+    * maintenance — the SimHash sibling of [[writeSignatureIndex]]:
+    * partitioned by comboId `c` (directory pruning per combo, one file
+    * per combo per write) and appendable, so fingerprints are computed
+    * exactly once per document lifetime and the 100 TB corpus is only
+    * ever touched through its (c, v, id, fp) rows. A `_graft_meta.json`
+    * sidecar records the blocking parameters; [[readSimhashIndex]]
+    * validates them so a probe with drifted parameters fails LOUDLY
+    * instead of silently missing collisions (buckets that never agree).
+    */
+  def writeSimhashIndex(df: DataFrame, textCol: String, idCol: String,
+      bits: Int, radius: Int, path: String, append: Boolean = false,
+      wide: Boolean = true, extraMeta: Map[String, String] = Map.empty): Unit = {
+    val blk = simhashBlocking(bits, radius, wide)
+    val meta = Map("kind" -> "simhash", "bits" -> bits.toString,
+      "radius" -> radius.toString, "qq" -> blk.qq.toString) ++ extraMeta
+    if (append) {
+      val existing = graft.io.IndexMeta.read(df.sparkSession, path)
+      require(meta.view.filterKeys(_ != "src_fp").toMap ==
+        existing.view.filterKeys(_ != "src_fp").toMap,
+        s"simhash index at $path was written with $existing; appending with $meta")
+    }
+    simhashKeyed(df, textCol, idCol, bits, blk)
+      .repartition(col("c"))
+      .write.mode(if (append) "append" else "overwrite")
+      .partitionBy("c").parquet(path)
+    if (!append) graft.io.IndexMeta.write(df.sparkSession, path, meta)
+  }
+
+  /** Read a [[writeSimhashIndex]] index for probing, validating the
+    * persisted blocking parameters against the caller's — a drifted
+    * contract fails loudly here, never as an incomplete candidate set.
+    * (partitionBy-written indexes surface `c` as a string partition
+    * column — type inference is off by engine contract — so normalize
+    * on read.)
+    */
+  def readSimhashIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, bits: Int, radius: Int, wide: Boolean = true): DataFrame = {
+    val blk = simhashBlocking(bits, radius, wide)
+    val meta = graft.io.IndexMeta.read(spark, path)
+    val want = Map("kind" -> "simhash", "bits" -> bits.toString,
+      "radius" -> radius.toString, "qq" -> blk.qq.toString)
+    require(want.forall { case (k, v) => meta.get(k).contains(v) },
+      s"simhash index at $path was written with $meta; probed with $want")
+    spark.read.parquet(path)
+      .select(col("c").cast("int").as("c"), col("v"), col(idCol), col("fp"))
+  }
+
+  /** SimHash near-dup pairs INVOLVING a new batch, against a PERSISTED
+    * combo-key index ([[writeSimhashIndex]] / [[readSimhashIndex]]) —
+    * the work-∝-batch maintenance road, matching
+    * [[batchCandidatesVsBands]]'s contract: new–new pairs from the
+    * batch's own pigeonhole self-join, new–old pairs from ONE equi-join
+    * of the batch's keyed frame against the stored (c, v, id, fp) rows.
+    * The corpus is touched only through its index scan streaming past a
+    * hash probe of the batch, never re-fingerprinted. The pair set
+    * EXACTLY equals [[simhashPairs]] over (index corpus ∪ batch)
+    * filtered to pairs with a batch endpoint (fingerprints and bucket
+    * keys are pure functions of the text; pair-set equality is
+    * spec-pinned in DedupSpec). Canonical-witness dedup applies to both
+    * quadrants — the same combo is keyed on both sides, so each true
+    * pair survives exactly one (c, v) join row and no distinct is
+    * needed. No merge hint on the probe join: the batch keyed frame is
+    * localCheckpointed (sizes known to AQE), and unlike the corpus
+    * self-join a batch-sized build side is the plan we WANT when it
+    * fits. Contract: the index holds only documents NOT in the batch.
+    */
+  def batchSimhashPairsVsIndex(newDf: DataFrame, indexKeyed: DataFrame,
+      textCol: String, idCol: String, bits: Int, radius: Int,
+      wide: Boolean = true): DataFrame = {
+    val blk = simhashBlocking(bits, radius, wide)
+    val keyedNew = simhashKeyed(newDf, textCol, idCol, bits, blk)
+      .localCheckpoint()
+    val newNew = simhashPairsFromKeyed(keyedNew, idCol, radius, blk)
+    val newOld = indexKeyed
+      .select(col("c").cast("int").as("c"), col("v"),
+        col(idCol).as("__idx"), col("fp").as("__fpx"))
+      .join(keyedNew, Seq("c", "v"))
+      .filter(col(idCol) =!= col("__idx"))
+      .filter(simhashWitness(blk, col("fp"), col("__fpx"), col("c")))
+      .withColumn("hamming", hamming(col("fp"), col("__fpx")))
+      .filter(col("hamming") <= radius)
+      .select(least(col(idCol), col("__idx")).as("id_a"),
+        greatest(col(idCol), col("__idx")).as("id_b"), col("hamming"))
+    newNew.unionAll(newOld)
   }
 
   /** n-gram Jaccard similarity over candidate pairs sharing >= 1

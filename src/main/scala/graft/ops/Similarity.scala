@@ -140,10 +140,27 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1)
 
-  /** argmin struct(dist2, cid) over an inlined centroid array —
-    * array_min's struct ordering == (dist2 asc, cid asc) tie-break.
+  /** argmin struct(dist2, cid) over the centroid set, via the native
+    * [[graft.expressions.CentroidArgminL2]] kernel: centroids ride as
+    * a per-stage reference object (broadcast with the task binary),
+    * NOT a plan-inlined literal — at k=√N ≈ 2.5k centroids × d the old
+    * `typedlit` form put O(k·d) into every treeString / codegen source
+    * / stage serialization and churned k structs per row; the kernel
+    * is O(1) plan size and one allocation-free loop (VERDICT r12
+    * item 4). Byte-identical to [[assignExprLiteral]] — same
+    * [[graft.expressions.FloatVectorL2Sq]] fold, same (dist2, cid)
+    * tie-break — pinned in ExpressionsSpec; plan-size and no-shuffle
+    * asserted in PlanShapeSpec.
     */
   private def assignExpr(vecCol: String, cents: Seq[(Long, Seq[Float])]): Column =
+    graft.expressions.VectorExpressions.centroidArgmin(col(vecCol), cents)
+
+  /** The displaced literal composition — array_min's struct ordering ==
+    * (dist2 asc, cid asc) tie-break. Kept as the declarative semantic
+    * reference the native kernel is spec-pinned against (and the shape
+    * the DuckDB oracle mirrors).
+    */
+  private[graft] def assignExprLiteral(vecCol: String, cents: Seq[(Long, Seq[Float])]): Column =
     array_min(transform(typedlit(cents), c =>
       struct(
         graft.expressions.VectorExpressions.l2sq(col(vecCol), c.getField("_2")).as("dist2"),

@@ -22,6 +22,31 @@ object QText {
     s"target/tmp/q_inccomp_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
   private def incCompBandsPath(dir: String): String =
     incCompPath(dir) + "_bands"
+  private def incSimhashPath(dir: String): String =
+    s"target/tmp/q_incsim_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+
+  /** Cheap fingerprint of the data dir's documents table (file sizes +
+    * mtimes) — stamped into each staged index's `_graft_meta.json` so a
+    * REGENERATED source under a surviving `target/tmp` staging is
+    * detected and re-staged instead of silently probed stale (the
+    * r12-ADVICE gap: a `_SUCCESS` gate sees missing staging, not
+    * prior-generation staging).
+    */
+  private def srcFingerprint(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles.toSeq.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(s"$dir/documents.parquet"))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(",").hashCode.toString
+  }
+
+  /** Staged-index freshness: the meta sidecar exists (write completed)
+    * AND its source fingerprint matches the data dir's documents table
+    * as it is NOW.
+    */
+  private def indexFresh(s: SparkSession, dir: String, path: String): Boolean =
+    graft.io.IndexMeta.read(s, path).get("src_fp").contains(srcFingerprint(dir))
 
   /** Untimed setup (see [[QIo.stages]]): the PRIOR component mapping —
     * yesterday's state in the maintenance scenario — is built once and
@@ -38,11 +63,27 @@ object QText {
       bands = 8, rowsPerBand = 1)
     Dedup.connectedComponents(stars, "id_a", "id_b")
       .write.mode("overwrite").parquet(incCompPath(dir))
+    // band index written LAST, with the source fingerprint: its meta
+    // sidecar doubles as the completion + freshness gate for BOTH
+    // staged artifacts (the mapping above is written in the same call)
     Dedup.writeSignatureIndex(oldSig, "doc_id", bands = 8, rowsPerBand = 1,
-      incCompBandsPath(dir))
+      incCompBandsPath(dir), extraMeta = Map("src_fp" -> srcFingerprint(dir)))
     oldSig.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Untimed setup for `q_incremental_simhash`: persist the OLD
+    * corpus's combo-key index (fingerprints computed once per document
+    * lifetime), parameter- and fingerprint-stamped. Same block-width
+    * gate as the probe — [[Dedup.readSimhashIndex]] fails loudly if
+    * they ever drift.
+    */
+  private def stageIncSimhash(s: SparkSession, dir: String): Unit = {
+    val old = Tables(s, dir).documents.filter(col("doc_id") % 3 =!= 0)
+    Dedup.writeSimhashIndex(old, "text", "doc_id", 32, 3, incSimhashPath(dir),
+      wide = docCount(s, dir) >= 50000,
+      extraMeta = Map("src_fp" -> srcFingerprint(dir)))
   }
 
   /** Dst-bucketed symmetrized MinHash star-edge table (the duplicate-
@@ -126,6 +167,8 @@ object QText {
 
   val stages: Map[String, (SparkSession, String) => Unit] = Map(
     "q_incremental_components" -> ((s, dir) => stageIncComponents(s, dir)),
+    "q_incremental_simhash" -> ((s, dir) => stageIncSimhash(s, dir)),
+    "q_simhash_pairs" -> ((s, dir) => docCount(s, dir)),
     "q_textrank" -> ((s, dir) => stageTextrankEdges(s, dir)),
     "q_tfidf_cosine" -> ((s, dir) => docCount(s, dir)),
     "q_tfidf_cosine_topk" -> ((s, dir) => docCount(s, dir)),
@@ -434,14 +477,17 @@ object QText {
       // other persisted-index query — nightly maintenance reads
       // yesterday's state, it does not rebuild it
       val exPath = incCompPath(dir)
-      if (!new java.io.File(s"$exPath/_SUCCESS").exists() ||
-          !new java.io.File(s"${incCompBandsPath(dir)}/_SUCCESS").exists())
+      // freshness gate: the band index's meta sidecar (written last,
+      // stamped with the source fingerprint) covers both artifacts —
+      // missing staging AND prior-generation staging both re-stage
+      if (!indexFresh(s, dir, incCompBandsPath(dir)))
         stageIncComponents(s, dir)
       val existing = s.read.parquet(exPath)
       val fresh = Tables(s, dir).documents.filter(col("doc_id") % 3 === 0)
       val sigNew = Dedup.minhashSignature(fresh, "text", "doc_id", 8)
       val newPairs = Dedup.batchCandidatesVsBands(sigNew,
-        s.read.parquet(incCompBandsPath(dir)), "doc_id",
+        Dedup.readSignatureIndex(s, incCompBandsPath(dir),
+          bands = 8, rowsPerBand = 1), "doc_id",
         bands = 8, rowsPerBand = 1)
       Dedup.incrementalComponents(existing, newPairs, "id_a", "id_b")
         .select(col("node").as("doc_id"), col("cluster_id"))
@@ -463,13 +509,36 @@ object QText {
     }),
 
     // SimHash near-dup PAIRS via pigeonhole block blocking: 32-bit
-    // fingerprints, Hamming radius 3, 4 blocks of 8 bits — candidates
-    // only ever join within same-(block, value) buckets (~n/256 each),
-    // never all-pairs; the exact popcount filter makes blocking
-    // lossless. The oracle IS the naive all-pairs form, proving
-    // completeness.
+    // fingerprints, Hamming radius 3 — candidates only ever join
+    // within same-(comboId, value) buckets, never all-pairs; the exact
+    // popcount filter makes blocking lossless. The oracle IS the naive
+    // all-pairs form, proving completeness. Block width is gated on
+    // corpus size (VERDICT r12 item 6): the 2(r+1)-block scheme's 56
+    // combos pay off only when buckets are dense — measured 48→11.4 s
+    // at sf10 (500 k docs) but 1.45→3.29 s at sf0.1 (~6 k docs), where
+    // the combo explode's constant dominates. Exactness is
+    // blocking-independent and spec-pinned for BOTH widths (DedupSpec).
     "q_simhash_pairs" -> ((s, dir) => {
-      Dedup.simhashPairs(Tables(s, dir).documents, "text", "doc_id", 32, 3)
+      Dedup.simhashPairs(Tables(s, dir).documents, "text", "doc_id", 32, 3,
+        wide = docCount(s, dir) >= 50000)
+    }),
+
+    // Incremental SimHash maintenance — the work-∝-batch road
+    // (VERDICT r12 item 5): yesterday's corpus lives as a persisted
+    // (comboId, key, id, fp) index (staged untimed, parameter-stamped);
+    // the timed body fingerprints ONLY the day's batch and finds every
+    // near-dup pair with a batch endpoint from the batch self-join plus
+    // one probe of the index. The oracle is the FULL all-pairs replay
+    // filtered to batch-endpoint pairs, so the incremental road is
+    // adjudicated against the from-scratch rebuild it must equal.
+    "q_incremental_simhash" -> ((s, dir) => {
+      val p = incSimhashPath(dir)
+      if (!indexFresh(s, dir, p)) stageIncSimhash(s, dir)
+      val wide = docCount(s, dir) >= 50000
+      val batch = Tables(s, dir).documents.filter(col("doc_id") % 3 === 0)
+      Dedup.batchSimhashPairsVsIndex(batch,
+        Dedup.readSimhashIndex(s, p, "doc_id", 32, 3, wide),
+        "text", "doc_id", 32, 3, wide)
     }),
 
     // Exact n-gram Jaccard over inverted-index candidate pairs,
@@ -1660,6 +1729,20 @@ object QText {
                  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
           FROM fp a JOIN fp b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.fp, b.fp)) <= 3""",
+    // the incremental road must equal the from-scratch rebuild: full
+    // all-pairs replay, filtered to pairs with a batch endpoint
+    "q_incremental_simhash" ->
+      s"""WITH fp AS (SELECT doc_id,
+                 ${(0 until 32).map(j =>
+                   s"(CASE WHEN list_sum(list_transform(string_split(text,' '), " +
+                   s"t -> CASE WHEN (${mdInt.format("t")} >> $j) % 2 = 1 THEN 1 ELSE -1 END)) > 0 " +
+                   s"THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS fp
+          FROM documents)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.fp, b.fp)) <= 3
+            AND (a.doc_id % 3 = 0 OR b.doc_id % 3 = 0)""",
     "q_prefix_jaccard" ->
       s"""WITH $shingleCte,
           shh AS (SELECT doc_id,

@@ -194,4 +194,37 @@ class ExpressionsSpec extends SparkSpec {
       assert(k == ref, s"row $id: kernel $k != array_intersect $ref")
     }
   }
+
+  test("graft_centroid_argmin == literal array_min composition, bit-exact with ties") {
+    VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(13)
+    val d = 8
+    // duplicate coordinates across centroids force dist2 TIES — the
+    // (dist2 asc, cid asc) tie-break must match struct min-ordering
+    val cents: Seq[(Long, Seq[Float])] = (0L until 17L).map { cid =>
+      (cid, Seq.tabulate(d)(i =>
+        if (cid % 3 == 0) (i % 4).toFloat else rnd.nextFloat()))
+    }
+    // pass the centroids UNSORTED — the builder must sort by cid
+    val shuffled = rnd.shuffle(cents)
+    val vecs = (1L to 300L).map { id =>
+      // every third vector sits exactly ON a duplicated centroid
+      if (id % 3 == 0) (id, Seq.tabulate(d)(i => (i % 4).toFloat))
+      else (id, Seq.fill(d)(rnd.nextFloat()))
+    }
+    val df = vecs.toDF("id", "vec")
+    val both = df.select($"id",
+      VectorExpressions.centroidArgmin($"vec", shuffled).as("native"),
+      Similarity.assignExprLiteral("vec", cents).as("lit"))
+      .select($"id",
+        $"native.dist2".as("nd"), $"native.cid".as("nc"),
+        $"lit.dist2".as("ld"), $"lit.cid".as("lc"))
+      .as[(Long, Double, Long, Double, Long)].collect()
+    both.foreach { case (id, nd, nc, ld, lc) =>
+      assert(nd == ld && nc == lc,
+        s"row $id: native ($nd,$nc) != literal ($ld,$lc)")
+    }
+    // ties actually occurred (the duplicated-centroid rows)
+    assert(both.count(_._3 % 3 == 0) >= 100)
+  }
 }

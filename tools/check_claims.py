@@ -162,6 +162,76 @@ if os.path.exists("BASELINE.md"):
             fail(f"BASELINE claims {a}/{b} for {path}; artifact has "
                  f"{len(passed)} PASS/OMIT of {len(adjud)} adjudicated")
 
+# ---- 5. QUERIES.md rows vs newest CORRECTNESS + source registrations ----
+# (VERDICT r12 item 1) QUERIES.md claims to be regenerated after query
+# adds; r12 shipped it one query stale. Two invariants: (a) every query
+# the newest driver artifact adjudicated has a QUERIES.md row — a stale
+# file fails loudly; (b) every QUERIES.md row names a query registered
+# in source — no ghost rows. (QUERIES.md MAY have rows the artifact
+# lacks: queries added since the last driver run, adjudicated next
+# round — the same newest-artifact discipline as the §8 header.)
+if os.path.exists("QUERIES.md") and corrs:
+    qmd = set(re.findall(r"^\| (q_\w+) \|", open("QUERIES.md").read(), re.M))
+    missing = sorted(set(corr) - qmd)
+    if missing:
+        fail(f"QUERIES.md is missing {len(missing)} adjudicated quer(y/ies): "
+             f"{missing[:5]}")
+    reg = set()
+    for f in glob.glob("src/main/scala/graft/queries/Q*.scala") + \
+            ["src/main/scala/graft/SparkEntry.scala"]:
+        reg |= set(re.findall(r'"(q_\w+)"\s*->', open(f).read()))
+    ghosts = sorted(qmd - reg)
+    if ghosts:
+        fail(f"QUERIES.md has {len(ghosts)} row(s) with no source "
+             f"registration: {ghosts[:5]}")
+
+# ---- 6. sf100 probe claims vs bench/sf100_probe_r*.txt ------------------
+# (VERDICT r12 items 2/8) The 1000× scale rows must rest on a committed
+# raw artifact, not prose. Contract: in any BASELINE section citing an
+# sf100 probe artifact, (a) the artifact exists; (b) every q_* named in
+# the section has a [profq] line in it; (c) every BOLD wall "**X s**"
+# in a table row naming q_* equals the median of reps 2..n of one of
+# that query's [profq] lines (±0.05 — bold marks transcribed steadies;
+# rep1 pays one-time staging/codegen and is quoted unbolded).
+def probe_steadies(path):
+    out = {}
+    for line in open(path):
+        m = re.match(r"\[profq\] (q_\w+)\s+([\d. ]+)$", line.strip())
+        if m:
+            reps = [float(x) for x in m.group(2).split()]
+            tail = reps[1:] if len(reps) > 1 else reps
+            out.setdefault(m.group(1), []).append(
+                round(statistics.median(tail), 2))
+    return out
+
+
+if os.path.exists("BASELINE.md"):
+    for sec in re.split(r"\n(?=#{2,3} )", open("BASELINE.md").read()):
+        arts_cited = set(re.findall(r"bench/sf100_probe_r\d+\.txt", sec))
+        if not arts_cited:
+            continue
+        steadies = {}
+        for a in sorted(arts_cited):
+            if not os.path.exists(a):
+                fail(f"BASELINE cites missing probe artifact {a}")
+                continue
+            for q, vals in probe_steadies(a).items():
+                steadies.setdefault(q, []).extend(vals)
+        for row in sec.splitlines():
+            qs = re.findall(r"`(q_\w+)`", row)
+            if not (qs and row.strip().startswith("|")):
+                continue
+            q = qs[0]
+            if q not in steadies:
+                fail(f"BASELINE sf100 row names {q} but the cited probe "
+                     f"artifact(s) have no [profq] line for it")
+                continue
+            for m in re.finditer(r"\*\*(\d+(?:\.\d+)?)\s*s\*\*", row):
+                v = float(m.group(1))
+                if not any(abs(v - s) <= 0.05 + 0.005 * s for s in steadies[q]):
+                    fail(f"BASELINE bold wall '{m.group(0)}' for {q} matches "
+                         f"no probe-line steady (have {steadies[q]})")
+
 if fails:
     print(f"\n{len(fails)} claim(s) contradict their artifacts")
     sys.exit(1)
