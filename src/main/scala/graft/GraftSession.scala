@@ -37,7 +37,11 @@ object GraftSession {
     // the same-window A/B sweep dropped 314.5 → 297.9 s (median 0.537
     // → 0.469). Semantics-free — it caches compiled classes keyed by
     // generated source.
-    .config("spark.sql.codegen.cache.maxEntries", "5000")
+    // (dev A/B knob: SPARK_GRAFT_CODEGEN_CACHE overrides — static conf,
+    // so a -D can't beat this builder value; VERDICT r12 item 8's cache
+    // saturation A/B runs through it)
+    .config("spark.sql.codegen.cache.maxEntries",
+      sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
     // Propagate bucketed-scan SORT ORDER (off by default since
     // SPARK-32859): our bucketed stages write exactly one sorted file
     // per bucket, so with this on a bucket-key SMJ needs neither an

@@ -11,6 +11,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * StructTypes are only needed for schemaless edges (CSV/JDBC), handled
   * in [[graft.io.Sources]].
   */
+/** MEMO CONTRACT (ADVICE r12): repeated reads of the same table return
+  * the IDENTICAL analyzed plan instance — shared expression ids. A
+  * self-join written as `Tables(s,d).x.join(Tables(s,d).x, a("c") ===
+  * b("c"))` therefore hits Spark's ambiguous-self-join resolution
+  * (distinct-instance reads used to dodge it by accident); sides of an
+  * intentional self-join must disambiguate with `.alias(...)` — which
+  * is the correct form against a real catalog too, where repeated
+  * resolution of one table name also yields one relation. The memo
+  * identity and the aliased-self-join road are pinned in OpsSpec.
+  */
 final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame =
     Tables.memo.getOrElseUpdate((spark, dir, name),
@@ -69,4 +79,13 @@ object Tables {
     */
   private val memo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
+
+  /** Eviction hook for hosts that cycle sessions (ADVICE r12): the memo
+    * keys pin each session (and, via the cached plans, its
+    * sessionState) for the JVM lifetime — bounded for the handful of
+    * sessions a test JVM builds, but a long-lived multi-session host
+    * should call this when it stops a session.
+    */
+  def clear(session: SparkSession): Unit =
+    memo.keys.filter(_._1 eq session).foreach(memo.remove)
 }

@@ -18,6 +18,22 @@ class OpsSpec extends SparkSpec {
     val c = Tables(spark, "/root/testdata/sf0.01").lineitem
     assert(!(a eq c)) // memo keys on the data dir, not just the table
     assert(a.count() > 0)
+    // memo contract (ADVICE r12): both getters ARE the same plan
+    // instance, so an intentional self-join must alias its sides —
+    // the catalog-correct form — and then resolves fine
+    val sj = Tables(spark, dir).nation.alias("l")
+      .join(Tables(spark, dir).nation.alias("r"),
+        col("l.n_regionkey") === col("r.n_regionkey"))
+    assert(sj.count() > 0)
+  }
+
+  test("Tables.clear evicts one session's memo entries") {
+    val dir = "/root/testdata/sf0.001"
+    val before = Tables(spark, dir).region
+    Tables.clear(spark)
+    val after = Tables(spark, dir).region
+    assert(!(before eq after)) // re-read after eviction
+    assert(after.count() > 0)
   }
 
   test("D1: parenthesized description extraction (PROC:156 semantics)") {
