@@ -138,15 +138,31 @@ object Aggregates {
     * distribution, mergeable across days by summing frequency tables.
     */
   def medianTimes2(df: DataFrame, keys: Seq[String], valCol: String,
-      alias: String = "med2"): DataFrame = {
-    val freq = df.filter(col(valCol).isNotNull)
-      .groupBy((keys.map(col) :+ col(valCol)): _*)
-      .agg(count(lit(1)).as("__c"))
-    val cum = freq
-      .withColumn("__cum", sum(col("__c")).over(
+      alias: String = "med2"): DataFrame =
+    medianTimes2Freq(
+      df.filter(col(valCol).isNotNull)
+        .groupBy((keys.map(col) :+ col(valCol)): _*)
+        .agg(count(lit(1)).as("__c")),
+      keys, valCol, "__c", alias)
+
+  /** [[medianTimes2]] over a PRE-AGGREGATED value-frequency table
+    * (r13): callers that need several medians of frames derived from
+    * the same rows build the (keys, value, count) table ONCE and take
+    * every median — and the final weighted counts — off it, instead
+    * of re-scanning and re-shuffling the raw rows per median (guide
+    * §2.3 "aggregate before you shuffle"). Rows with a NULL value are
+    * ignored for the median exactly as [[medianTimes2]] ignores them;
+    * duplicate `valCol` rows per key group are fine (the running sum
+    * crosses any middle position inside a tie run, whose value IS the
+    * tie value).
+    */
+  def medianTimes2Freq(freq: DataFrame, keys: Seq[String], valCol: String,
+      cntCol: String, alias: String = "med2"): DataFrame = {
+    val cum = freq.filter(col(valCol).isNotNull)
+      .withColumn("__cum", sum(col(cntCol)).over(
         Window.partitionBy(keys.map(col): _*).orderBy(col(valCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__n", sum(col("__c")).over(
+      .withColumn("__n", sum(col(cntCol)).over(
         Window.partitionBy(keys.map(col): _*)))
     // 0-indexed middle positions k1=(n-1) div 2, k2=n div 2; the value
     // at position k is the first value whose cumulative count > k.

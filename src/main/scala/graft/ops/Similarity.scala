@@ -173,6 +173,22 @@ object Similarity {
       .select(col(idCol), col("__best.cid").as("cluster_id"), col("__best.dist2").as("dist2"))
   }
 
+  /** [[ivfAssign]] keeping every input column (r13, guide §2.4): the
+    * assignment is a per-row argmin, so a consumer that needs the
+    * vector NEXT TO its cluster_id — every IVF pair generator — gets
+    * it from the same map-only scan. The former shape projected the
+    * assignment to (id, cluster_id) and joined it back to the corpus
+    * on id, which re-scanned the vector table and (past the broadcast
+    * threshold) shuffled the payload by a key it is never used under.
+    * Row set and values are identical by construction (the join was
+    * 1:1 on the unique id).
+    */
+  def ivfAssignWith(df: DataFrame, vecCol: String,
+      centroids: DataFrame, cVecCol: String, cIdCol: String): DataFrame = {
+    val cents = collectCentroids(centroids, cVecCol, cIdCol)
+    df.withColumn("cluster_id", assignExpr(vecCol, cents).getField("cid"))
+  }
+
   /** IVF probe search: brute-force top-k restricted to the `nprobe`
     * clusters nearest the query vector — the standard recall/cost
     * trade: each query touches ~nprobe/k of the corpus instead of all
@@ -457,9 +473,11 @@ object Similarity {
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
       centroids: DataFrame, cVecCol: String, cIdCol: String, tau: Double): DataFrame = {
     graft.expressions.VectorExpressions.register(df.sparkSession)
-    val assigned = ivfAssign(df, vecCol, idCol, centroids, cVecCol, cIdCol)
-      .select(col(idCol), col("cluster_id"))
-      .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+    // keep-columns assignment (r13): cluster_id lands NEXT TO the
+    // vector in one map-only scan — no (id, cluster_id) ⋈ corpus
+    // join-back (same rows: that join was 1:1 on the unique id)
+    val assigned = ivfAssignWith(df.select(col(idCol), col(vecCol)),
+      vecCol, centroids, cVecCol, cIdCol)
     val normed = withNormalized(assigned, vecCol, "__ne")
       .select(col("cluster_id"), col(idCol), col("__ne"))
     val a = normed.select(col("cluster_id"), col(idCol).as("__id_a"), col("__ne").as("__na"))

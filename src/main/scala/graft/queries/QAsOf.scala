@@ -84,10 +84,14 @@ object QAsOf {
       graft.expressions.VectorExpressions.register(s)
       val emb = Tables(s, dir).embeddings
       val centroids = sqrtCentroids(emb)
-      val assigned = Similarity.ivfAssign(emb.select(col("vec_id"), col("embedding")),
-        "embedding", "vec_id", centroids, "cvec", "cid")
-        .select(col("vec_id"), col("cluster_id"))
-        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      // keep-columns assignment (r13, guide §2.4): one map-only scan
+      // carries (vec_id, embedding, cluster_id) — the former
+      // (id, cluster_id) ⋈ corpus join-back re-scanned the vector
+      // table for rows the argmin scan already held (1:1 on vec_id,
+      // so the row set is unchanged)
+      val assigned = Similarity.ivfAssignWith(
+        emb.select(col("vec_id"), col("embedding")),
+        "embedding", centroids, "cvec", "cid")
       // normalize once per vector; each pair then costs one dot fold
       val normed = Similarity.withNormalized(assigned, "embedding", "ne")
         .select(col("cluster_id"), col("vec_id"), col("ne"))
@@ -108,10 +112,11 @@ object QAsOf {
       graft.expressions.VectorExpressions.register(s)
       val emb = Tables(s, dir).embeddings
       val centroids = sqrtCentroids(emb)
-      val assigned = Similarity.ivfAssign(emb.select(col("vec_id"), col("embedding")),
-        "embedding", "vec_id", centroids, "cvec", "cid")
-        .select(col("vec_id"), col("cluster_id"))
-        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      // keep-columns assignment (r13): same map-only shape as
+      // q_embed_neardup — the join-back on vec_id is gone
+      val assigned = Similarity.ivfAssignWith(
+        emb.select(col("vec_id"), col("embedding")),
+        "embedding", centroids, "cvec", "cid")
       val normed = Similarity.withNormalized(assigned, "embedding", "ne")
         .select(col("cluster_id"), col("vec_id"), col("ne"))
       val a = normed.select(col("cluster_id"), col("vec_id").as("id_a"), col("ne").as("na"))

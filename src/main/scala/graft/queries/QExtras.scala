@@ -205,18 +205,31 @@ object QExtras {
     // dev > 1.5·mad ⟺ 4·dev2 > 3·mad22), so the DuckDB oracle replays
     // it bit-exactly.
     "q_mad_outliers" -> ((s, dir) => {
+      // ONE lineitem scan + ONE row-level shuffle (r13, guide §2.3):
+      // the raw rows collapse to a (flag, cents, cnt) value-frequency
+      // table once; both medians AND the weighted outlier counts read
+      // off it (the former shape re-scanned + re-shuffled lineitem for
+      // each of med, mad, and the final agg — 3 corpus passes). The
+      // three consumers share the single freq aggregation via Spark's
+      // ReuseExchange (identical subtree under each), and its size is
+      // DISTINCT cents per flag, never rows. Semantics unchanged:
+      // summing cnt ≡ counting rows, and a weighted median over the
+      // frequency table is the row-level median by definition.
       val cents = Tables(s, dir).lineitem.select(col("l_returnflag"),
         (Scalars.dec(col("l_extendedprice")) * 100).cast("bigint").as("cents"))
-      val med = Aggregates.medianTimes2(cents, Seq("l_returnflag"), "cents")
-      val dev = cents.join(broadcast(med), Seq("l_returnflag"))
+      val freq = cents.groupBy(col("l_returnflag"), col("cents"))
+        .agg(count(lit(1)).as("cnt"))
+      val med = Aggregates.medianTimes2Freq(freq, Seq("l_returnflag"),
+        "cents", "cnt")
+      val devFreq = freq.join(broadcast(med), Seq("l_returnflag"))
         .select(col("l_returnflag"),
-          abs(col("cents") * 2 - col("med2")).as("dev2"))
-      val mad = Aggregates.medianTimes2(dev, Seq("l_returnflag"), "dev2",
-        alias = "mad22")
-      dev.join(broadcast(mad), Seq("l_returnflag"))
+          abs(col("cents") * 2 - col("med2")).as("dev2"), col("cnt"))
+      val mad = Aggregates.medianTimes2Freq(devFreq, Seq("l_returnflag"),
+        "dev2", "cnt", alias = "mad22")
+      devFreq.join(broadcast(mad), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(when(col("dev2") * 4 > col("mad22") * 3, 1L).otherwise(0L))
+        .agg(sum(col("cnt")).as("n_rows"),
+          sum(when(col("dev2") * 4 > col("mad22") * 3, col("cnt")).otherwise(0L))
             .as("n_outliers"))
     }),
 

@@ -598,9 +598,15 @@ object QText {
         .select(col("id_a"), col("id_b"))
       val sig = Dedup.minhashSignature(docs, "text", "doc_id", 8)
       val cand = Dedup.minhashCandidates(sig, "doc_id", bands = 8, rowsPerBand = 1)
-      truth.agg(count(lit(1)).as("n_truth"))
-        .crossJoin(broadcast(truth.join(cand, Seq("id_a", "id_b"), "left_semi")
-          .agg(count(lit(1)).as("hits"))))
+      // ONE pass over the truth pairs (r13, guide §2.4): the former
+      // shape aggregated `truth` in two separate subtrees (a bare
+      // count and a semi-join count) — the expensive inverted-index
+      // join ran twice per execution. A left join against the
+      // DISTINCT candidate pairs preserves truth's row set exactly
+      // (both sides are unique on (id_a, id_b)), so count(*) and
+      // count(match) read the same numbers in one aggregation.
+      truth.join(cand.withColumn("__hit", lit(1)), Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_truth"), count(col("__hit")).as("hits"))
         .select(col("n_truth"), col("hits"),
           round(col("hits").cast("double") / col("n_truth").cast("double"), 6)
             .as("recall"))
