@@ -125,6 +125,55 @@ object TextSketch {
     new GenericArrayData(out)
   }
 
+  /** Adjacent-symbol pair counts of a paren-wrapped BPE working string
+    * `"(s1)(s2)(s3)..."` — one `(p, c)` struct per DISTINCT adjacent
+    * pair, key `a + ' ' + b`, pairs touching the `'#'` word
+    * boundary excluded (the BPE learners' filter). Replaces the
+    * `split("\\)\\(")` + two `slice` + `zip_with(struct)` + explode
+    * chain: one character walk, no intermediate arrays, and per-row
+    * pre-aggregation — pair multiplicity folds into `c` BEFORE the
+    * explode and shuffle (guide §2.3 "aggregate before you shuffle").
+    * The space separator sorts below every symbol byte (symbols are
+    * `[a-z0-9]+` concatenations, all bytes > 0x20), so ordering by the
+    * packed key equals ordering by `(a, b)` — the learners' argmax
+    * tie-break is unchanged.
+    */
+  def adjPairCounts(text: UTF8String): GenericArrayData = {
+    val s = text.toString
+    val counts = new java.util.LinkedHashMap[String, Long]()
+    val n = s.length
+    var i = 0
+    var prev: String = null
+    var prevBoundary = true
+    while (i < n) {
+      if (s.charAt(i) == '(') {
+        val j = s.indexOf(')', i + 1)
+        if (j < 0) i = n
+        else {
+          val sym = s.substring(i + 1, j)
+          val boundary = sym.length == 1 && sym.charAt(0) == '#'
+          if (prev != null && !prevBoundary && !boundary) {
+            val k = prev + " " + sym
+            counts.put(k, counts.getOrDefault(k, 0L) + 1L)
+          }
+          prev = sym
+          prevBoundary = boundary
+          i = j + 1
+        }
+      } else i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(e.getKey), e.getValue)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct 60-bit shingle hashes for one document. */
   def shingleHash64(text: UTF8String, n: Int): GenericArrayData = {
     val sh = distinctShingles(text, n)
@@ -379,6 +428,24 @@ case class TermCounts(child: Expression) extends TextSketchExpression {
     copy(child = newChild)
 }
 
+/** `graft_adj_pair_counts(w)` → array<struct<p:string,c:bigint>> of
+  * adjacent-symbol pair counts of a paren-wrapped BPE working string
+  * (see [[TextSketch.adjPairCounts]]).
+  */
+case class AdjPairCounts(child: Expression) extends TextSketchExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("p", StringType, nullable = false),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = TextSketchExpressions.adjPairName
+  override def nullSafeEval(t: Any): Any =
+    TextSketch.adjPairCounts(t.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"graft.expressions.TextSketch.adjPairCounts($c)"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_simhash(text, bits)` → bigint SimHash fingerprint. */
 case class SimHash(child: Expression, bits: Int) extends TextSketchExpression {
   override def dataType: DataType = LongType
@@ -398,6 +465,7 @@ object TextSketchExpressions {
   val simhashName = "graft_simhash"
   val delHashName = "graft_del_hash64"
   val termCountsName = "graft_term_counts"
+  val adjPairName = "graft_adj_pair_counts"
 
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
@@ -429,6 +497,10 @@ object TextSketchExpressions {
     require(exprs.length == 1, s"$termCountsName expects (text)")
     TermCounts(exprs.head)
   }
+  val adjPairBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, s"$adjPairName expects (w)")
+    AdjPairCounts(exprs.head)
+  }
 
   /** Column-API access; requires the extensions (or [[register]]). */
   def shingleHash64(text: Column, n: Int): Column =
@@ -444,6 +516,8 @@ object TextSketchExpressions {
     call_function(delHashName, text, org.apache.spark.sql.functions.lit(maxLen))
   def termCounts(text: Column): Column =
     call_function(termCountsName, text)
+  def adjPairCounts(w: Column): Column =
+    call_function(adjPairName, w)
 
   /** Imperative per-session registration (idempotent); the extensions
     * hook in [[GraftExtensions]] is the standard path.
@@ -456,5 +530,6 @@ object TextSketchExpressions {
     r.createOrReplaceTempFunction(simhashName, simhashBuilder, "built-in")
     r.createOrReplaceTempFunction(delHashName, delHashBuilder, "built-in")
     r.createOrReplaceTempFunction(termCountsName, termCountsBuilder, "built-in")
+    r.createOrReplaceTempFunction(adjPairName, adjPairBuilder, "built-in")
   }
 }

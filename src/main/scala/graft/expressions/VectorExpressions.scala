@@ -595,6 +595,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier(TextSketchExpressions.termCountsName),
       new ExpressionInfo(classOf[TermCounts].getName, TextSketchExpressions.termCountsName),
       TextSketchExpressions.termCountsBuilder))
+    e.injectFunction((FunctionIdentifier(TextSketchExpressions.adjPairName),
+      new ExpressionInfo(classOf[AdjPairCounts].getName, TextSketchExpressions.adjPairName),
+      TextSketchExpressions.adjPairBuilder))
     e.injectFunction((FunctionIdentifier(NormalizeExpressions.canonName),
       new ExpressionInfo(classOf[CanonicalizeText].getName, NormalizeExpressions.canonName),
       { exprs: Seq[Expression] => CanonicalizeText(exprs.head) }))

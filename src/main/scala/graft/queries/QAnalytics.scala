@@ -1318,24 +1318,35 @@ object QAnalytics {
       val o = Tables(s, dir).orders
         .withColumn("price_d", Scalars.dec(col("o_totalprice")))
       def nulls(c: String) = sum(when(col(c).isNull, 1).otherwise(0))
+      // TWO single-row aggregates crossJoined, not one (r13): string/
+      // decimal min/max carry immutable aggregation buffers, and with
+      // the 4 countDistincts in the SAME Aggregate the planner demoted
+      // the whole Expand×5 to Sort + SortAggregate — the measured
+      // dominator was sorting 5·|orders| expanded wide rows. Split
+      // apart, the distinct path hash-aggregates its Expand (count
+      // buffers are mutable longs, no Sort anywhere) and the min/max
+      // pass is a plain single-pass global aggregate. Same values,
+      // same one-row shape into the stack.
+      val dist = o.agg(
+        countDistinct(col("o_orderstatus")).as("nd1"),
+        countDistinct(col("o_orderpriority")).as("nd2"),
+        countDistinct(col("o_custkey")).as("nd3"),
+        countDistinct(col("price_d")).as("nd4"))
       val agg = o.agg(
         count(lit(1)).as("n_rows"),
         nulls("o_orderstatus").as("nu1"),
-        countDistinct(col("o_orderstatus")).as("nd1"),
         min(col("o_orderstatus")).cast("string").as("mn1"),
         max(col("o_orderstatus")).cast("string").as("mx1"),
         nulls("o_orderpriority").as("nu2"),
-        countDistinct(col("o_orderpriority")).as("nd2"),
         min(col("o_orderpriority")).cast("string").as("mn2"),
         max(col("o_orderpriority")).cast("string").as("mx2"),
         nulls("o_custkey").as("nu3"),
-        countDistinct(col("o_custkey")).as("nd3"),
         min(col("o_custkey")).cast("string").as("mn3"),
         max(col("o_custkey")).cast("string").as("mx3"),
         nulls("price_d").as("nu4"),
-        countDistinct(col("price_d")).as("nd4"),
         min(col("price_d")).cast("string").as("mn4"),
         max(col("price_d")).cast("string").as("mx4"))
+        .crossJoin(dist)
       agg.selectExpr("n_rows",
         """stack(4,
              'o_orderstatus', nu1, nd1, mn1, mx1,

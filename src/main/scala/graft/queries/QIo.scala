@@ -229,23 +229,34 @@ object QIo {
       val days = stamped.select(col("ds")).distinct()
         .orderBy(col("ds")).limit(3)
         .collect().map(_.getString(0)).toSeq
-      def daily(dsv: String): DataFrame = {
-        val fact = stamped.filter(col("ds") === dsv)
-        val enriched = Relational.enrichJoin(
-          t.lineitem.join(fact, col("l_orderkey") === col("o_orderkey")),
-          Seq(
-            (t.customer, col("o_custkey") === col("c_custkey")),
-            (t.nation, col("c_nationkey") === col("n_nationkey"))))
-          .withColumn("direction",
-            when(col("l_returnflag") === "R", lit("out")).otherwise(lit("in")))
-        Relational.pivotSinglePass(
-          enriched.select(col("n_name"), col("ds"), col("direction"),
-            Scalars.dec(col("l_quantity")).as("qty")),
-          Seq("n_name", "ds"), "direction", Seq("in", "out"), "qty")
-          .select(col("n_name"), col("ds"),
-            col("in").cast("double").as("qty_in"),
-            col("out").cast("double").as("qty_out"))
-      }
+      // ONE lineitem pass for all three closes (r13, guide §2.4): the
+      // per-day enrich+pivot is computed for the 3-day window in one
+      // scan and checkpointed at (n_name, ds) grain — nations × 3
+      // rows — and each close's `daily(d)` filter reads that frame.
+      // The former shape re-ran lineitem ⋈ orders-slice ⋈ dims per
+      // close: 4 full lineitem scans (incl. the rollover re-run) for
+      // rows the first pass already held. Per-day rows are identical:
+      // pivot groups on (n_name, ds), so grouping the 3-day window
+      // then filtering ds == d ≡ filtering then grouping. The catalog
+      // protocol is untouched — same per-day TRUNCATE+append order,
+      // same watermark discovery, same rollover.
+      val fact = stamped.filter(col("ds").isin(days: _*))
+      val enriched = Relational.enrichJoin(
+        t.lineitem.join(fact, col("l_orderkey") === col("o_orderkey")),
+        Seq(
+          (t.customer, col("o_custkey") === col("c_custkey")),
+          (t.nation, col("c_nationkey") === col("n_nationkey"))))
+        .withColumn("direction",
+          when(col("l_returnflag") === "R", lit("out")).otherwise(lit("in")))
+      val pivoted = Relational.pivotSinglePass(
+        enriched.select(col("n_name"), col("ds"), col("direction"),
+          Scalars.dec(col("l_quantity")).as("qty")),
+        Seq("n_name", "ds"), "direction", Seq("in", "out"), "qty")
+        .select(col("n_name"), col("ds"),
+          col("in").cast("double").as("qty_in"),
+          col("out").cast("double").as("qty_out"))
+        .localCheckpoint()
+      def daily(dsv: String): DataFrame = pivoted.filter(col("ds") === dsv)
       // initial close: day 1 only
       CatalogWriter.truncateThenAppend(daily(days.head), table)
       // incremental run: watermark discovery, then only the missing days

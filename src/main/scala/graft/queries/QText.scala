@@ -276,17 +276,21 @@ object QText {
           "(.)", "($1)").as("w")).localCheckpoint()
       val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
       for (step <- 1 to 3) {
-        val ss = split(btrim(col("w"), lit("()")), "\\)\\(")
-        val pairs = w.select(explode(zip_with(
-            slice(ss, lit(1), greatest(size(ss) - 1, lit(0))),
-            slice(ss, lit(2), greatest(size(ss) - 1, lit(0))),
-            (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
-          .select(col("p.a").as("a"), col("p.b").as("b"))
-          .filter(col("a") =!= boundary && col("b") =!= boundary)
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
-        val top = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        // Pair counting via the native kernel (r13, guide §2.3 +
+        // codegen): graft_adj_pair_counts walks the wrapped string
+        // once and pre-aggregates pair multiplicity PER ROW, so the
+        // explode emits per-doc DISTINCT pairs (not every occurrence)
+        // and the former regex split + slice + zip_with(struct) alloc
+        // chain is gone. Ordering by the space-packed key equals the
+        // (cnt DESC, a, b) tie-break — symbols are [a-z0-9]+, every
+        // byte > 0x20 (see TextSketch.adjPairCounts).
+        val pairs = w.select(explode(
+            graft.expressions.TextSketchExpressions.adjPairCounts(col("w"))).as("e"))
+          .groupBy(col("e.p").as("p")).agg(sum(col("e.c")).as("cnt"))
+        val top = pairs.orderBy(col("cnt").desc, col("p")).limit(1)
           .collect().head
-        val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+        val Array(a, b) = top.getString(0).split(' ')
+        val cnt = top.getLong(1)
         learned += ((step, a, b, cnt))
         // The last round's merge is never re-scanned — skip the pass.
         if (step < 3)
@@ -317,19 +321,19 @@ object QText {
           "(.)", "($1)").as("w")).localCheckpoint()
       val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
       for (pass <- 1 to passes) {
-        val ss = split(btrim(col("w"), lit("()")), "\\)\\(")
-        val top = w.select(explode(zip_with(
-            slice(ss, lit(1), greatest(size(ss) - 1, lit(0))),
-            slice(ss, lit(2), greatest(size(ss) - 1, lit(0))),
-            (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
-          .select(col("p.a").as("a"), col("p.b").as("b"))
-          .filter(col("a") =!= boundary && col("b") =!= boundary)
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("a"), col("b")).limit(candidates)
+        // native per-row pre-aggregated pair counts; key order ==
+        // (a, b) order, so the top-`candidates` ranking is unchanged
+        // (see q_bpe_learn's round body)
+        val top = w.select(explode(
+            graft.expressions.TextSketchExpressions.adjPairCounts(col("w"))).as("e"))
+          .groupBy(col("e.p").as("p")).agg(sum(col("e.c")).as("cnt"))
+          .orderBy(col("cnt").desc, col("p")).limit(candidates)
           .collect()
         val used = scala.collection.mutable.Set.empty[String]
-        val kept = top.iterator.map(r =>
-            (r.getString(0), r.getString(1), r.getLong(2)))
+        val kept = top.iterator.map { r =>
+            val Array(a, b) = r.getString(0).split(' ')
+            (a, b, r.getLong(1))
+          }
           .filter { case (a, b, _) =>
             if (used(a) || used(b)) false else { used += a; used += b; true } }
           .take(batch).toSeq
@@ -371,16 +375,18 @@ object QText {
         .localCheckpoint()
       val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
       for (step <- 1 to rounds) {
-        val ss = split(btrim(col("w"), lit("()")), "\\)\\(")
-        val top = dict.select(col("freq"), explode(zip_with(
-            slice(ss, lit(1), greatest(size(ss) - 1, lit(0))),
-            slice(ss, lit(2), greatest(size(ss) - 1, lit(0))),
-            (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        // native per-row pre-aggregated pair counts, weighted by the
+        // word's corpus frequency: Σ_word freq·count_word(pair) ≡ the
+        // corpus pair count, term for term (see q_bpe_learn's round
+        // body for the key-order tie-break argument)
+        val top = dict.select(col("freq"), explode(
+            graft.expressions.TextSketchExpressions.adjPairCounts(col("w"))).as("e"))
+          .groupBy(col("e.p").as("p"))
+          .agg(sum(col("e.c") * col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("p")).limit(1)
           .collect().head
-        val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+        val Array(a, b) = top.getString(0).split(' ')
+        val cnt = top.getLong(1)
         learned += ((step, a, b, cnt))
         if (step < rounds)
           dict = dict.select(replace(col("w"),

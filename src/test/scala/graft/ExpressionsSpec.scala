@@ -227,4 +227,48 @@ class ExpressionsSpec extends SparkSpec {
     // ties actually occurred (the duplicated-centroid rows)
     assert(both.count(_._3 % 3 == 0) >= 100)
   }
+
+  test("graft_adj_pair_counts == declarative split+zip_with pair multiset") {
+    import graft.expressions.TextSketchExpressions
+    TextSketchExpressions.register(spark)
+    val boundary = "#"
+    // real corpus shape: lowercased alnum with '#' boundaries, wrapped
+    // per char, PLUS merged multi-char symbols mid-string, boundary at
+    // both ends, a lone-boundary row, and an empty row
+    val rows = Seq(
+      "(t)(h)(e)(#)(c)(a)(t)(#)",
+      "(#)(a)(b)(ab)(ab)(b)(a)(#)(#)(x)",
+      "(#)",
+      "",
+      "(ab)(ab)(ab)")
+    val df = rows.toDF("w")
+    val ss = split(btrim(col("w"), lit("()")), "\\)\\(")
+    val old = df.select(explode(zip_with(
+        slice(ss, lit(1), greatest(size(ss) - 1, lit(0))),
+        slice(ss, lit(2), greatest(size(ss) - 1, lit(0))),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= boundary && col("b") =!= boundary)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("a"), col("b"))
+      .as[(String, String, Long)].collect().toSeq
+    val kernel = df.select(explode(
+        TextSketchExpressions.adjPairCounts(col("w"))).as("e"))
+      .groupBy(col("e.p").as("p")).agg(sum(col("e.c")).as("cnt"))
+      .select(substring_index(col("p"), " ", 1).as("a"),
+        substring_index(col("p"), " ", -1).as("b"), col("cnt"))
+      .orderBy(col("a"), col("b"))
+      .as[(String, String, Long)].collect().toSeq
+    assert(kernel == old, s"kernel=$kernel old=$old")
+    // packed-key order == (a, b) order, so argmax tie-breaks agree:
+    // multi-char symbol 'ab' must sort AFTER the shorter prefix 'a b'
+    val keys = df.select(explode(
+        TextSketchExpressions.adjPairCounts(col("w"))).as("e"))
+      .select(col("e.p")).distinct().as[String].collect().toSeq
+    val byKey = keys.sorted
+    val byPair = keys.sortBy { k =>
+      val Array(a, b) = k.split(' '); (a, b)
+    }
+    assert(byKey == byPair)
+  }
 }
