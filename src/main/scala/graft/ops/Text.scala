@@ -194,6 +194,41 @@ object Text {
     * inherent trade of every sketch-prefilter algorithm; persist the
     * key frame when the upstream is expensive.
     */
+  /** [[exactHeavyHitters]] over a PRE-COUNTED (key, cnt) frame (r13,
+    * guide §2.3): callers whose key stream is per-row aggregable
+    * map-side (e.g. per-document term frequencies from the native
+    * `graft_term_counts` kernel) feed one row per distinct key per
+    * upstream row instead of one row per OCCURRENCE — sketch cells sum
+    * `cnt`, the probe estimate weights by `cnt`, and the exact recount
+    * sums `cnt`, so sketch contents, threshold, candidate set and
+    * result are identical to the occurrence-stream form term for term.
+    */
+  def exactHeavyHittersFreq(freq: org.apache.spark.sql.DataFrame, key: Column,
+      cnt: Column, den: Int, d: Int = 4, w: Int = 1024): org.apache.spark.sql.DataFrame = {
+    val tok = freq.select(key.cast("string").as("__k"), cnt.cast("bigint").as("__c"))
+    val cellRows = tok
+      .select(col("__c"), explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"),
+          (md5Int(concat(lit(s"$r|"), col("__k"))) % w).as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(sum(col("__c")).as("c"))
+      .collect()
+    val sketch = Array.fill(d, w)(0L)
+    cellRows.foreach { row =>
+      sketch(row.getInt(0))(row.getLong(1).toInt) = row.getLong(2)
+    }
+    val total = sketch(0).sum // every occurrence hits sketch row 0 exactly once
+    val est = least((0 until d).map { r =>
+      element_at(typedLit(sketch(r).toSeq),
+        (md5Int(concat(lit(s"$r|"), col("__k"))) % w).cast("int") + 1)
+    }: _*)
+    tok.filter(est * den >= lit(total))
+      .groupBy(col("__k")).agg(sum(col("__c")).as("n"))
+      .filter(col("n") * den >= lit(total))
+      .withColumnRenamed("__k", "key")
+      .select(col("key"), col("n"))
+  }
+
   def exactHeavyHitters(keys: org.apache.spark.sql.DataFrame, key: Column,
       den: Int, d: Int = 4, w: Int = 1024): org.apache.spark.sql.DataFrame = {
     val tok = keys.select(key.cast("string").as("__k"))

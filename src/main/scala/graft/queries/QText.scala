@@ -222,6 +222,15 @@ object QText {
     "q_lm_score" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      // NEGATIVE RESULT (r13, recorded in OPTIMIZATION_r13.md): a
+      // vocab-grain restructure — c2 via groupBy(shingle), c1 as a
+      // window over THAT, fx broadcast-joined back to the (doc,
+      // bigram) rows — measured SLOWER (2.2 → 3.0-3.8 s at sf0.1):
+      // with the probe side no longer shuffling there is no exchange
+      // to reuse, so the shingle explode runs twice (or the frame
+      // must be checkpointed corpus-sized). The two count-windows
+      // below share ONE sorted shuffle chain over the (doc, bigram)
+      // frame and never re-touch the text.
       Dedup.shingles(docs, "text", "doc_id", 2)
         .withColumn("w1", substring_index(col("shingle"), " ", 1))
         .withColumn("c2", count(lit(1)).over(Window.partitionBy(col("shingle"))))
@@ -824,9 +833,16 @@ object QText {
     // scale) never cross the wire. The threshold is relative
     // (n·500 ≥ total tokens), so the query is scale-invariant.
     "q_heavy_hitters" -> ((s, dir) => {
-      val tok = Tables(s, dir).documents
-        .select(explode(Text.tokens(col("text"))).as("term"))
-      Text.exactHeavyHitters(tok, col("term"), 500)
+      // per-document term frequencies off the native kernel (r13,
+      // guide §2.3): the CMS build + probe + recount all run over one
+      // row per DISTINCT term per doc instead of one per occurrence —
+      // 4 md5 probes per distinct term, not per token. Counts weighted
+      // by tf are the occurrence counts term for term, so sketch,
+      // threshold, and result are unchanged.
+      val tf = Tables(s, dir).documents.select(explode(
+          graft.expressions.TextSketchExpressions.termCounts(col("text"))).as("e"))
+        .select(col("e.t").as("term"), col("e.tf").as("tf"))
+      Text.exactHeavyHittersFreq(tf, col("term"), col("tf"), 500)
         .withColumnRenamed("key", "term")
     }),
 
